@@ -1,0 +1,71 @@
+"""Extraction configuration.
+
+Defaults mirror the reference pipeline's constants:
+
+- adaptive threshold blockSize=13, C=12   (reference scripts/dataset.py:31-43)
+- target (resized) segmentation size 1600x1248 = (3200//2, 2496//2)
+  (reference scripts/config.py:8, scripts/imgs2csv.py:135)
+- min_region_size=1000 px, expected_row_height=40 px
+  (reference scripts/config.py:30-33, scripts/imgs2csv.py:144)
+- row clustering threshold 40 px        (reference scripts/post_process.py:197)
+- OCR minimum crop size 32 px           (reference scripts/imgs2csv.py:204-222)
+
+The fixture corpus runs at a smaller page size with proportionally scaled
+parameters (see ``fixtures.corpus.FIXTURE_CONFIG``) so tests stay fast; the
+kernel semantics are size-independent.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+@dataclass(frozen=True)
+class ExtractConfig:
+    # Binarization (reference scripts/dataset.py:31-43)
+    adaptive_block_size: int = 13
+    adaptive_c: int = 12
+
+    # Resize target as (width, height), applied after margin whiteout
+    # (reference scripts/imgs2csv.py:135: target_size=(3200//2, 2496//2)).
+    target_width: int = 1600
+    target_height: int = 1248
+
+    # Margin detection (reference scripts/dataset.py:8-29)
+    vline_kernel_h: int = 50
+    vline_profile_frac: float = 0.15
+    left_bound_pad: int = 10
+    right_bound_pad: int = 5
+
+    # Post-processing (reference scripts/config.py:30-33,
+    # scripts/post_process.py:54,92,131,197)
+    min_region_size: int = 1000
+    expected_row_height: int = 40
+    row_threshold: int = 40
+    min_row_separation: int = 3
+    erode_kernel_size: int = 3
+    background_class: int = 5
+    n_content_classes: int = 5  # classes 0..4 = Year/Date/Lat/Long/Temp
+
+    # Classical segmenter (this engine's deterministic stand-in for the
+    # reference's DeepLabV3 forward pass, same output contract: HxW class
+    # mask with classes 0..4 + background 5).
+    seg_line_min_frac: float = 0.5   # column is a grid line if ink covers >=50% of height
+    seg_line_margin: int = 2         # inset from detected line columns
+    seg_close_h: int = 5             # close kernel (merges glyphs into cell blobs)
+    seg_close_w: int = 5
+
+    # OCR (reference scripts/imgs2csv.py:204-222 min_size)
+    ocr_min_size: int = 32
+    ocr_ink_threshold: int = 128
+    # Nominal glyph scale (font px -> image px) of the corpus; the decoder
+    # auto-estimates per-cell scale from line height when plausible.
+    ocr_glyph_scale: int = 5
+
+    # Column names for the wide-matrix form
+    # (reference scripts/imgs2csv.py:238-244)
+    column_names: tuple = ("Year", "Date", "Latitude", "Longitude", "Temperature")
+
+
+# Reference-faithful defaults (full-resolution logbook pages).
+REFERENCE_CONFIG = ExtractConfig()
