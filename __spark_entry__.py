@@ -1,10 +1,14 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+- ``entry(spark)``: flagship job — build the deterministic interleaved
+  text+media corpus (the BASELINE.json ``input_hint`` shape; no external
+  data), run the full distributed extraction pipeline (explode -> salted
+  repartition -> one vectorized mapInPandas kernel stage -> window
+  order-restore), and return the extracted span table.
+- ``queries()`` / ``oracle_sql()``: every relational / text / similarity
+  operator from SURVEY.md §2c-2d plus the training-data ops (dedup,
+  MinHash-LSH, SimHash, n-gram Jaccard, lang-id, quality, token count,
+  fingerprint, cosine top-k, ANN LSH buckets), each with a DuckDB oracle.
 """
 
 from __future__ import annotations
@@ -15,24 +19,28 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: extraction over the synthesized interleaved corpus."""
+    from bsc_project_spark.fixtures.corpus import FIXTURE_CONFIG, build_corpus
+    from bsc_project_spark.fixtures.spark_io import documents_df, media_df
+    from bsc_project_spark.pipeline.extract import extract_spans
+
+    corpus = build_corpus(n_docs=4, skew_every=4, skew_spans=12, compute_golden=False)
+    docs = documents_df(spark, corpus)
+    media = media_df(spark, corpus)
+    return extract_spans(docs, media, FIXTURE_CONFIG)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from bsc_project_spark.queries import all_queries
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {name: spec.spark for name, spec in all_queries().items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from bsc_project_spark.queries import all_queries
+
+    return {
+        name: spec.oracle
+        for name, spec in all_queries().items()
+        if spec.oracle is not None
+    }

@@ -118,6 +118,7 @@ def build_corpus(
     seed: int = 42,
     skew_every: int = 0,
     skew_spans: int = 24,
+    compute_golden: bool = True,
 ) -> Corpus:
     """Build a corpus of ``n_docs`` documents (one page pair each, plus
     interleaved text spans).  Every ``skew_every``-th document (if > 0)
@@ -145,7 +146,8 @@ def build_corpus(
                     "layout_id": page_idx,
                 }
             )
-            golden_cache[ref] = extract_page(img, FIXTURE_CONFIG, GLYPH_SCALE)
+            if compute_golden:
+                golden_cache[ref] = extract_page(img, FIXTURE_CONFIG, GLYPH_SCALE)
             for cell in spec.cells:
                 intended_rows.append(
                     {
@@ -186,6 +188,8 @@ def build_corpus(
         add_text(f"logbook volume {d} footer")
         doc_rows.append({"doc_id": doc_id, "spans": spans})
 
+        if not compute_golden:
+            continue
         order = 0
         for span in spans:
             if span["kind"] == "text":

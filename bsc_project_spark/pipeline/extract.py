@@ -1,0 +1,217 @@
+"""The distributed extraction pipeline (the engine's flagship job).
+
+Spark lifecycle of the reference computation (SURVEY.md §3.1):
+
+    documents --explode--> spans
+    spans[kind=media] --join media--> (span, page bytes)
+      --salted repartition (hash(doc_id, offset))-->           # skew defuse
+      --ONE mapInPandas stage (K1..K21 numpy kernels)-->       # zero per-row Python
+        (doc_id, offset, row, col, text, media_ref) + per-partition lineage rows
+    union text spans
+      --window row_number() over (doc_id ORDER BY offset,row,col)--> order
+    -> extracted(doc_id, order, kind, text, media_ref)
+
+Replaces the reference's sequential page loop
+(reference scripts/imgs2csv.py:294-313) with data parallelism; the
+host->GPU tensor boundary (scripts/imgs2csv.py:140) becomes the JVM->Python
+Arrow channel.  The unit of parallel work is one *media span* (one page),
+not one document, so a document with 100x the median spans (heavy-doc skew)
+spreads across the cluster; the window restores global span order
+afterwards — exactly the north rule's "explode/salted repartition +
+window over (doc_id, offset)" design.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from collections.abc import Iterator
+from typing import Callable
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..config import ExtractConfig
+from ..io.png import decode_gray
+from ..kernels.golden import extract_page
+
+# Output schema of the extraction UDF stage.  Lineage rows ride along with
+# kind='_lineage' (text = JSON payload) and are split off afterwards —
+# one pass over the data, no accumulators.
+EXTRACT_STAGE_SCHEMA = (
+    "doc_id string, offset int, row int, col int, text string, media_ref string, kind string"
+)
+
+EXTRACTED_COLUMNS = ["doc_id", "order", "kind", "text", "media_ref"]
+
+
+def explode_spans(documents: DataFrame) -> DataFrame:
+    """documents(doc_id, spans[]) -> one row per span (Generate, no shuffle)."""
+    return documents.select(
+        "doc_id",
+        F.explode("spans").alias("span"),
+    ).select(
+        "doc_id",
+        F.col("span.kind").alias("kind"),
+        F.col("span.text").alias("text"),
+        F.col("span.media_ref").alias("media_ref"),
+        F.col("span.offset").alias("offset"),
+    )
+
+
+def _make_extract_udf(
+    cfg: ExtractConfig,
+) -> Callable[[Iterator[pd.DataFrame]], Iterator[pd.DataFrame]]:
+    """Build the mapInPandas function.  cfg is closure-captured (small,
+    pickled once per task); pages arrive as Arrow record batches of
+    (doc_id, offset, media_ref, content)."""
+
+    def extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pyspark import TaskContext
+
+        t_start = time.monotonic()
+        docs_seen: set[str] = set()
+        span_count = 0
+        char_count = 0
+        page_cache: dict[str, list[tuple[int, int, str]]] = {}
+
+        for pdf in batches:
+            out_rows: list[tuple] = []
+            for doc_id, offset, media_ref, content in zip(
+                pdf["doc_id"], pdf["offset"], pdf["media_ref"], pdf["content"]
+            ):
+                docs_seen.add(doc_id)
+                cells = page_cache.get(media_ref)
+                if cells is None:
+                    gray = decode_gray(bytes(content))
+                    cells = extract_page(gray, cfg, cfg.ocr_glyph_scale)
+                    page_cache[media_ref] = cells
+                for row, col, text in cells:
+                    out_rows.append((doc_id, int(offset), row, col, text, media_ref, "ocr"))
+                    span_count += 1
+                    char_count += len(text)
+            yield pd.DataFrame(
+                out_rows,
+                columns=["doc_id", "offset", "row", "col", "text", "media_ref", "kind"],
+            )
+
+        ctx = TaskContext.get()
+        lineage = {
+            "partition_id": ctx.partitionId() if ctx else -1,
+            "doc_count": len(docs_seen),
+            "span_count": span_count,
+            "ocr_char_count": char_count,
+            "wall_time_ms": int((time.monotonic() - t_start) * 1000),
+        }
+        yield pd.DataFrame(
+            [(None, None, None, None, json.dumps(lineage), None, "_lineage")],
+            columns=["doc_id", "offset", "row", "col", "text", "media_ref", "kind"],
+        )
+
+    return extract_batches
+
+
+def run_extract_stage(
+    documents: DataFrame,
+    media: DataFrame,
+    cfg: ExtractConfig,
+    salt_partitions: int | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Returns (extracted, lineage).
+
+    extracted: (doc_id, order, kind['text'|'ocr'], text, media_ref), order
+    dense per doc over (offset, row, col) — the golden_spans contract.
+    lineage: per-shuffle-partition metric rows from inside the UDF stage.
+    """
+    spark = documents.sparkSession
+    n_parts = salt_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+
+    spans = explode_spans(documents)
+    text_spans = spans.filter(F.col("kind") == "text").select(
+        "doc_id",
+        "offset",
+        F.lit(-1).alias("row"),
+        F.lit(-1).alias("col"),
+        "text",
+        F.lit(None).cast("string").alias("media_ref"),
+        F.lit("text").alias("kind"),
+    )
+
+    media_spans = (
+        spans.filter(F.col("kind") == "media")
+        .select("doc_id", "offset", "media_ref")
+        .join(media.select("media_ref", "content"), on="media_ref", how="inner")
+        # Salted repartition: hash of (doc_id, offset) spreads a heavy doc's
+        # spans uniformly; the unit of work is one page, so no single task
+        # inherits a whole giant document.
+        .repartition(n_parts, F.xxhash64("doc_id", "offset"))
+    )
+
+    stage_out = media_spans.mapInPandas(_make_extract_udf(cfg), schema=EXTRACT_STAGE_SCHEMA)
+
+    lineage = (
+        stage_out.filter(F.col("kind") == "_lineage")
+        .select(
+            F.from_json(
+                F.col("text"),
+                "partition_id int, doc_count long, span_count long, "
+                "ocr_char_count long, wall_time_ms long",
+            ).alias("l")
+        )
+        .select("l.*")
+    )
+
+    ocr_spans = stage_out.filter(F.col("kind") == "ocr").select(
+        "doc_id", "offset", "row", "col", "text", "media_ref", "kind"
+    )
+
+    all_spans = text_spans.unionByName(ocr_spans)
+    w = Window.partitionBy("doc_id").orderBy("offset", "row", "col")
+    extracted = all_spans.select(
+        "doc_id",
+        (F.row_number().over(w) - F.lit(1)).alias("order"),
+        "kind",
+        "text",
+        "media_ref",
+    )
+    return extracted, lineage
+
+
+def extract_spans(
+    documents: DataFrame,
+    media: DataFrame,
+    cfg: ExtractConfig,
+    salt_partitions: int | None = None,
+) -> DataFrame:
+    """Convenience wrapper returning only the extracted spans."""
+    extracted, _ = run_extract_stage(documents, media, cfg, salt_partitions)
+    return extracted
+
+
+def reassemble(extracted: DataFrame) -> DataFrame:
+    """extracted spans -> documents-shaped output table
+    (doc_id, spans: array<struct<kind,text,media_ref,offset>>), span order
+    restored by sort_array on the leading ``order`` field."""
+    return (
+        extracted.groupBy("doc_id")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("order", "kind", "text", "media_ref"))
+            ).alias("ordered")
+        )
+        .select(
+            "doc_id",
+            F.transform(
+                "ordered",
+                lambda s: F.struct(
+                    s["kind"].alias("kind"),
+                    s["text"].alias("text"),
+                    s["media_ref"].alias("media_ref"),
+                    s["order"].cast("int").alias("offset"),
+                ),
+            ).alias("spans"),
+        )
+    )

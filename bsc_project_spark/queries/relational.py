@@ -1,0 +1,414 @@
+"""Relational operators Q1-Q15 + metric queries (SURVEY.md §2c/§2d).
+
+Pipeline-shaped inputs (row/col/text triples, y-centers, file pairs, bboxes,
+pred/truth masks) are derived deterministically from the driver's testdata
+columns so every oracle stays pure SQL (FIXTURES.md §8).  Where Spark SQL
+and DuckDB dialects agree the SAME string is used for both sides; dialect
+differences (regexp flags, IGNORE NULLS placement, percentile names) get
+two variants with identical output columns.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from . import QuerySpec, register_views, sql_query
+
+QUERIES: dict[str, QuerySpec] = {}
+
+
+def _q(name: str, spark_fn, oracle: str | None, description: str = "") -> None:
+    QUERIES[name] = QuerySpec(spark=spark_fn, oracle=oracle, description=description)
+
+
+# ---------------------------------------------------------------------------
+# Q1 pivot — (row, col, text) triples -> wide matrix
+# (reference scripts/imgs2csv.py:224-248 create_ocr_matrix)
+# ---------------------------------------------------------------------------
+
+def _pivot_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    base = spark.sql(
+        "SELECT l_orderkey % 97 AS rw, l_partkey % 5 AS cl, l_returnflag AS txt FROM lineitem"
+    )
+    out = base.groupBy("rw").pivot("cl", [0, 1, 2, 3, 4]).agg(F.min("txt"))
+    return out.toDF("rw", "year", "date_s", "latitude", "longitude", "temperature")
+
+
+_q(
+    "q_pivot_matrix",
+    _pivot_spark,
+    """
+    SELECT l_orderkey % 97 AS rw,
+           min(CASE WHEN l_partkey % 5 = 0 THEN l_returnflag END) AS year,
+           min(CASE WHEN l_partkey % 5 = 1 THEN l_returnflag END) AS date_s,
+           min(CASE WHEN l_partkey % 5 = 2 THEN l_returnflag END) AS latitude,
+           min(CASE WHEN l_partkey % 5 = 3 THEN l_returnflag END) AS longitude,
+           min(CASE WHEN l_partkey % 5 = 4 THEN l_returnflag END) AS temperature
+    FROM lineitem GROUP BY 1
+    """,
+    "matrix assembly pivot (reference imgs2csv.py:224-248)",
+)
+
+# ---------------------------------------------------------------------------
+# Q2 union of page matrices with missing columns
+# (reference scripts/imgs2csv.py:102-121 merge_page_dataframes)
+# ---------------------------------------------------------------------------
+
+def _union_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    top = spark.sql("SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0")
+    bottom = spark.sql("SELECT doc_id, text, lang FROM documents WHERE doc_id % 2 = 1")
+    return top.unionByName(bottom, allowMissingColumns=True)
+
+
+_q(
+    "q_union_pages",
+    _union_spark,
+    """
+    SELECT doc_id, text, NULL AS lang FROM documents WHERE doc_id % 2 = 0
+    UNION ALL
+    SELECT doc_id, text, lang FROM documents WHERE doc_id % 2 = 1
+    """,
+    "top+bottom page concat (reference imgs2csv.py:109)",
+)
+
+# ---------------------------------------------------------------------------
+# Q3 regex dot -> NULL (reference scripts/imgs2csv.py:112-114)
+# ---------------------------------------------------------------------------
+
+_DOT_CELL = """
+    SELECT doc_id,
+           CASE WHEN doc_id % 7 = 0 THEN ' . '
+                WHEN doc_id % 7 = 1 THEN '.'
+                WHEN doc_id % 7 = 2 THEN ' .'
+                ELSE substring(source, 1, 3) END AS cell
+    FROM documents
+"""
+
+_q(
+    "q_dot_to_null",
+    sql_query(
+        f"""
+        SELECT doc_id,
+               CASE WHEN cell RLIKE '^\\\\s*\\\\.\\\\s*$' THEN NULL ELSE cell END AS cleaned
+        FROM ({_DOT_CELL})
+        """
+    ),
+    f"""
+    SELECT doc_id,
+           CASE WHEN regexp_matches(cell, '^\\s*\\.\\s*$') THEN NULL ELSE cell END AS cleaned
+    FROM ({_DOT_CELL})
+    """,
+    "dot cells nulled (reference imgs2csv.py:112-114)",
+)
+
+# ---------------------------------------------------------------------------
+# Q4 year cleaning (reference scripts/imgs2csv.py:73-100)
+# ---------------------------------------------------------------------------
+
+_RAW_YEAR = """
+    SELECT o_orderkey,
+           CASE WHEN o_orderkey % 4 = 0 THEN y
+                WHEN o_orderkey % 4 = 1 THEN concat('Yr ', y, '!')
+                WHEN o_orderkey % 4 = 2 THEN concat(y, '9')
+                ELSE substring(y, 1, 3) END AS raw
+    FROM (SELECT o_orderkey, CAST(1900 + o_orderkey % 120 AS STRING) AS y FROM orders)
+"""
+
+_CLEAN_YEAR_TEMPLATE = """
+    SELECT o_orderkey, raw,
+           CASE WHEN length(digits) = 4 THEN digits
+                WHEN length(digits) > 4 THEN substring(digits, 1, 4)
+                ELSE NULL END AS year_clean
+    FROM (SELECT o_orderkey, raw, {digits_expr} AS digits FROM ({raw}))
+"""
+
+_q(
+    "q_clean_year",
+    sql_query(
+        _CLEAN_YEAR_TEMPLATE.format(
+            digits_expr="regexp_replace(raw, '[^0-9]', '')", raw=_RAW_YEAR
+        )
+    ),
+    _CLEAN_YEAR_TEMPLATE.format(
+        digits_expr="regexp_replace(raw, '[^0-9]', '', 'g')",
+        raw=_RAW_YEAR.replace("AS STRING", "AS VARCHAR"),
+    ),
+    "digit filtering + truncation (reference imgs2csv.py:86-95)",
+)
+
+# ---------------------------------------------------------------------------
+# Q5 forward-fill window (reference scripts/imgs2csv.py:98,119)
+# ---------------------------------------------------------------------------
+
+_FFILL_BASE = """
+    SELECT event_id, user_id % 10 AS grp,
+           CASE WHEN event_id % 3 = 0 THEN event_type END AS val
+    FROM events
+"""
+
+_q(
+    "q_ffill",
+    sql_query(
+        f"""
+        SELECT event_id, grp,
+               last(val) IGNORE NULLS OVER (
+                 PARTITION BY grp ORDER BY event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
+        FROM ({_FFILL_BASE})
+        """
+    ),
+    f"""
+    SELECT event_id, grp,
+           last_value(val IGNORE NULLS) OVER (
+             PARTITION BY grp ORDER BY event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
+    FROM ({_FFILL_BASE})
+    """,
+    "ffill via last IGNORE NULLS window (reference imgs2csv.py:98)",
+)
+
+# ---------------------------------------------------------------------------
+# Q6 row clustering: lag + cumulative sum
+# (relational form of reference scripts/post_process.py:225-237)
+# ---------------------------------------------------------------------------
+
+_ROW_CLUSTER_SQL = """
+    WITH e AS (
+      SELECT event_id, user_id % 20 AS page, (event_id * 37) % 997 AS y FROM events
+    ),
+    l AS (
+      SELECT e.*, lag(y) OVER (PARTITION BY page ORDER BY y, event_id) AS py FROM e
+    )
+    SELECT event_id, page, y,
+           sum(CASE WHEN py IS NOT NULL AND y - py > 40 THEN 1 ELSE 0 END) OVER (
+             PARTITION BY page ORDER BY y, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS row_id
+    FROM l
+"""
+
+_q("q_row_cluster", sql_query(_ROW_CLUSTER_SQL), _ROW_CLUSTER_SQL,
+   "y-center gap clustering as lag+cumsum window (reference post_process.py:225-237)")
+
+# ---------------------------------------------------------------------------
+# Q7 union-all + lineage column (reference scripts/imgs2csv.py:335-349)
+# ---------------------------------------------------------------------------
+
+_MERGE_LINEAGE_SQL = """
+    SELECT doc_id, text, 'pageA_matrix.csv' AS source_file FROM documents WHERE doc_id % 3 = 0
+    UNION ALL
+    SELECT doc_id, text, 'pageB_matrix.csv' AS source_file FROM documents WHERE doc_id % 3 = 1
+"""
+
+_q("q_merge_lineage", sql_query(_MERGE_LINEAGE_SQL), _MERGE_LINEAGE_SQL,
+   "merged database with source_file lineage (reference imgs2csv.py:339)")
+
+# ---------------------------------------------------------------------------
+# Q8 pair-discovery join (reference scripts/imgs2csv.py:35-42)
+# ---------------------------------------------------------------------------
+
+_PAIR_JOIN_TEMPLATE = """
+    WITH tops AS (
+      SELECT concat('page_', CAST(doc_id AS {st}), '-t') AS top_file FROM documents WHERE doc_id % 3 = 0
+    ),
+    bottoms AS (
+      SELECT concat('page_', CAST(doc_id AS {st}), '-b') AS bottom_file FROM documents WHERE doc_id % 2 = 0
+    )
+    SELECT t.base, t.top_file, b.bottom_file
+    FROM (SELECT top_file, regexp_replace(top_file, '-[tb]$', '') AS base FROM tops) t
+    JOIN (SELECT bottom_file, regexp_replace(bottom_file, '-[tb]$', '') AS base FROM bottoms) b
+      ON t.base = b.base
+"""
+
+_q(
+    "q_pair_join",
+    sql_query(_PAIR_JOIN_TEMPLATE.format(st="STRING")),
+    _PAIR_JOIN_TEMPLATE.format(st="VARCHAR"),
+    "suffix-stripped inner equi-join of top/bottom pages (reference imgs2csv.py:35-42)",
+)
+
+# ---------------------------------------------------------------------------
+# Q9 box counts per class (reference scripts/evaluate_post_process.py:12-29)
+# ---------------------------------------------------------------------------
+
+_BOX_COUNTS_SQL = """
+    SELECT l_partkey % 5 AS cls, count(*) AS n_boxes
+    FROM lineitem
+    WHERE (l_partkey * l_linenumber) % 1000 > 100
+    GROUP BY 1
+"""
+
+_q("q_box_counts", sql_query(_BOX_COUNTS_SQL), _BOX_COUNTS_SQL,
+   "connected regions with area>threshold per class (reference evaluate_post_process.py:12-29)")
+
+# ---------------------------------------------------------------------------
+# M7 CER + Q10 worst-k + Q13 stats (reference scripts/evaluate_ocr.py)
+# ---------------------------------------------------------------------------
+
+_CER_SQL = """
+    SELECT doc_id,
+           round(CASE WHEN length(truth) = 0 THEN CASE WHEN pred <> '' THEN 1e0 ELSE 0e0 END
+                 ELSE levenshtein(pred, truth) * 1e0 / length(truth) END, 6) AS cer
+    FROM (SELECT doc_id, substring(text, 1, 20) AS truth,
+                 replace(substring(text, 1, 20), 'a', 'o') AS pred
+          FROM documents) t
+"""
+
+_q("q_cer", sql_query(_CER_SQL), _CER_SQL,
+   "CER = levenshtein/len with empty-truth guard (reference evaluate_ocr.py:13-38)")
+
+_WORST_CER_SQL = f"SELECT doc_id, cer FROM ({_CER_SQL}) ORDER BY cer DESC, doc_id LIMIT 10"
+_q("q_worst_cer", sql_query(_WORST_CER_SQL), _WORST_CER_SQL,
+   "top-k worst transcriptions (reference evaluate_ocr.py:73-74)")
+
+_CER_STATS_TEMPLATE = """
+    SELECT count(*) AS n,
+           round(avg(cer), 4) AS mean_cer,
+           round({p50}, 4) AS median_cer,
+           round(stddev_samp(cer), 4) AS sd_cer,
+           round(min(cer), 4) AS min_cer,
+           round(max(cer), 4) AS max_cer,
+           round({p25}, 4) AS q25_cer,
+           round({p75}, 4) AS q75_cer
+    FROM ({cer})
+"""
+
+_q(
+    "q_cer_stats",
+    sql_query(
+        _CER_STATS_TEMPLATE.format(
+            p50="percentile(cer, 0.5)", p25="percentile(cer, 0.25)",
+            p75="percentile(cer, 0.75)", cer=_CER_SQL,
+        )
+    ),
+    _CER_STATS_TEMPLATE.format(
+        p50="quantile_cont(cer, 0.5)", p25="quantile_cont(cer, 0.25)",
+        p75="quantile_cont(cer, 0.75)", cer=_CER_SQL,
+    ),
+    "aggregate CER stats (reference evaluate_ocr.py:96-104)",
+)
+
+# ---------------------------------------------------------------------------
+# Q11 crop selection filter (reference scripts/ocr_generate_more_crops.py:28-43)
+# ---------------------------------------------------------------------------
+
+_CROP_FILTER_SQL = """
+    SELECT l_orderkey, l_partkey, colc, h, w
+    FROM (SELECT l_orderkey, l_partkey, l_suppkey % 5 AS colc,
+                 l_orderkey % 250 AS h, l_partkey % 300 AS w
+          FROM lineitem)
+    WHERE colc = 1 AND h BETWEEN 20 AND 200 AND w >= 0.5 * h
+"""
+
+_q("q_crop_filter", sql_query(_CROP_FILTER_SQL), _CROP_FILTER_SQL,
+   "column + size crop filter (reference ocr_generate_more_crops.py:28-43)")
+
+# ---------------------------------------------------------------------------
+# Q12 resume anti-join (reference scripts/ocr_generate_more_crops.py:69-76)
+# ---------------------------------------------------------------------------
+
+def _resume_anti_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    pending = spark.table("documents").select("doc_id")
+    committed = spark.sql("SELECT doc_id FROM documents WHERE doc_id % 3 = 0")
+    return pending.join(committed, on="doc_id", how="left_anti")
+
+
+_q(
+    "q_resume_anti",
+    _resume_anti_spark,
+    """
+    SELECT d.doc_id FROM documents d
+    WHERE NOT EXISTS (SELECT 1 FROM documents c WHERE c.doc_id % 3 = 0 AND c.doc_id = d.doc_id)
+    """,
+    "pending \\ committed anti-join — checkpoint-resume seed (reference ocr_generate_more_crops.py:69-76)",
+)
+
+# ---------------------------------------------------------------------------
+# Q10b top-k limit, Q14 split, Q15 sort-rank
+# ---------------------------------------------------------------------------
+
+_TOPK_SQL = """
+    SELECT o_orderkey, o_totalprice FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey LIMIT 5
+"""
+_q("q_topk_orders", sql_query(_TOPK_SQL), _TOPK_SQL,
+   "deterministic top-k (reference imgs2csv.py:280-290 debug limits)")
+
+_SPLIT_SQL = """
+    SELECT CASE WHEN doc_id % 10 < 8 THEN 1 ELSE 0 END AS is_train, count(*) AS n
+    FROM documents GROUP BY 1
+"""
+_q("q_train_test_split", sql_query(_SPLIT_SQL), _SPLIT_SQL,
+   "predicate-routed train/test split (reference notebooks/select_for_training.ipynb)")
+
+_SORT_RANK_SQL = """
+    SELECT doc_id, row_number() OVER (ORDER BY source, doc_id) AS rnk FROM documents
+"""
+_q("q_sort_rank", sql_query(_SORT_RANK_SQL), _SORT_RANK_SQL,
+   "deterministic global sort order (reference dataset.py:66-67)")
+
+# ---------------------------------------------------------------------------
+# M1-M4 segmentation metrics from a derived pred/truth labeling
+# (reference scripts/metrics.py:13-106)
+# ---------------------------------------------------------------------------
+
+_PRED_TRUTH = """
+    SELECT doc_id % 6 AS pred, CAST(floor(doc_id / 6.0) AS BIGINT) % 6 AS truth FROM documents
+"""
+
+_SEG_METRICS_SQL = f"""
+    WITH p AS ({_PRED_TRUTH}),
+    k AS (SELECT * FROM (VALUES (0), (1), (2), (3), (4), (5)) AS t(cls))
+    SELECT cls,
+           round(SUM(CASE WHEN pred = cls AND truth = cls THEN 1 ELSE 0 END) * 1e0
+                 / NULLIF(SUM(CASE WHEN pred = cls OR truth = cls THEN 1 ELSE 0 END), 0), 6) AS iou,
+           round(2e0 * SUM(CASE WHEN pred = cls AND truth = cls THEN 1 ELSE 0 END)
+                 / NULLIF(SUM(CASE WHEN pred = cls THEN 1 ELSE 0 END)
+                          + SUM(CASE WHEN truth = cls THEN 1 ELSE 0 END), 0), 6) AS dice,
+           round(SUM(CASE WHEN pred = cls AND truth = cls THEN 1 ELSE 0 END) * 1e0
+                 / NULLIF(SUM(CASE WHEN pred = cls THEN 1 ELSE 0 END), 0), 6) AS prec,
+           round(SUM(CASE WHEN pred = cls AND truth = cls THEN 1 ELSE 0 END) * 1e0
+                 / NULLIF(SUM(CASE WHEN truth = cls THEN 1 ELSE 0 END), 0), 6) AS recall
+    FROM k CROSS JOIN p
+    GROUP BY cls
+"""
+
+_q("q_seg_metrics", sql_query(_SEG_METRICS_SQL), _SEG_METRICS_SQL,
+   "per-class IoU/Dice/precision/recall from confusion counts (reference metrics.py:38-106)")
+
+_CONFUSION_SQL = f"""
+    SELECT pred, truth, count(*) AS n FROM ({_PRED_TRUTH}) GROUP BY pred, truth
+"""
+_q("q_confusion", sql_query(_CONFUSION_SQL), _CONFUSION_SQL,
+   "confusion-matrix counts (reference metrics.py:13-28)")
+
+_ACCURACY_SQL = f"""
+    SELECT round(avg(CASE WHEN pred = truth THEN 1e0 ELSE 0e0 END), 6) AS accuracy
+    FROM ({_PRED_TRUTH})
+"""
+_q("q_pixel_accuracy", sql_query(_ACCURACY_SQL), _ACCURACY_SQL,
+   "pixel accuracy (reference metrics.py:69-80)")
+
+# ---------------------------------------------------------------------------
+# M8 box-count mean absolute difference
+# (reference scripts/evaluate_post_process.py:123-195)
+# ---------------------------------------------------------------------------
+
+_BOX_MAD_SQL = """
+    WITH pred AS (
+      SELECT l_partkey % 5 AS cls, count(*) AS n FROM lineitem
+      WHERE (l_partkey * l_linenumber) % 1000 > 100 GROUP BY 1
+    ),
+    gt AS (
+      SELECT l_suppkey % 5 AS cls, count(*) AS n FROM lineitem
+      WHERE (l_suppkey * l_linenumber) % 1000 > 100 GROUP BY 1
+    )
+    SELECT round(avg(abs(pred.n - gt.n) * 1e0), 6) AS box_mad
+    FROM pred JOIN gt ON pred.cls = gt.cls
+"""
+
+_q("q_box_mad", sql_query(_BOX_MAD_SQL), _BOX_MAD_SQL,
+   "box-count MAD pred vs gt (reference evaluate_post_process.py:123-195)")

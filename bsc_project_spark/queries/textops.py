@@ -1,0 +1,273 @@
+"""Training-data pipeline text operators: dedup (exact / MinHash-LSH /
+SimHash / n-gram Jaccard), language-ID heuristic, quality scoring, token
+counting, document fingerprinting.
+
+These go beyond the reference's own operator set (it has no corpus-level
+text ops) but are first-class for a 100 TB extraction engine.  All hashing
+is md5-based so the Spark side and the DuckDB oracle compute IDENTICAL
+values (engine-native hash functions differ across engines and would break
+the value-hash comparison).
+"""
+
+from __future__ import annotations
+
+from . import QuerySpec, sql_query
+
+QUERIES: dict[str, QuerySpec] = {}
+
+
+def _q(name: str, spark_sql: str, duck_sql: str, description: str = "") -> None:
+    QUERIES[name] = QuerySpec(spark=sql_query(spark_sql), oracle=duck_sql, description=description)
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup: hash-groupBy, min-id survivor
+# ---------------------------------------------------------------------------
+
+_DEDUP_EXACT_SQL = """
+    SELECT md5(text) AS content_key, min(doc_id) AS keeper, count(*) AS n_copies
+    FROM documents GROUP BY 1
+"""
+_q("q_dedup_exact", _DEDUP_EXACT_SQL, _DEDUP_EXACT_SQL,
+   "exact dedup via content-hash groupBy; survivor = min doc_id")
+
+_DEDUP_SURVIVORS_SQL = """
+    SELECT doc_id FROM (
+      SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(text)) AS keeper FROM documents
+    ) WHERE doc_id = keeper
+"""
+_q("q_dedup_survivors", _DEDUP_SURVIVORS_SQL, _DEDUP_SURVIVORS_SQL,
+   "documents surviving exact dedup")
+
+# ---------------------------------------------------------------------------
+# Character-shingle machinery (8-grams, stride 4) — the shared substrate for
+# n-gram Jaccard / MinHash / SimHash.  Spark: sequence+transform+explode;
+# DuckDB: lateral unnest(generate_series).
+# ---------------------------------------------------------------------------
+
+_SHINGLES_SPARK = """
+      SELECT DISTINCT doc_id, s FROM (
+        SELECT doc_id,
+               explode(transform(sequence(1, greatest(length(text) - 7, 1), 4),
+                                 i -> substring(text, i, 8))) AS s
+        FROM {src} t
+      )
+"""
+
+_SHINGLES_DUCK = """
+      SELECT DISTINCT doc_id, substring(text, g.i, 8) AS s
+      FROM {src} t,
+      LATERAL (SELECT unnest(generate_series(1, greatest(length(t.text) - 7, 1), 4)) AS i) g
+"""
+
+
+def _shingle_query(body: str, src: str = "documents") -> tuple[str, str]:
+    spark = body.format(shingles=_SHINGLES_SPARK.format(src=src))
+    duck = body.format(shingles=_SHINGLES_DUCK.format(src=src))
+    return spark, duck
+
+
+# n-gram Jaccard between consecutive-id documents (a real shingle join with
+# guaranteed non-empty output; near-dup detection at scale uses the same
+# plan with an LSH bucket join instead of the id+1 predicate)
+_JACCARD_BODY = """
+    WITH d AS ({shingles}),
+    sizes AS (SELECT doc_id, count(*) AS n FROM d GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS a_id, count(*) AS i
+      FROM d a JOIN d b ON b.doc_id = a.doc_id + 1 AND a.s = b.s
+      GROUP BY a.doc_id
+    )
+    SELECT sa.doc_id AS a_id, sa.doc_id + 1 AS b_id,
+           round(coalesce(i.i, 0) * 1e0 / (sa.n + sb.n - coalesce(i.i, 0)), 6) AS jaccard
+    FROM sizes sa
+    JOIN sizes sb ON sb.doc_id = sa.doc_id + 1
+    LEFT JOIN inter i ON i.a_id = sa.doc_id
+"""
+_q("q_ngram_jaccard", *_shingle_query(_JACCARD_BODY),
+   description="character-8-gram Jaccard similarity of adjacent doc pairs")
+
+# ---------------------------------------------------------------------------
+# MinHash signatures (k=8, md5-keyed so both engines agree)
+# ---------------------------------------------------------------------------
+
+_MINHASH_BODY_SPARK = """
+    WITH d AS ({shingles}),
+    seeds AS (SELECT explode(sequence(0, 7)) AS seed)
+    SELECT doc_id, seed, min(md5(concat(CAST(seed AS STRING), ':', s))) AS minh
+    FROM d CROSS JOIN seeds
+    GROUP BY doc_id, seed
+"""
+
+_MINHASH_BODY_DUCK = """
+    WITH d AS ({shingles}),
+    seeds AS (SELECT unnest(generate_series(0, 7)) AS seed)
+    SELECT doc_id, seed, min(md5(concat(CAST(seed AS VARCHAR), ':', s))) AS minh
+    FROM d CROSS JOIN seeds
+    GROUP BY doc_id, seed
+"""
+
+_q(
+    "q_minhash_sig",
+    _MINHASH_BODY_SPARK.format(shingles=_SHINGLES_SPARK.format(src="documents")),
+    _MINHASH_BODY_DUCK.format(shingles=_SHINGLES_DUCK.format(src="documents")),
+    "k=8 MinHash signatures over char shingles",
+)
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH band join over a corpus with planted duplicates
+# (doc_id + 1000000 clones every 50th doc) — end-to-end near-dup discovery
+# ---------------------------------------------------------------------------
+
+_PLANTED = """(
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 50 = 0
+    )"""
+
+_LSH_BODY = """
+    WITH sig AS ({minhash}),
+    bands AS (
+      SELECT doc_id, CAST(floor(seed / 2.0) AS BIGINT) AS band,
+             concat(min(minh), ':', max(minh)) AS bsig
+      FROM sig GROUP BY doc_id, 2
+    )
+    SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS shared_bands
+    FROM bands a
+    JOIN bands b ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+"""
+
+_q(
+    "q_lsh_pairs",
+    _LSH_BODY.format(
+        minhash=_MINHASH_BODY_SPARK.format(shingles=_SHINGLES_SPARK.format(src=_PLANTED))
+    ),
+    _LSH_BODY.format(
+        minhash=_MINHASH_BODY_DUCK.format(shingles=_SHINGLES_DUCK.format(src=_PLANTED))
+    ),
+    "MinHash-LSH band-bucket join surfacing planted near-dup pairs",
+)
+
+# ---------------------------------------------------------------------------
+# SimHash (16-bit, from the first 4 hex chars of md5(shingle))
+# ---------------------------------------------------------------------------
+
+_HEXVAL = (
+    "((instr('0123456789abcdef', substring(md5(s), 1, 1)) - 1) * 4096"
+    " + (instr('0123456789abcdef', substring(md5(s), 2, 1)) - 1) * 256"
+    " + (instr('0123456789abcdef', substring(md5(s), 3, 1)) - 1) * 16"
+    " + (instr('0123456789abcdef', substring(md5(s), 4, 1)) - 1))"
+)
+
+_SIMHASH_BITS = " + ".join(
+    f"(CASE WHEN SUM(CASE WHEN CAST(floor(v / {1 << b}) AS BIGINT) % 2 = 1 "
+    f"THEN 1 ELSE -1 END) >= 0 THEN {1 << b} ELSE 0 END)"
+    for b in range(16)
+)
+
+_SIMHASH_BODY = f"""
+    WITH d AS ({{shingles}}),
+    hv AS (SELECT doc_id, {_HEXVAL} AS v FROM d)
+    SELECT doc_id, {_SIMHASH_BITS} AS simhash
+    FROM hv GROUP BY doc_id
+"""
+
+_q("q_simhash", *_shingle_query(_SIMHASH_BODY),
+   description="16-bit SimHash per document from shingle hash bit votes")
+
+# ---------------------------------------------------------------------------
+# Token counting (whitespace regex)
+# ---------------------------------------------------------------------------
+
+_q(
+    "q_token_count",
+    """
+    SELECT doc_id,
+           CASE WHEN length(trim(text)) = 0 THEN 0
+                ELSE size(split(trim(text), '\\\\s+')) END AS n_tokens,
+           length(text) AS n_chars_measured
+    FROM documents
+    """,
+    r"""
+    SELECT doc_id,
+           CASE WHEN length(trim(text)) = 0 THEN 0
+                ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens,
+           length(text) AS n_chars_measured
+    FROM documents
+    """,
+    "whitespace token count + char count",
+)
+
+# ---------------------------------------------------------------------------
+# Quality scoring (length / punctuation / digit / uppercase ratios)
+# ---------------------------------------------------------------------------
+
+_QUALITY_TEMPLATE = """
+    SELECT doc_id,
+           round((length(text) - length({strip_punct})) * 1e0 / NULLIF(length(text), 0), 6) AS punct_ratio,
+           round((length(text) - length({strip_digit})) * 1e0 / NULLIF(length(text), 0), 6) AS digit_ratio,
+           round((length(text) - length({strip_space})) * 1e0 / NULLIF(length(text), 0), 6) AS space_ratio,
+           CASE WHEN length(text) BETWEEN 20 AND 100000
+                     AND (length(text) - length({strip_punct})) * 1e0 / NULLIF(length(text), 0) < 0.1
+                THEN 1 ELSE 0 END AS quality_ok
+    FROM documents
+"""
+
+_q(
+    "q_quality_score",
+    _QUALITY_TEMPLATE.format(
+        strip_punct="regexp_replace(text, '[.,;:!?]', '')",
+        strip_digit="regexp_replace(text, '[0-9]', '')",
+        strip_space="regexp_replace(text, '\\\\s', '')",
+    ),
+    _QUALITY_TEMPLATE.format(
+        strip_punct="regexp_replace(text, '[.,;:!?]', '', 'g')",
+        strip_digit="regexp_replace(text, '[0-9]', '', 'g')",
+        strip_space=r"regexp_replace(text, '\s', '', 'g')",
+    ),
+    "punct/digit/space ratios + quality flag",
+)
+
+# ---------------------------------------------------------------------------
+# Language-ID heuristic (stopword hits)
+# ---------------------------------------------------------------------------
+
+_EN_WORDS = ["the", "and", "of", "to", "in"]
+_DE_WORDS = ["der", "und", "die", "das", "ist"]
+
+
+def _hits(words: list[str]) -> str:
+    return " + ".join(
+        f"(CASE WHEN concat(' ', lower(text), ' ') LIKE '% {w} %' THEN 1 ELSE 0 END)"
+        for w in words
+    )
+
+
+_LANG_ID_SQL = f"""
+    SELECT doc_id, en_hits, de_hits,
+           CASE WHEN en_hits > de_hits THEN 'en'
+                WHEN de_hits > en_hits THEN 'de'
+                ELSE 'und' END AS lang_guess
+    FROM (SELECT doc_id, {_hits(_EN_WORDS)} AS en_hits, {_hits(_DE_WORDS)} AS de_hits
+          FROM documents)
+"""
+
+_q("q_lang_id", _LANG_ID_SQL, _LANG_ID_SQL,
+   "stopword-hit language guess (n-gram heuristic)")
+
+# ---------------------------------------------------------------------------
+# Document fingerprint
+# ---------------------------------------------------------------------------
+
+_FP_TEMPLATE = """
+    SELECT doc_id, md5(concat(CAST(n_chars AS {st}), ':', substring(text, 1, 64))) AS fingerprint
+    FROM documents
+"""
+
+_q(
+    "q_doc_fingerprint",
+    _FP_TEMPLATE.format(st="STRING"),
+    _FP_TEMPLATE.format(st="VARCHAR"),
+    "stable document fingerprint (length + head hash)",
+)

@@ -1,0 +1,99 @@
+"""Local replica of the driver's correctness gate: run every queries()
+entry on Spark AND its oracle_sql() on DuckDB over the same sf dir, compare
+row count + column names + order-insensitive values.
+
+Usage: python scripts/check_oracle.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+
+import duckdb
+
+sys.path.insert(0, ".")
+
+
+def canon_cell(v) -> str:
+    if v is None:
+        return "\x00NULL"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return f"{v:.10g}"
+    return str(v)
+
+
+def canon_rows(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = []
+    for r in rows:
+        out.append("\x01".join(canon_cell(r[i]) for i in order))
+    out.sort()
+    return out
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    from bsc_project_spark.queries import TABLES, all_queries
+    from bsc_project_spark.pipeline.session import get_spark
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+    spark = get_spark("check-oracle")
+    queries = all_queries()
+    failures = []
+    for name, spec in sorted(queries.items()):
+        if only and name not in only:
+            continue
+        try:
+            sdf = spec.spark(spark, sf_dir)
+            s_cols = [c.lower() for c in sdf.columns]
+            s_rows = [tuple(r) for r in sdf.collect()]
+        except Exception as e:
+            print(f"{name}: SPARK ERROR: {str(e).splitlines()[0][:200]}")
+            failures.append(name)
+            continue
+        if spec.oracle is None:
+            print(f"{name}: rows-only ({len(s_rows)} rows, no oracle)")
+            continue
+        try:
+            res = con.execute(spec.oracle)
+            d_cols = [d[0].lower() for d in res.description]
+            d_rows = res.fetchall()
+        except Exception as e:
+            print(f"{name}: DUCK ERROR: {str(e).splitlines()[0][:200]}")
+            failures.append(name)
+            continue
+        problems = []
+        if sorted(s_cols) != sorted(d_cols):
+            problems.append(f"cols spark={sorted(s_cols)} duck={sorted(d_cols)}")
+        if len(s_rows) != len(d_rows):
+            problems.append(f"rowcount spark={len(s_rows)} duck={len(d_rows)}")
+        if not problems:
+            cs = canon_rows(s_cols, s_rows)
+            cd = canon_rows(d_cols, d_rows)
+            if cs != cd:
+                diff = [(a, b) for a, b in zip(cs, cd) if a != b][:3]
+                problems.append(f"values differ, first diffs: {diff}")
+        if problems:
+            print(f"{name}: FAIL — " + "; ".join(problems))
+            failures.append(name)
+        else:
+            print(f"{name}: OK ({len(s_rows)} rows)")
+    spark.stop()
+    print()
+    if failures:
+        print(f"FAILURES ({len(failures)}): {failures}")
+        return 1
+    print("ALL ORACLE CHECKS PASSED")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
