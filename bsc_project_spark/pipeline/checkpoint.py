@@ -81,9 +81,20 @@ def run_extraction_job(
         if bucket in committed:
             continue
         docs_b = documents.filter(bucket_col == bucket)
-        extracted, lineage = run_extract_stage(docs_b, media, cfg)
+        result = run_extract_stage(docs_b, media, cfg, persist=True)
         t0 = time.monotonic()
-        extracted.write.mode("overwrite").parquet(os.path.join(out_dir, f"data/bucket={bucket}"))
+        result.extracted.write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"data/bucket={bucket}")
+        )
+        lineage = result.lineage
+        if lineage.limit(1).count() == 0:
+            # empty bucket: still commit an explicit zero lineage row so the
+            # lineage table covers every committed bucket
+            lineage = documents.sparkSession.createDataFrame(
+                [(-1, 0, 0, 0, 0)],
+                "partition_id int, doc_count long, span_count long, "
+                "ocr_char_count long, wall_time_ms long",
+            )
         (
             lineage.withColumn("run_id", F.lit(run_id))
             .withColumn("bucket", F.lit(bucket))
@@ -91,6 +102,7 @@ def run_extraction_job(
             .write.mode("overwrite")
             .parquet(os.path.join(out_dir, f"lineage/bucket={bucket}"))
         )
+        result.stage.unpersist()
         committed.add(bucket)
         manifest = {
             "run_id": run_id,

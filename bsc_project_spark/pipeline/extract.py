@@ -26,11 +26,12 @@ from __future__ import annotations
 import json
 import time
 from collections.abc import Iterator
-from typing import Callable
+from typing import Callable, NamedTuple
 
 import numpy as np
 import pandas as pd
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -114,17 +115,27 @@ def _make_extract_udf(
     return extract_batches
 
 
+class ExtractResult(NamedTuple):
+    extracted: DataFrame  # (doc_id, order, kind, text, media_ref)
+    lineage: DataFrame    # per-partition metric rows from inside the UDF
+    stage: DataFrame      # persisted raw stage output (unpersist when done)
+
+
 def run_extract_stage(
     documents: DataFrame,
     media: DataFrame,
     cfg: ExtractConfig,
     salt_partitions: int | None = None,
-) -> tuple[DataFrame, DataFrame]:
-    """Returns (extracted, lineage).
+    persist: bool = False,
+) -> ExtractResult:
+    """Run the extraction stage.
 
     extracted: (doc_id, order, kind['text'|'ocr'], text, media_ref), order
     dense per doc over (offset, row, col) — the golden_spans contract.
     lineage: per-shuffle-partition metric rows from inside the UDF stage.
+    ``persist=True`` caches the raw stage output (MEMORY_AND_DISK) so that
+    consuming BOTH extracted and lineage runs the expensive image stage
+    exactly once; the caller unpersists ``stage`` afterwards.
     """
     spark = documents.sparkSession
     n_parts = salt_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
@@ -151,6 +162,8 @@ def run_extract_stage(
     )
 
     stage_out = media_spans.mapInPandas(_make_extract_udf(cfg), schema=EXTRACT_STAGE_SCHEMA)
+    if persist:
+        stage_out = stage_out.persist(StorageLevel.MEMORY_AND_DISK)
 
     lineage = (
         stage_out.filter(F.col("kind") == "_lineage")
@@ -177,7 +190,7 @@ def run_extract_stage(
         "text",
         "media_ref",
     )
-    return extracted, lineage
+    return ExtractResult(extracted, lineage, stage_out)
 
 
 def extract_spans(
@@ -187,8 +200,7 @@ def extract_spans(
     salt_partitions: int | None = None,
 ) -> DataFrame:
     """Convenience wrapper returning only the extracted spans."""
-    extracted, _ = run_extract_stage(documents, media, cfg, salt_partitions)
-    return extracted
+    return run_extract_stage(documents, media, cfg, salt_partitions).extracted
 
 
 def reassemble(extracted: DataFrame) -> DataFrame:

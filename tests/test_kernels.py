@@ -1,0 +1,278 @@
+"""Kernel unit tests, including exact parity with the reference's quirks
+(class-0 skips, sequential row-clustering anchor, erode border behavior)."""
+
+import numpy as np
+import pytest
+
+from bsc_project_spark.config import ExtractConfig
+from bsc_project_spark.kernels import cc
+from bsc_project_spark.kernels.imgproc import (
+    adaptive_threshold_gaussian,
+    binary_erode_mask,
+    find_vertical_line_bounds,
+    gaussian_blur3,
+    morph_close,
+    morph_open,
+    resize_area,
+)
+from bsc_project_spark.kernels.ocr import decode_cell, pad_for_ocr
+from bsc_project_spark.kernels.postprocess import (
+    create_bounding_boxes,
+    erode_regions,
+    extract_row_col_bboxes,
+    remove_small_regions,
+    separate_tall_regions,
+)
+
+CFG = ExtractConfig(
+    min_region_size=50,
+    expected_row_height=18,
+    row_threshold=40,
+    background_class=5,
+)
+
+
+# ---------------------------------------------------------------------------
+# imgproc
+# ---------------------------------------------------------------------------
+
+def test_blur3_flat_is_identity():
+    img = np.full((20, 20), 77, dtype=np.uint8)
+    assert np.array_equal(gaussian_blur3(img), img)
+
+
+def test_adaptive_threshold_ink_vs_background():
+    # thin dark stroke on white -> stroke stays ink; uniform areas -> white
+    img = np.full((40, 40), 255, dtype=np.uint8)
+    img[10:15, 5:35] = 0
+    out = adaptive_threshold_gaussian(img, 13, 12)
+    assert (out[12, 10:30] == 0).all()          # stroke is ink
+    assert (out[30, :] == 255).all()            # far background is white
+    # large solid black hollows out (local mean equals the pixel)
+    solid = np.zeros((40, 40), dtype=np.uint8)
+    out2 = adaptive_threshold_gaussian(solid, 13, 12)
+    assert out2[20, 20] == 255
+
+
+def test_morph_open_white_foreground_semantics():
+    # OPEN on a white-background page (cv2 semantics: white is foreground)
+    # fills small WHITE pinholes inside ink and preserves black features —
+    # exactly what reference scripts/dataset.py:46-47 does post-threshold.
+    img = np.full((30, 30), 255, dtype=np.uint8)
+    img[5:7, 5:7] = 0       # black speck: preserved by open
+    img[15:25, 15:25] = 0   # black block with a white pinhole inside
+    img[19:21, 19:21] = 255
+    out = morph_open(img, 3, 3, iterations=2)
+    assert (out[5:7, 5:7] == 0).all()
+    assert (out[19:21, 19:21] == 0).all()   # pinhole filled
+    assert (out[15:25, 15:25] == 0).all()
+    assert (out[0:4, 0:4] == 255).all()
+
+
+def test_morph_close_vertical_keeps_tall_lines_only():
+    img = np.full((200, 60), 255, dtype=np.uint8)
+    img[10:190, 5:8] = 0   # tall line: survives 1x50 vertical close
+    img[90:110, 30:33] = 0  # short blob (20 tall): wiped
+    out = morph_close(img, 50, 1)
+    assert (out[50:150, 5:8] == 0).all()
+    assert (out[90:110, 30:33] == 255).all()
+
+
+def test_find_vertical_line_bounds_blank_fallback():
+    cfg = ExtractConfig()
+    img = np.full((100, 200), 255, dtype=np.uint8)
+    assert find_vertical_line_bounds(img, cfg) == (0, 100)
+
+
+def test_find_vertical_line_bounds_erases_right_border():
+    # reference quirk: rb = last_line_col - 5 cuts into the last line itself
+    cfg = ExtractConfig()
+    img = np.full((200, 400), 255, dtype=np.uint8)
+    img[:, 20:23] = 0
+    img[:, 150:153] = 0
+    lb, rb = find_vertical_line_bounds(img, cfg)
+    assert lb == 10            # first col 20 - 10
+    assert rb == 152 - 5       # last col 152 - 5 -> erases that border
+
+def test_resize_area_integer_factor_is_block_mean():
+    img = np.array([[0, 0, 255, 255], [0, 0, 255, 255]], dtype=np.uint8)
+    out = resize_area(img, 2, 1)
+    assert out.shape == (1, 2)
+    assert out[0, 0] == 0 and out[0, 1] == 255
+
+
+# ---------------------------------------------------------------------------
+# connected components (8-connectivity, raster label order like skimage)
+# ---------------------------------------------------------------------------
+
+def test_label_diagonal_is_connected():
+    m = np.zeros((4, 4), dtype=bool)
+    m[0, 0] = m[1, 1] = m[2, 2] = True
+    labels, n = cc.label(m)
+    assert n == 1
+
+
+def test_label_separate_components_and_props():
+    m = np.zeros((10, 10), dtype=bool)
+    m[1:3, 1:3] = True
+    m[6:9, 5:9] = True
+    labels, n = cc.label(m)
+    assert n == 2
+    regions = cc.regionprops(labels)
+    assert regions[0].bbox == (1, 1, 3, 3) and regions[0].area == 4
+    assert regions[1].bbox == (6, 5, 9, 9) and regions[1].area == 12
+    assert regions[1].image.shape == (3, 4)
+
+
+# ---------------------------------------------------------------------------
+# post-processing chain parity
+# ---------------------------------------------------------------------------
+
+def test_remove_small_skips_class0():
+    # identical small blobs in class 0 and class 1: only class 1 is removed
+    # (reference scripts/post_process.py:101-102 quirk)
+    mask = np.full((40, 40), 5, dtype=np.uint8)
+    mask[5:8, 5:8] = 0
+    mask[20:23, 20:23] = 1
+    out = remove_small_regions(mask, CFG)
+    assert (out[5:8, 5:8] == 0).all()
+    assert (out[20:23, 20:23] == 5).all()
+
+
+def test_separate_tall_splits_blobby_region_at_valley():
+    # two dense 20-row bands joined by a sparse 4-row waist -> one CC with a
+    # profile valley; the split must cut a 7-row background band at the waist
+    # (reference scripts/post_process.py:54-90)
+    mask = np.full((80, 60), 5, dtype=np.uint8)
+    mask[10:30, 10:50] = 1
+    mask[33:53, 10:50] = 1
+    mask[30:33, 28:32] = 1  # thin bridge -> valley in row profile
+    out = separate_tall_regions(mask, CFG)
+    labels, n = cc.label(out == 1)
+    assert n == 2, "tall blobby region must split into two"
+    # a 7-row background band is cut around the waist
+    assert all((out[r, 10:28] == 5).all() for r in range(28, 34))
+
+
+def test_separate_tall_plateau_valley_not_detected():
+    # faithful reference quirk: strictly-less local-minimum test misses
+    # plateau minima (reference scripts/post_process.py:12-15), so an
+    # even-width waist producing a flat smoothed minimum does NOT split
+    mask = np.full((80, 60), 5, dtype=np.uint8)
+    mask[10:30, 10:50] = 1
+    mask[34:54, 10:50] = 1
+    mask[30:34, 28:32] = 1  # symmetric 4-row waist -> plateau minimum
+    out = separate_tall_regions(mask, CFG)
+    labels, n = cc.label(out == 1)
+    assert n == 1
+
+
+def test_separate_tall_skips_solid_flat_profile():
+    mask = np.full((80, 60), 5, dtype=np.uint8)
+    mask[10:54, 10:50] = 1  # solid tall rect: flat profile, no valley
+    out = separate_tall_regions(mask, CFG)
+    labels, n = cc.label(out == 1)
+    assert n == 1
+
+
+def test_separate_tall_skips_class0_and_narrow():
+    mask = np.full((80, 60), 5, dtype=np.uint8)
+    mask[10:30, 10:50] = 0
+    mask[34:54, 10:50] = 0
+    mask[30:34, 28:32] = 0
+    out = separate_tall_regions(mask, CFG)
+    labels, n = cc.label(out == 0)
+    assert n == 1  # class 0 untouched
+    # narrow region (width < 0.5*height) untouched
+    mask2 = np.full((80, 60), 5, dtype=np.uint8)
+    mask2[5:65, 10:25] = 2  # h=60, w=15 < 30
+    out2 = separate_tall_regions(mask2, CFG)
+    assert np.array_equal(out2, mask2)
+
+
+def test_erode_regions_shrinks_one_pixel_all_classes():
+    mask = np.full((20, 20), 5, dtype=np.uint8)
+    mask[2:8, 2:8] = 0   # class 0 IS eroded (unlike remove/separate)
+    mask[10:16, 10:16] = 3
+    out = erode_regions(mask, CFG)
+    assert (out[3:7, 3:7] == 0).all() and out[2, 2] == 5
+    assert (out[11:15, 11:15] == 3).all() and out[10, 10] == 5
+
+
+def test_create_bounding_boxes_area_threshold():
+    cfg = ExtractConfig(expected_row_height=4, background_class=5)
+    mask = np.full((30, 30), 5, dtype=np.uint8)
+    # L-shaped region, area 39 >= 16 -> bbox-filled
+    mask[2:5, 2:12] = 1
+    mask[5:8, 2:5] = 1
+    # small region, area 4 < 16 -> untouched
+    mask[20:22, 20:22] = 2
+    out = create_bounding_boxes(mask, cfg)
+    assert (out[2:8, 2:12] == 1).all()
+    assert (out[20:22, 20:22] == 2).all() and out[22, 22] == 5
+
+
+def test_extract_row_col_sequential_anchor_semantics():
+    # regions at y-centers 10, 45, 80 with threshold 40:
+    # sequential-anchor (reference) -> rows 0, 0, 1
+    # (a naive lag-based gap rule would give 0, 1, 2 — this test pins the
+    # reference semantics of scripts/post_process.py:225-237)
+    cfg = ExtractConfig(row_threshold=40, background_class=5)
+    mask = np.full((120, 100), 5, dtype=np.uint8)
+    mask[5:16, 10:40] = 0     # y_center 10.5
+    mask[40:51, 10:40] = 1    # y_center 45.5: |45.5-10.5|=35 <= 40 -> row 0
+    mask[75:86, 10:40] = 2    # y_center 80.5: |80.5-10.5|=70 > 40 -> row 1
+    boxes = extract_row_col_bboxes(mask, cfg)
+    assert [(b[0], b[1]) for b in boxes] == [(0, 0), (0, 1), (1, 2)]
+
+
+def test_extract_row_col_tie_break_by_class():
+    cfg = ExtractConfig(row_threshold=40, background_class=5)
+    mask = np.full((60, 100), 5, dtype=np.uint8)
+    mask[10:20, 60:80] = 3
+    mask[10:20, 10:30] = 1  # same y-center: ordering by (row, col)
+    boxes = extract_row_col_bboxes(mask, cfg)
+    assert [(b[0], b[1]) for b in boxes] == [(0, 1), (0, 3)]
+
+
+def test_binary_erode_border_erodes():
+    m = np.ones((5, 5), dtype=bool)
+    out = binary_erode_mask(m, 3)
+    assert out[0, 0] == False  # noqa: E712 — border treated as background
+    assert out[2, 2] == True  # noqa: E712
+
+
+# ---------------------------------------------------------------------------
+# OCR decode
+# ---------------------------------------------------------------------------
+
+def test_decode_clean_and_clipped():
+    from bsc_project_spark.kernels.font import render_text
+
+    cfg = ExtractConfig(ocr_glyph_scale=5)
+    for text in ["1907", "28.12", "50.4N", "-3.5", "0123456789", "NSEW"]:
+        img = render_text(text, 5)
+        assert decode_cell(img, cfg) == text
+        assert decode_cell(img[2:, 2:], cfg) == text  # erode-style clipping
+
+
+def test_decode_partial_height_dot():
+    from bsc_project_spark.kernels.font import render_text
+
+    cfg = ExtractConfig(ocr_glyph_scale=5)
+    assert decode_cell(render_text(".", 5), cfg) == "."
+    assert decode_cell(render_text("-", 5), cfg) == "-"
+
+
+def test_decode_autoscale_larger_glyphs():
+    from bsc_project_spark.kernels.font import render_text
+
+    cfg = ExtractConfig(ocr_glyph_scale=5)
+    assert decode_cell(render_text("1907", 7), cfg) == "1907"
+
+
+def test_pad_for_ocr_min_size():
+    crop = np.full((10, 12), 0, dtype=np.uint8)
+    out = pad_for_ocr(crop, 32)
+    assert out.shape == (32, 32)
+    assert (out[:10, :12] == 0).all() and out[31, 31] == 255
