@@ -1,0 +1,140 @@
+"""Benchmark harness (driver contract).
+
+Runs (1) the flagship extraction pipeline on a cached deterministic
+synthetic corpus and (2) every registered relational/text/similarity query
+at $SPARK_GRAFT_SF_DIR, on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "docs/sec end-to-end extraction", "value": N, "unit": "docs/sec",
+   "queries": {...per-query seconds...}, "sf": ..., ...}
+
+Env knobs:
+  SPARK_GRAFT_SF_DIR      testdata dir (default /root/testdata/sf0.1)
+  SPARK_GRAFT_CPUS        cores for local master (default all)
+  SPARK_GRAFT_BENCH_DOCS  corpus size in documents (default 48; 2 pages/doc)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+def log(*args) -> None:
+    print(*args, file=sys.stderr, flush=True)
+
+
+def ensure_corpus(n_docs: int) -> str:
+    """Render (once) and cache the bench corpus as parquet."""
+    from bsc_project_spark.fixtures.corpus import build_corpus
+    from bsc_project_spark.fixtures.spark_io import write_corpus_parquet
+
+    out_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           ".bench", f"corpus_{n_docs}")
+    marker = os.path.join(out_dir, "_done")
+    if os.path.exists(marker):
+        return out_dir
+    log(f"rendering bench corpus ({n_docs} docs) ...")
+    t0 = time.monotonic()
+    corpus = build_corpus(n_docs=n_docs, skew_every=8, skew_spans=24, compute_golden=False)
+    write_corpus_parquet(corpus, out_dir)
+    with open(marker, "w") as f:
+        f.write("ok")
+    log(f"corpus rendered in {time.monotonic() - t0:.1f}s -> {out_dir}")
+    return out_dir
+
+
+def bench_extraction(spark, corpus_dir: str) -> dict:
+    from pyspark.sql import functions as F
+
+    from bsc_project_spark.fixtures.corpus import FIXTURE_CONFIG
+    from bsc_project_spark.pipeline.extract import run_extract_stage
+
+    docs = spark.read.parquet(os.path.join(corpus_dir, "documents.parquet"))
+    media = spark.read.parquet(os.path.join(corpus_dir, "media.parquet"))
+    n_docs = docs.count()
+    n_media_spans = docs.select(F.explode("spans").alias("s")).filter(
+        "s.kind = 'media'"
+    ).count()
+
+    t0 = time.monotonic()
+    result = run_extract_stage(docs, media, FIXTURE_CONFIG, persist=True)
+    agg = result.extracted.filter("kind = 'ocr'").agg(
+        F.count("*").alias("spans"), F.sum(F.length("text")).alias("chars")
+    ).collect()[0]
+    wall = time.monotonic() - t0
+    result.stage.unpersist()
+    return {
+        "extract_sec": round(wall, 3),
+        "docs": n_docs,
+        "media_spans": n_media_spans,
+        "ocr_spans": int(agg.spans),
+        "ocr_chars": int(agg.chars or 0),
+        "docs_per_sec": round(n_docs / wall, 3),
+        "pages_per_sec": round(n_media_spans / wall, 3),
+        "chars_per_sec": round((agg.chars or 0) / wall, 1),
+    }
+
+
+def bench_queries(spark, sf_dir: str) -> dict[str, float]:
+    from bsc_project_spark.queries import all_queries
+
+    times: dict[str, float] = {}
+    for name, spec in sorted(all_queries().items()):
+        t0 = time.monotonic()
+        df = spec.spark(spark, sf_dir)
+        n = df.count()
+        times[name] = round(time.monotonic() - t0, 3)
+        log(f"{name}: {times[name]}s ({n} rows)")
+    return times
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    n_docs = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "48"))
+    corpus_dir = ensure_corpus(n_docs)
+
+    from bsc_project_spark.pipeline.session import get_spark
+
+    spark = get_spark("bench")
+    log("spark master:", spark.sparkContext.master)
+
+    # warm the JVM and the Python workers (imports) so timings measure
+    # the engine, not process startup
+    spark.range(1000).selectExpr("sum(id)").collect()
+
+    def _warm(it):
+        import numpy as _np  # noqa: F401
+
+        for pdf in it:
+            yield pdf
+
+    n_workers = os.cpu_count() or 32
+    spark.range(n_workers * 4).repartition(n_workers * 4).mapInPandas(
+        _warm, "id long"
+    ).count()
+
+    t_all = time.monotonic()
+    extract = bench_extraction(spark, corpus_dir)
+    queries = bench_queries(spark, sf_dir)
+    total = round(time.monotonic() - t_all, 3)
+
+    queries["extract_pipeline"] = extract["extract_sec"]
+    out = {
+        "metric": "docs/sec end-to-end extraction (interleaved corpus)",
+        "value": extract["docs_per_sec"],
+        "unit": "docs/sec",
+        "queries": queries,
+        "sf": sf_dir.rstrip("/").split("sf")[-1],
+        "extraction": extract,
+        "total_sec": total,
+        "master": spark.sparkContext.master,
+    }
+    spark.stop()
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -128,4 +128,6 @@ def write_corpus_parquet(corpus: Corpus, out_dir: str) -> None:
             "layout_id": pa.array(corpus.media["layout_id"], pa.int64()),
         }
     )
-    pq.write_table(media_tbl, os.path.join(out_dir, "media.parquet"))
+    # small row groups (pages are ~1 MB each) so the scan splits into many
+    # partitions and the CPU-bound extraction stage needs NO byte shuffle
+    pq.write_table(media_tbl, os.path.join(out_dir, "media.parquet"), row_group_size=8)

@@ -47,6 +47,10 @@ def encode_gray(img: np.ndarray) -> bytes:
 def _unfilter(raw: np.ndarray, h: int, w: int) -> np.ndarray:
     """Undo PNG scanline filters (types 0-4) for 1-byte-per-pixel rows."""
     stride = w + 1
+    rows = raw.reshape(h, stride)
+    if not rows[:, 0].any():
+        # all filter type 0 (what encode_gray writes): pure slice, no loop
+        return np.ascontiguousarray(rows[:, 1:])
     out = np.zeros((h, w), dtype=np.uint8)
     prev = np.zeros(w, dtype=np.uint8)
     for y in range(h):

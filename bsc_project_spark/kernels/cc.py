@@ -27,27 +27,35 @@ class Region:
     label: int
     bbox: tuple[int, int, int, int]
     area: int
-    _mask: np.ndarray  # full-size boolean mask reference
+    _labels: np.ndarray  # full labels array (shared, not copied)
     _slices: tuple
 
     @property
     def image(self) -> np.ndarray:
-        """Boolean image cropped to bbox (skimage region.image)."""
-        return self._mask[self._slices]
+        """Boolean image cropped to bbox (skimage region.image); computed
+        lazily on the bbox window only."""
+        return self._labels[self._slices] == self.label
 
 
-def _runs_of_row(row: np.ndarray) -> list[tuple[int, int]]:
-    """Return [start, end) runs of True in a 1-D boolean array."""
-    if not row.any():
-        return []
-    d = np.diff(row.astype(np.int8))
-    starts = list(np.where(d == 1)[0] + 1)
-    ends = list(np.where(d == -1)[0] + 1)
-    if row[0]:
-        starts.insert(0, 0)
-    if row[-1]:
-        ends.append(len(row))
-    return list(zip(starts, ends))
+def _all_runs(mask: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Vectorized run extraction over the whole image.
+
+    Returns (rows, col_starts, col_ends) of every horizontal True-run in
+    raster order (a guard column of False separates rows in the flattened
+    view, so no run crosses a row boundary).
+    """
+    h, w = mask.shape
+    g = np.zeros((h, w + 1), dtype=bool)
+    g[:, :w] = mask
+    flat = g.ravel()
+    d = np.diff(flat.view(np.int8))
+    starts = np.where(d == 1)[0] + 1
+    ends = np.where(d == -1)[0] + 1
+    if flat[0]:
+        starts = np.concatenate(([0], starts))
+    # guard column guarantees every run closes before the row ends
+    rows = starts // (w + 1)
+    return rows, starts - rows * (w + 1), ends - rows * (w + 1)
 
 
 class _UnionFind:
@@ -81,38 +89,53 @@ def label(mask: np.ndarray) -> tuple[np.ndarray, int]:
     """Label 8-connected components of a boolean mask.
 
     Returns (labels int32 HxW with 0 = background, num_components).
-    Component ids are 1..n in raster order of first pixel.
+    Component ids are 1..n in raster order of first pixel.  Run-based
+    union-find: vectorized run extraction, Python only over runs.
     """
     mask = np.asarray(mask, dtype=bool)
     h, w = mask.shape
     labels = np.zeros((h, w), dtype=np.int32)
+    rows, starts, ends = _all_runs(mask)
+    n_runs = len(rows)
+    if n_runs == 0:
+        return labels, 0
+
     uf = _UnionFind()
-    prev_runs: list[tuple[int, int, int]] = []  # (start, end, set_id)
-    run_rows: list[list[tuple[int, int, int]]] = []
-    for y in range(h):
-        cur_runs: list[tuple[int, int, int]] = []
-        for s, e in _runs_of_row(mask[y]):
-            sid = uf.make()
-            # 8-connectivity: overlap with previous-row runs extended by 1
-            for ps, pe, pid in prev_runs:
-                if ps - 1 < e and pe + 1 > s:
-                    uf.union(sid, pid)
-            cur_runs.append((s, e, sid))
-        run_rows.append(cur_runs)
-        prev_runs = cur_runs
+    run_sets = [uf.make() for _ in range(n_runs)]
+    rows_l = rows.tolist()
+    starts_l = starts.tolist()
+    ends_l = ends.tolist()
+
+    # group runs into per-row blocks (runs are in raster order)
+    blocks: list[tuple[int, int, int]] = []  # (y, lo, hi)
+    lo = 0
+    for i in range(1, n_runs + 1):
+        if i == n_runs or rows_l[i] != rows_l[lo]:
+            blocks.append((rows_l[lo], lo, i))
+            lo = i
+
+    prev_y, prev_lo, prev_hi = -2, 0, 0
+    for y, blo, bhi in blocks:
+        if prev_y == y - 1:
+            for i in range(blo, bhi):
+                s, e = starts_l[i], ends_l[i]
+                # 8-connectivity: previous-row runs extended by 1 column
+                for j in range(prev_lo, prev_hi):
+                    if starts_l[j] - 1 < e and ends_l[j] + 1 > s:
+                        uf.union(run_sets[i], run_sets[j])
+        prev_y, prev_lo, prev_hi = y, blo, bhi
 
     # resolve roots -> compact labels in raster order of first appearance
     root_to_label: dict[int, int] = {}
     next_label = 1
-    for y, runs in enumerate(run_rows):
-        for s, e, sid in runs:
-            root = uf.find(sid)
-            lbl = root_to_label.get(root)
-            if lbl is None:
-                lbl = next_label
-                root_to_label[root] = lbl
-                next_label += 1
-            labels[y, s:e] = lbl
+    for i in range(n_runs):
+        root = uf.find(run_sets[i])
+        lbl = root_to_label.get(root)
+        if lbl is None:
+            lbl = next_label
+            root_to_label[root] = lbl
+            next_label += 1
+        labels[rows_l[i], starts_l[i] : ends_l[i]] = lbl
     return labels, next_label - 1
 
 
@@ -139,13 +162,12 @@ def regionprops(labels: np.ndarray) -> list[Region]:
         ry, rx = ys_s[lo:hi], xs_s[lo:hi]
         y0, y1 = int(ry.min()), int(ry.max()) + 1
         x0, x1 = int(rx.min()), int(rx.max()) + 1
-        mask = labels == lbl
         regions.append(
             Region(
                 label=lbl,
                 bbox=(y0, x0, y1, x1),
                 area=int(hi - lo),
-                _mask=mask,
+                _labels=labels,
                 _slices=(slice(y0, y1), slice(x0, x1)),
             )
         )

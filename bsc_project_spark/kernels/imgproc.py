@@ -62,27 +62,40 @@ def _pad(img: np.ndarray, ry: int, rx: int, mode: str) -> np.ndarray:
 
 
 def _sepconv(img: np.ndarray, kernel: np.ndarray, border: str) -> np.ndarray:
-    """Separable 2-D convolution with the same 1-D kernel on both axes."""
-    k = kernel.astype(np.float64)
+    """Separable 2-D convolution with the same 1-D kernel on both axes.
+
+    float32 accumulation: kernel weights are normalized and inputs are
+    uint8, so the result lies in [0, 255] with error << 0.5 ULP of the
+    final uint8 rounding.
+    """
+    k = kernel.astype(np.float32)
     r = len(k) // 2
-    padded = _pad(img.astype(np.float64), r, r, border)
+    padded = _pad(img.astype(np.float32), r, r, border)
     # vertical pass
     h = img.shape[0]
-    tmp = np.zeros((h, padded.shape[1]), dtype=np.float64)
-    for i, kv in enumerate(k):
-        tmp += kv * padded[i : i + h, :]
+    tmp = k[0] * padded[0:h, :]
+    for i in range(1, len(k)):
+        tmp += k[i] * padded[i : i + h, :]
     # horizontal pass
     w = img.shape[1]
-    out = np.zeros((h, w), dtype=np.float64)
-    for i, kv in enumerate(k):
-        out += kv * tmp[:, i : i + w]
+    out = k[0] * tmp[:, 0:w]
+    for i in range(1, len(k)):
+        out += k[i] * tmp[:, i : i + w]
     return out
 
 
 def gaussian_blur3(img: np.ndarray) -> np.ndarray:
-    """3x3 Gaussian blur, sigma auto (reference scripts/dataset.py:35)."""
-    out = _sepconv(img, _gaussian_kernel_1d(3, 0.0), "reflect101")
-    return np.rint(out).clip(0, 255).astype(np.uint8)
+    """3x3 Gaussian blur, sigma auto (reference scripts/dataset.py:35).
+
+    Exact integer path for the fixed [1,2,1]/4 kernel: per axis
+    out = (a + 2b + c + rounding) with a single >> 4 at the end
+    (round-half-up of the exact /16 value; deterministic pinned semantics).
+    """
+    p = _pad(img.astype(np.uint16), 1, 1, "reflect101")
+    h, w = img.shape
+    tmp = p[0 : h, :] + 2 * p[1 : h + 1, :] + p[2 : h + 2, :]          # <= 1020
+    out = tmp[:, 0:w] + 2 * tmp[:, 1 : w + 1] + tmp[:, 2 : w + 2]      # <= 4080
+    return ((out + 8) >> 4).astype(np.uint8)
 
 
 def gaussian_smooth_1d(profile: np.ndarray, sigma: float, truncate: float = 4.0) -> np.ndarray:
@@ -115,12 +128,83 @@ def adaptive_threshold_gaussian(
     Gaussian-weighted blockSize x blockSize local mean rounded to uint8
     (reference scripts/dataset.py:36-43 uses cv2.adaptiveThreshold with
     ADAPTIVE_THRESH_GAUSSIAN_C, blockSize=13, C=12).
+
+    Computed in cache-resident row strips (the full-image float temporaries
+    of a naive separable convolution are what saturate memory bandwidth
+    when 32 executor workers run concurrently).
     """
     sigma = 0.3 * ((block_size - 1) * 0.5 - 1) + 0.8
-    mean = _sepconv(img, _gaussian_kernel_1d(block_size, sigma), "replicate")
-    mean_u8 = np.rint(mean).clip(0, 255).astype(np.int32)
-    out = np.where(img.astype(np.int32) > mean_u8 - int(c), maxval, 0)
-    return out.astype(np.uint8)
+    k = _gaussian_kernel_1d(block_size, sigma).astype(np.float32)
+    r = block_size // 2
+    h, w = img.shape
+    padded = _pad(img, r, r, "replicate")  # uint8, cheap
+    out = np.empty((h, w), dtype=np.uint8)
+    strip = max(32, (1 << 20) // (4 * (w + 2 * r)))  # ~1 MB float32 strip
+    thr_c = np.float32(c)
+    for y0 in range(0, h, strip):
+        y1 = min(h, y0 + strip)
+        sub = padded[y0 : y1 + 2 * r].astype(np.float32)
+        n = y1 - y0
+        tmp = k[0] * sub[0:n]
+        for i in range(1, block_size):
+            tmp += k[i] * sub[i : i + n]
+        acc = k[0] * tmp[:, 0:w]
+        for i in range(1, block_size):
+            acc += k[i] * tmp[:, i : i + w]
+        np.rint(acc, out=acc)  # mean of uint8: already in [0,255]
+        acc -= thr_c
+        out[y0:y1] = np.where(img[y0:y1] > acc, np.uint8(maxval), np.uint8(0))
+    return out
+
+
+def binarize_fused(img: np.ndarray, block_size: int = 13, c: float = 12.0) -> np.ndarray:
+    """blur3 + adaptive Gaussian threshold in ONE strip pass — byte-identical
+    to adaptive_threshold_gaussian(gaussian_blur3(img)), but the blurred
+    image never materializes (memory-bandwidth is the scaling limiter with
+    32 concurrent executor workers)."""
+    sigma = 0.3 * ((block_size - 1) * 0.5 - 1) + 0.8
+    k = _gaussian_kernel_1d(block_size, sigma).astype(np.float32)
+    r = block_size // 2
+    h, w = img.shape
+    # reflect-101 halo for the blur, then replicate halo for the mean conv
+    # (replicate of the *blurred* image == blurring a replicate-extended
+    # image does NOT hold at edges, so build the blurred halo explicitly:
+    # blur the reflect-101-padded raw, then edge-replicate the result)
+    raw = _pad(img, 1, 1, "reflect101").astype(np.uint16)
+    out = np.empty((h, w), dtype=np.uint8)
+    strip = max(32, (1 << 20) // (4 * (w + 2 * r)))
+    thr_c = np.float32(c)
+    blur_cache: dict[int, np.ndarray] = {}
+
+    def blurred_rows(y0: int, y1: int) -> np.ndarray:
+        """blur3 of raw rows [y0, y1) (image coords, may exceed bounds ->
+        replicate), returns float32 (y1-y0, w+2r) with replicate x-halo."""
+        y0c, y1c = max(0, y0), min(h, y1)
+        p = raw[y0c : y1c + 2]
+        n = y1c - y0c
+        tmp = p[0:n] + 2 * p[1 : n + 1] + p[2 : n + 2]
+        row = tmp[:, 0:w] + 2 * tmp[:, 1 : w + 1] + tmp[:, 2 : w + 2]
+        b = ((row + 8) >> 4).astype(np.float32)
+        b = np.pad(b, ((y0c - y0, y1 - y1c), (r, r)), mode="edge")
+        return b
+
+    for y0 in range(0, h, strip):
+        y1 = min(h, y0 + strip)
+        n = y1 - y0
+        sub = blurred_rows(y0 - r, y1 + r)
+        tmp = k[0] * sub[0:n]
+        for i in range(1, block_size):
+            tmp += k[i] * sub[i : i + n]
+        acc = k[0] * tmp[:, 0:w]
+        for i in range(1, block_size):
+            acc += k[i] * tmp[:, i : i + w]
+        np.rint(acc, out=acc)
+        acc -= thr_c
+        # compare against the BLURRED pixel (reference thresholds the
+        # blurred image, scripts/dataset.py:35-43)
+        blurred_center = sub[r : r + n, r : r + w]
+        out[y0:y1] = np.where(blurred_center > acc, np.uint8(255), np.uint8(0))
+    return out
 
 
 def otsu_threshold(img: np.ndarray, maxval: int = 255) -> np.ndarray:
@@ -156,37 +240,46 @@ def sauvola_threshold(img: np.ndarray, window: int = 25, k: float = 0.2, r: floa
 def _minmax_filter_1d(img: np.ndarray, size: int, axis: int, is_min: bool, pad_value: int) -> np.ndarray:
     if size <= 1:
         return img
+    if axis == 1:
+        return _minmax_filter_1d(img.T, size, 0, is_min, pad_value).T
     r_lo = (size - 1) // 2
     r_hi = size - 1 - r_lo
-    if axis == 0:
-        padded = np.pad(img, ((r_lo, r_hi), (0, 0)), mode="constant", constant_values=pad_value)
-        stack = [padded[i : i + img.shape[0], :] for i in range(size)]
-    else:
-        padded = np.pad(img, ((0, 0), (r_lo, r_hi)), mode="constant", constant_values=pad_value)
-        stack = [padded[:, i : i + img.shape[1]] for i in range(size)]
+    n = img.shape[0]
     op = np.minimum if is_min else np.maximum
-    out = stack[0]
-    for s in stack[1:]:
-        out = op(out, s)
+    if size >= 16:
+        # van Herk/Gil-Werman: O(1) per pixel for large windows — window
+        # [i-r_lo, i+r_hi] = op(suffix-scan, prefix-scan) over size-blocks
+        total = n + r_lo + r_hi
+        blocks = -(-total // size) * size
+        padded = np.full((blocks, img.shape[1]), pad_value, dtype=img.dtype)
+        padded[r_lo : r_lo + n] = img
+        b = padded.reshape(-1, size, img.shape[1])
+        g = op.accumulate(b, axis=1).reshape(blocks, -1)          # forward within block
+        h = op.accumulate(b[:, ::-1, :], axis=1)[:, ::-1, :].reshape(blocks, -1)
+        return op(h[0:n], g[size - 1 : size - 1 + n])
+    padded = np.pad(img, ((r_lo, r_hi), (0, 0)), mode="constant", constant_values=pad_value)
+    out = padded[0:n].copy()
+    for i in range(1, size):
+        op(out, padded[i : i + n], out=out)
     return out
+
+
+def _effective(k: int, iterations: int) -> int:
+    """k x k rect SE applied ``iterations`` times == one (k + (k-1)(it-1))
+    rect SE (exact for flat structuring elements)."""
+    return k + (k - 1) * (iterations - 1)
 
 
 def erode(img: np.ndarray, kh: int, kw: int, iterations: int = 1) -> np.ndarray:
     """Rect-kernel erosion (min filter); border acts as foreground (255)."""
-    out = img
-    for _ in range(iterations):
-        out = _minmax_filter_1d(out, kh, 0, True, 255)
-        out = _minmax_filter_1d(out, kw, 1, True, 255)
-    return out
+    out = _minmax_filter_1d(img, _effective(kh, iterations), 0, True, 255)
+    return _minmax_filter_1d(out, _effective(kw, iterations), 1, True, 255)
 
 
 def dilate(img: np.ndarray, kh: int, kw: int, iterations: int = 1) -> np.ndarray:
     """Rect-kernel dilation (max filter); border acts as background (0)."""
-    out = img
-    for _ in range(iterations):
-        out = _minmax_filter_1d(out, kh, 0, False, 0)
-        out = _minmax_filter_1d(out, kw, 1, False, 0)
-    return out
+    out = _minmax_filter_1d(img, _effective(kh, iterations), 0, False, 0)
+    return _minmax_filter_1d(out, _effective(kw, iterations), 1, False, 0)
 
 
 def morph_open(img: np.ndarray, kh: int, kw: int, iterations: int = 1) -> np.ndarray:
@@ -206,12 +299,11 @@ def binary_erode_mask(mask: np.ndarray, ksize: int = 3) -> np.ndarray:
 
     Matches cv2.erode on a {0,1} uint8 mask (reference
     scripts/post_process.py:126) — border counts as 0 outside, so edge
-    pixels erode away.
+    pixels erode away.  Runs bit-packed (kernels/bitmorph.py).
     """
-    img = np.where(mask, np.uint8(255), np.uint8(0))
-    out = _minmax_filter_1d(img, ksize, 0, True, 0)
-    out = _minmax_filter_1d(out, ksize, 1, True, 0)
-    return out > 0
+    from .bitmorph import binary_filter
+
+    return binary_filter(np.asarray(mask, dtype=bool), ksize, ksize, erode=True, border=False)
 
 
 # ---------------------------------------------------------------------------
@@ -230,10 +322,14 @@ def find_vertical_line_bounds(img: np.ndarray, cfg: ExtractConfig) -> tuple[int,
     4. bounds = (first_col - 10, last_col - 5) clamped to the half-width;
        blank pages (no lines) fall back to (0, half_width).
     """
+    from .bitmorph import binary_filter
+
     half_w = img.shape[1] // 2
     left = img[:, :half_w]
-    closed = morph_close(left, cfg.vline_kernel_h, 1)
-    col_profile = np.sum(closed == 0, axis=0)
+    # vertical CLOSE bit-packed (== morph_close(left, kernel_h, 1))
+    white = binary_filter(left > 0, cfg.vline_kernel_h, 1, erode=False, border=False)
+    white = binary_filter(white, cfg.vline_kernel_h, 1, erode=True, border=True)
+    col_profile = np.sum(~white, axis=0)
     if col_profile.size == 0 or col_profile.max() == 0:
         return 0, half_w
     threshold = col_profile.max() * cfg.vline_profile_frac
@@ -272,9 +368,9 @@ def resize_area(img: np.ndarray, target_w: int, target_h: int) -> np.ndarray:
         return img.astype(np.uint8)
     if h % target_h == 0 and w % target_w == 0:
         fy, fx = h // target_h, w // target_w
-        blocks = img.reshape(target_h, fy, target_w, fx).astype(np.float64)
-        out = blocks.mean(axis=(1, 3))
-        return np.rint(out).clip(0, 255).astype(np.uint8)
+        sums = img.reshape(target_h, fy, target_w, fx).astype(np.uint32).sum(axis=(1, 3))
+        out = np.rint(sums.astype(np.float32) / (fy * fx))
+        return out.astype(np.uint8)
     # General area average via cumulative sums (slow path; fixtures avoid it).
     ys = np.linspace(0, h, target_h + 1)
     xs = np.linspace(0, w, target_w + 1)
@@ -319,9 +415,15 @@ def preprocess(gray: np.ndarray, cfg: ExtractConfig) -> np.ndarray:
     resized uint8 binary image (single channel; the reference's 3-channel
     stack at scripts/dataset.py:56 is a model-input formality we drop).
     """
-    img = gaussian_blur3(gray)
-    img = adaptive_threshold_gaussian(img, cfg.adaptive_block_size, cfg.adaptive_c)
-    img = morph_open(img, 3, 3, iterations=2)
+    img = binarize_fused(gray, cfg.adaptive_block_size, cfg.adaptive_c)
+    # OPEN x2 bit-packed: white foreground, erode border = foreground,
+    # dilate border = background (cv2 defaults; same result as
+    # morph_open(img, 3, 3, iterations=2))
+    from .bitmorph import binary_filter
+
+    white = binary_filter(img > 0, 5, 5, erode=True, border=True)
+    white = binary_filter(white, 5, 5, erode=False, border=False)
+    img = np.where(white, np.uint8(255), np.uint8(0))
     lb, rb = find_vertical_line_bounds(img, cfg)
     img = whiteout_margins(img, lb, rb)
     img = resize_area(img, cfg.target_width, cfg.target_height)

@@ -29,6 +29,18 @@ from .font import GLYPH_H, GLYPH_W, trimmed_atlas
 _TRIMMED = trimmed_atlas()
 _CHARS = sorted(_TRIMMED.keys())
 
+# Stacked, zero-padded atlas for vectorized Hamming matching.  Padding both
+# pattern and reference to the SAME (GLYPH_H, GLYPH_W) frame yields exactly
+# the pad-to-common-size distance (extra cells are False on both sides).
+_ATLAS_FULL = np.zeros((len(_CHARS), GLYPH_H, GLYPH_W), dtype=bool)
+_ATLAS_PART = np.zeros((len(_CHARS), GLYPH_H, GLYPH_W), dtype=bool)
+for _i, _ch in enumerate(_CHARS):
+    _bm = _TRIMMED[_ch]
+    _ATLAS_FULL[_i, : _bm.shape[0], : _bm.shape[1]] = _bm
+    _rows = np.where(_bm.any(axis=1))[0]
+    _t = _bm[_rows[0] : _rows[-1] + 1]
+    _ATLAS_PART[_i, : _t.shape[0], : _t.shape[1]] = _t
+
 
 def crop_cell(gray: np.ndarray, x1: int, y1: int, x2: int, y2: int) -> np.ndarray:
     """Crop [y1:y2, x1:x2] from the ORIGINAL grayscale page (the reference
@@ -71,25 +83,26 @@ def _segments_from_columns(ink: np.ndarray, gap_min: int) -> list[tuple[int, int
     return segments
 
 
-def _sample_bitmap(
-    ink: np.ndarray, y0: int, x0: int, scale: int, n_rows: int, n_cols: int
-) -> np.ndarray:
-    """Majority-vote scale x scale blocks into an n_rows x n_cols bitmap."""
+def _integral(ink: np.ndarray) -> np.ndarray:
+    """(H+1, W+1) integral image of a boolean mask."""
     h, w = ink.shape
-    out = np.zeros((n_rows, n_cols), dtype=bool)
-    for r in range(n_rows):
-        ys, ye = y0 + r * scale, y0 + (r + 1) * scale
-        ys_c, ye_c = max(0, ys), min(h, ye)
-        if ye_c <= ys_c:
-            continue
-        for c in range(n_cols):
-            xs, xe = x0 + c * scale, x0 + (c + 1) * scale
-            xs_c, xe_c = max(0, xs), min(w, xe)
-            if xe_c <= xs_c:
-                continue
-            block = ink[ys_c:ye_c, xs_c:xe_c]
-            out[r, c] = block.mean() >= 0.5
+    out = np.zeros((h + 1, w + 1), dtype=np.int32)
+    np.cumsum(np.cumsum(ink, axis=0), axis=1, out=out[1:, 1:])
     return out
+
+
+def _sample_bitmap(
+    integral: np.ndarray, y0: int, x0: int, scale: int, n_rows: int, n_cols: int
+) -> np.ndarray:
+    """Majority-vote scale x scale blocks into an n_rows x n_cols bitmap
+    (visible-area majority at crop edges), via the integral image."""
+    h, w = integral.shape[0] - 1, integral.shape[1] - 1
+    ys = np.clip(y0 + np.arange(n_rows + 1) * scale, 0, h)
+    xs = np.clip(x0 + np.arange(n_cols + 1) * scale, 0, w)
+    s = integral[np.ix_(ys, xs)]
+    block = s[1:, 1:] - s[:-1, 1:] - s[1:, :-1] + s[:-1, :-1]
+    area = np.outer(np.diff(ys), np.diff(xs))
+    return block * 2 >= np.maximum(area, 1)
 
 
 def _trim_cols(bitmap: np.ndarray) -> np.ndarray:
@@ -105,18 +118,17 @@ def _pad_to(a: np.ndarray, h: int, w: int) -> np.ndarray:
     return out
 
 
+def _match_stack(t: np.ndarray, stack: np.ndarray) -> tuple[str, int]:
+    p = _pad_to(t, GLYPH_H, GLYPH_W)
+    dists = np.count_nonzero(p[None, :, :] ^ stack, axis=(1, 2))
+    i = int(np.argmin(dists))  # ties: first in sorted char order (deterministic)
+    return _CHARS[i], int(dists[i])
+
+
 def _match_char(bitmap: np.ndarray) -> tuple[str, int]:
     """(char, hamming distance) for the best atlas match, column-trimmed,
     row positions kept (distinguishes '.' from '-'); deterministic."""
-    t = _trim_cols(bitmap)
-    best_char, best_dist = "", 1 << 30
-    for ch in _CHARS:
-        ref = _TRIMMED[ch]
-        w = max(t.shape[1], ref.shape[1])
-        dist = int(np.count_nonzero(_pad_to(t, GLYPH_H, w) ^ _pad_to(ref, GLYPH_H, w)))
-        if dist < best_dist:
-            best_char, best_dist = ch, dist
-    return best_char, best_dist
+    return _match_stack(_trim_cols(bitmap), _ATLAS_FULL)
 
 
 def _trim_rows_cols(bitmap: np.ndarray) -> np.ndarray:
@@ -130,20 +142,16 @@ def _trim_rows_cols(bitmap: np.ndarray) -> np.ndarray:
 def _match_char_partial(bitmap: np.ndarray) -> tuple[str, int]:
     """Fully-trimmed match for partial-height content (e.g. '.'-only cells,
     where no full-height glyph anchors the line top)."""
-    t = _trim_rows_cols(bitmap)
-    best_char, best_dist = "", 1 << 30
-    for ch in _CHARS:
-        ref = _trim_rows_cols(_TRIMMED[ch])
-        h = max(t.shape[0], ref.shape[0])
-        w = max(t.shape[1], ref.shape[1])
-        dist = int(np.count_nonzero(_pad_to(t, h, w) ^ _pad_to(ref, h, w)))
-        if dist < best_dist:
-            best_char, best_dist = ch, dist
-    return best_char, best_dist
+    return _match_stack(_trim_rows_cols(bitmap), _ATLAS_PART)
 
 
-def _decode_at_scale(ink: np.ndarray, scale: int, ink_top: int, ink_height: int) -> tuple[str, int]:
+def _decode_at_scale(
+    ink: np.ndarray, scale: int, ink_top: int, ink_height: int,
+    integral: np.ndarray | None = None,
+) -> tuple[str, int]:
     """Decode all glyph segments at a fixed scale; returns (text, total_dist)."""
+    if integral is None:
+        integral = _integral(ink)
     full_height = ink_height >= 0.75 * GLYPH_H * scale
     gap_min = max(2, scale // 2 + 1)
     chars = []
@@ -163,7 +171,7 @@ def _decode_at_scale(ink: np.ndarray, scale: int, ink_top: int, ink_height: int)
         best_char, best_dist = "", 1 << 30
         for dy in range(scale):
             for dx in range(scale):
-                bm = _sample_bitmap(ink, anchor - dy, xs - dx, scale, n_rows, n_cols)
+                bm = _sample_bitmap(integral, anchor - dy, xs - dx, scale, n_rows, n_cols)
                 ch, dist = matcher(bm)
                 if dist < best_dist:
                     best_char, best_dist = ch, dist
@@ -201,8 +209,9 @@ def decode_cell(crop: np.ndarray, cfg: ExtractConfig, scale: int | None = None) 
         if est >= 1 and est not in candidates:
             candidates.append(est)
     best_text, best_total = "", 1 << 30
+    integral = _integral(ink)
     for s in candidates:
-        text, total = _decode_at_scale(ink, s, ink_top, ink_height)
+        text, total = _decode_at_scale(ink, s, ink_top, ink_height, integral)
         if total < best_total:
             best_text, best_total = text, total
         if best_total == 0:

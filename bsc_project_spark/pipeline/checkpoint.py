@@ -31,7 +31,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..config import ExtractConfig
-from .extract import run_extract_stage
+from .extract import LINEAGE_SCHEMA, run_extract_stage
 
 
 def _manifest_path(out_dir: str) -> str:
@@ -91,9 +91,7 @@ def run_extraction_job(
             # empty bucket: still commit an explicit zero lineage row so the
             # lineage table covers every committed bucket
             lineage = documents.sparkSession.createDataFrame(
-                [(-1, 0, 0, 0, 0)],
-                "partition_id int, doc_count long, span_count long, "
-                "ocr_char_count long, wall_time_ms long",
+                [(-1, 0, 0, 0, 0)], LINEAGE_SCHEMA
             )
         (
             lineage.withColumn("run_id", F.lit(run_id))

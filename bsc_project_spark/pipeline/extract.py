@@ -3,10 +3,11 @@
 Spark lifecycle of the reference computation (SURVEY.md §3.1):
 
     documents --explode--> spans
-    spans[kind=media] --join media--> (span, page bytes)
-      --salted repartition (hash(doc_id, offset))-->           # skew defuse
+    spans[kind=media].media_ref --distinct--> unique pages --join media-->
+      --salted repartition (hash(media_ref))-->                # skew defuse
       --ONE mapInPandas stage (K1..K21 numpy kernels)-->       # zero per-row Python
-        (doc_id, offset, row, col, text, media_ref) + per-partition lineage rows
+        cells(media_ref, row, col, text) + per-partition lineage rows
+    cells --join back to media spans (doc_id, offset)-->
     union text spans
       --window row_number() over (doc_id ORDER BY offset,row,col)--> order
     -> extracted(doc_id, order, kind, text, media_ref)
@@ -14,11 +15,16 @@ Spark lifecycle of the reference computation (SURVEY.md §3.1):
 Replaces the reference's sequential page loop
 (reference scripts/imgs2csv.py:294-313) with data parallelism; the
 host->GPU tensor boundary (scripts/imgs2csv.py:140) becomes the JVM->Python
-Arrow channel.  The unit of parallel work is one *media span* (one page),
-not one document, so a document with 100x the median spans (heavy-doc skew)
-spreads across the cluster; the window restores global span order
-afterwards — exactly the north rule's "explode/salted repartition +
-window over (doc_id, offset)" design.
+Arrow channel.
+
+Scale design: the unit of expensive work is one UNIQUE page — a document
+with 100x the median spans (heavy-doc skew) contributes only distinct
+media_refs to the image stage, and its fan-back-out happens in the cheap
+cells-to-spans join (AQE skew-join splits hot media_refs there).  The
+distinct + hash(media_ref) repartition also dedups shared pages across
+documents, so the kernel cost is O(unique pages), not O(spans).  The final
+window restores global span order — the north rule's "explode/salted
+repartition + window over (doc_id, offset)" design.
 """
 
 from __future__ import annotations
@@ -42,8 +48,11 @@ from ..kernels.golden import extract_page
 # Output schema of the extraction UDF stage.  Lineage rows ride along with
 # kind='_lineage' (text = JSON payload) and are split off afterwards —
 # one pass over the data, no accumulators.
-EXTRACT_STAGE_SCHEMA = (
-    "doc_id string, offset int, row int, col int, text string, media_ref string, kind string"
+EXTRACT_STAGE_SCHEMA = "media_ref string, row int, col int, text string, kind string"
+
+LINEAGE_SCHEMA = (
+    "partition_id int, page_count long, cell_count long, "
+    "ocr_char_count long, wall_time_ms long"
 )
 
 EXTRACTED_COLUMNS = ["doc_id", "order", "kind", "text", "media_ref"]
@@ -74,42 +83,35 @@ def _make_extract_udf(
         from pyspark import TaskContext
 
         t_start = time.monotonic()
-        docs_seen: set[str] = set()
-        span_count = 0
+        page_count = 0
+        cell_count = 0
         char_count = 0
-        page_cache: dict[str, list[tuple[int, int, str]]] = {}
 
         for pdf in batches:
             out_rows: list[tuple] = []
-            for doc_id, offset, media_ref, content in zip(
-                pdf["doc_id"], pdf["offset"], pdf["media_ref"], pdf["content"]
-            ):
-                docs_seen.add(doc_id)
-                cells = page_cache.get(media_ref)
-                if cells is None:
-                    gray = decode_gray(bytes(content))
-                    cells = extract_page(gray, cfg, cfg.ocr_glyph_scale)
-                    page_cache[media_ref] = cells
+            for media_ref, content in zip(pdf["media_ref"], pdf["content"]):
+                gray = decode_gray(bytes(content))
+                cells = extract_page(gray, cfg, cfg.ocr_glyph_scale)
+                page_count += 1
                 for row, col, text in cells:
-                    out_rows.append((doc_id, int(offset), row, col, text, media_ref, "ocr"))
-                    span_count += 1
+                    out_rows.append((media_ref, row, col, text, "ocr"))
+                    cell_count += 1
                     char_count += len(text)
             yield pd.DataFrame(
-                out_rows,
-                columns=["doc_id", "offset", "row", "col", "text", "media_ref", "kind"],
+                out_rows, columns=["media_ref", "row", "col", "text", "kind"]
             )
 
         ctx = TaskContext.get()
         lineage = {
             "partition_id": ctx.partitionId() if ctx else -1,
-            "doc_count": len(docs_seen),
-            "span_count": span_count,
+            "page_count": page_count,
+            "cell_count": cell_count,
             "ocr_char_count": char_count,
             "wall_time_ms": int((time.monotonic() - t_start) * 1000),
         }
         yield pd.DataFrame(
-            [(None, None, None, None, json.dumps(lineage), None, "_lineage")],
-            columns=["doc_id", "offset", "row", "col", "text", "media_ref", "kind"],
+            [(None, None, None, json.dumps(lineage), "_lineage")],
+            columns=["media_ref", "row", "col", "text", "kind"],
         )
 
     return extract_batches
@@ -151,33 +153,55 @@ def run_extract_stage(
         F.lit("text").alias("kind"),
     )
 
-    media_spans = (
-        spans.filter(F.col("kind") == "media")
-        .select("doc_id", "offset", "media_ref")
-        .join(media.select("media_ref", "content"), on="media_ref", how="inner")
-        # Salted repartition: hash of (doc_id, offset) spreads a heavy doc's
-        # spans uniformly; the unit of work is one page, so no single task
-        # inherits a whole giant document.
-        .repartition(n_parts, F.xxhash64("doc_id", "offset"))
+    media_spans = spans.filter(F.col("kind") == "media").select(
+        "doc_id", "offset", "media_ref"
     )
 
-    stage_out = media_spans.mapInPandas(_make_extract_udf(cfg), schema=EXTRACT_STAGE_SCHEMA)
+    # The expensive image work runs once per UNIQUE page: distinct refs,
+    # semi-joined against media, spread uniformly by hash(media_ref).
+    # Heavy documents (many spans) and popular pages (many docs) both
+    # collapse to one kernel invocation per page.
+    #
+    # Byte economics: the refs side (strings) is broadcast, so the big
+    # image bytes are shuffled exactly ONCE — by the explicit repartition
+    # that also fixes the task count for the CPU-bound stage (AQE would
+    # otherwise coalesce byte-sized partitions and starve the stage of
+    # parallelism).  At 10^12-doc scale the same shape holds per checkpoint
+    # bucket: the refs of one bucket are bounded, and media would be a
+    # bucketed table co-partitioned by media_ref.
+    refs = media_spans.select("media_ref").distinct()
+    unique_pages = media.select("media_ref", "content").join(
+        F.broadcast(refs), on="media_ref", how="left_semi"
+    )
+    # Only shuffle the pages if the scan doesn't already give enough
+    # parallelism (small row groups + maxPartitionBytes make a parquet
+    # media table split wide for free).  Round-robin repartitioning gives
+    # EXACT count balance — with hash(media_ref) the busiest of P
+    # partitions carries ~3x the mean page count, and that tail task sets
+    # the stage wall time.  (For wildly varying page sizes a size-aware
+    # bin-packing salt would replace this; fixture/bench pages are uniform.)
+    cores = spark.sparkContext.defaultParallelism
+    if unique_pages.rdd.getNumPartitions() < cores:
+        unique_pages = unique_pages.repartition(n_parts)
+
+    stage_out = unique_pages.mapInPandas(_make_extract_udf(cfg), schema=EXTRACT_STAGE_SCHEMA)
     if persist:
         stage_out = stage_out.persist(StorageLevel.MEMORY_AND_DISK)
 
     lineage = (
         stage_out.filter(F.col("kind") == "_lineage")
-        .select(
-            F.from_json(
-                F.col("text"),
-                "partition_id int, doc_count long, span_count long, "
-                "ocr_char_count long, wall_time_ms long",
-            ).alias("l")
-        )
+        .select(F.from_json(F.col("text"), LINEAGE_SCHEMA).alias("l"))
         .select("l.*")
     )
 
-    ocr_spans = stage_out.filter(F.col("kind") == "ocr").select(
+    cells = stage_out.filter(F.col("kind") == "ocr").select(
+        "media_ref", "row", "col", "text", "kind"
+    )
+
+    # Fan the per-page cells back out to every (doc, offset) span that
+    # references the page — a cheap join on small text rows; AQE skew-join
+    # splits hot media_refs here.
+    ocr_spans = media_spans.join(cells, on="media_ref", how="inner").select(
         "doc_id", "offset", "row", "col", "text", "media_ref", "kind"
     )
 

@@ -54,6 +54,21 @@ def test_adaptive_threshold_ink_vs_background():
     assert out2[20, 20] == 255
 
 
+def test_binarize_fused_equals_two_step():
+    from bsc_project_spark.kernels.imgproc import binarize_fused
+
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, (173, 211), dtype=np.uint8)
+    two_step = adaptive_threshold_gaussian(gaussian_blur3(img), 13, 12)
+    assert np.array_equal(binarize_fused(img, 13, 12), two_step)
+    # small image edge case
+    small = rng.integers(0, 256, (9, 7), dtype=np.uint8)
+    assert np.array_equal(
+        binarize_fused(small, 13, 12),
+        adaptive_threshold_gaussian(gaussian_blur3(small), 13, 12),
+    )
+
+
 def test_morph_open_white_foreground_semantics():
     # OPEN on a white-background page (cv2 semantics: white is foreground)
     # fills small WHITE pinholes inside ink and preserves black features —
@@ -110,6 +125,40 @@ def test_label_diagonal_is_connected():
     m[0, 0] = m[1, 1] = m[2, 2] = True
     labels, n = cc.label(m)
     assert n == 1
+
+
+def test_label_fuzz_vs_bfs():
+    def brute_label(mask):
+        h, w = mask.shape
+        labels = np.zeros((h, w), np.int32)
+        nxt = 1
+        for y in range(h):
+            for x in range(w):
+                if mask[y, x] and labels[y, x] == 0:
+                    stack = [(y, x)]
+                    labels[y, x] = nxt
+                    while stack:
+                        cy, cx = stack.pop()
+                        for dy in (-1, 0, 1):
+                            for dx in (-1, 0, 1):
+                                ny, nx_ = cy + dy, cx + dx
+                                if (
+                                    0 <= ny < h and 0 <= nx_ < w
+                                    and mask[ny, nx_] and labels[ny, nx_] == 0
+                                ):
+                                    labels[ny, nx_] = nxt
+                                    stack.append((ny, nx_))
+                    nxt += 1
+        return labels, nxt - 1
+
+    rng = np.random.default_rng(3)
+    for _ in range(60):
+        h, w = rng.integers(1, 20, 2)
+        m = rng.random((h, w)) < rng.uniform(0.1, 0.9)
+        a, na = cc.label(m)
+        b, nb = brute_label(m)
+        assert na == nb
+        assert np.array_equal(a, b)
 
 
 def test_label_separate_components_and_props():

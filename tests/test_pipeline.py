@@ -31,28 +31,60 @@ def test_skew_doc_equality_and_spreading(spark, skew_corpus):
     extracted = extracted.cache()
     assert extracted.exceptAll(golden).count() == 0
     assert golden.exceptAll(extracted).count() == 0
-    # the heavy docs' media spans must spread across partitions: no single
-    # partition may have processed more than half of all media spans
+    # heavy-doc skew must not concentrate the image work: pages spread
+    # across partitions, and no partition does more than half the pages
     rows = lineage.collect()
-    total = sum(r.span_count for r in rows)
-    busiest = max(r.span_count for r in rows)
-    active = sum(1 for r in rows if r.doc_count > 0)
+    total = sum(r.page_count for r in rows)
+    busiest = max(r.page_count for r in rows)
+    active = sum(1 for r in rows if r.page_count > 0)
     assert active >= 4, f"expected spreading, got {active} active partitions"
-    assert busiest <= total * 0.5, f"one partition did {busiest}/{total} spans"
+    assert busiest <= total * 0.5, f"one partition did {busiest}/{total} pages"
+    # dedup: the image stage ran once per unique page, not once per span
+    n_unique = len({
+        s["media_ref"]
+        for r in skew_corpus.documents.itertuples()
+        for s in r.spans
+        if s["kind"] == "media"
+    })
+    assert total == n_unique
 
 
 def test_lineage_totals(spark, corpus):
     docs = spark_io.documents_df(spark, corpus)
     media = spark_io.media_df(spark, corpus)
     extracted, lineage, _ = run_extract_stage(docs, media, FIXTURE_CONFIG, persist=True)
-    ocr = extracted.filter("kind = 'ocr'")
-    n_spans = ocr.count()
-    n_chars = ocr.select(F.sum(F.length("text"))).collect()[0][0] or 0
+    # lineage counts are per UNIQUE page; compare against golden cells of
+    # the distinct referenced pages
+    referenced = {
+        s["media_ref"]
+        for r in corpus.documents.itertuples()
+        for s in r.spans
+        if s["kind"] == "media"
+    }
+    # golden repeats cells per referencing doc; count each page once
+    exp_cells = 0
+    exp_chars = 0
+    seen = set()
+    for r in corpus.golden.itertuples():
+        if r.kind != "ocr" or r.media_ref in seen:
+            continue
+        page_rows = [
+            g for g in corpus.golden.itertuples()
+            if g.kind == "ocr" and g.media_ref == r.media_ref and g.doc_id == r.doc_id
+        ]
+        exp_cells += len(page_rows)
+        exp_chars += sum(len(g.text) for g in page_rows)
+        seen.add(r.media_ref)
     lin = lineage.agg(
-        F.sum("span_count").alias("s"), F.sum("ocr_char_count").alias("c")
+        F.sum("cell_count").alias("s"),
+        F.sum("ocr_char_count").alias("c"),
+        F.sum("page_count").alias("p"),
     ).collect()[0]
-    assert lin.s == n_spans
-    assert lin.c == n_chars
+    assert lin.p == len(referenced)
+    assert lin.s == exp_cells
+    assert lin.c == exp_chars
+    # fan-out consistency: extracted OCR spans >= unique-page cells
+    assert extracted.filter("kind = 'ocr'").count() >= exp_cells
 
 
 def test_reassemble_round_trip(spark, corpus):
