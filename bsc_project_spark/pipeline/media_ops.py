@@ -1,0 +1,169 @@
+"""Multimodal media operators over binary columns (training-data pipeline).
+
+Media are opaque ``binary`` columns with typed metadata; every operator is
+an Arrow-batched ``mapInPandas`` stage (no per-row Python).  Image ops are
+REAL (this repo ships its own PNG codec + resize kernels).  Audio/video
+decode is STUBBED — the decoding libraries are not in this container — but
+the Spark-side plumbing (schemas, batch shapes, partitioning, UDF
+signatures) is real and tested; set ``deterministic_fake=True`` to replace
+the decoder with a seeded fake so downstream stages can be exercised
+end-to-end.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+
+from ..io.png import decode_gray, encode_gray
+from ..kernels.imgproc import resize_area
+
+IMAGE_DIMS_SCHEMA = "media_ref string, width int, height int, mean_intensity double"
+THUMBNAIL_SCHEMA = "media_ref string, thumb binary, thumb_width int, thumb_height int"
+IMAGE_FEATURES_SCHEMA = (
+    "media_ref string, ink_fraction double, edge_density double, "
+    "row_profile array<double>"
+)
+AUDIO_FEATURES_SCHEMA = (
+    "media_ref string, n_samples long, sample_rate int, rms double, "
+    "mfcc array<double>"
+)
+VIDEO_FRAMES_SCHEMA = "media_ref string, frame_index int, frame binary"
+
+
+def image_dims(media: DataFrame) -> DataFrame:
+    """Decode page images -> (width, height, mean intensity)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for ref, content in zip(pdf["media_ref"], pdf["content"]):
+                img = decode_gray(bytes(content))
+                rows.append((ref, img.shape[1], img.shape[0], float(img.mean())))
+            yield pd.DataFrame(
+                rows, columns=["media_ref", "width", "height", "mean_intensity"]
+            )
+
+    return media.select("media_ref", "content").mapInPandas(run, IMAGE_DIMS_SCHEMA)
+
+
+def thumbnails(media: DataFrame, max_side: int = 128) -> DataFrame:
+    """Area-resampled thumbnails, re-encoded as PNG."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for ref, content in zip(pdf["media_ref"], pdf["content"]):
+                img = decode_gray(bytes(content))
+                h, w = img.shape
+                scale = max(1, max(h, w) // max_side)
+                tw, th = max(1, w // scale), max(1, h // scale)
+                thumb = resize_area(img[: th * scale, : tw * scale], tw, th)
+                rows.append((ref, encode_gray(thumb), tw, th))
+            yield pd.DataFrame(
+                rows, columns=["media_ref", "thumb", "thumb_width", "thumb_height"]
+            )
+
+    return media.select("media_ref", "content").mapInPandas(run, THUMBNAIL_SCHEMA)
+
+
+def image_features(media: DataFrame, ink_threshold: int = 128) -> DataFrame:
+    """Cheap visual features: ink fraction, edge density, 16-bin row profile."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for ref, content in zip(pdf["media_ref"], pdf["content"]):
+                img = decode_gray(bytes(content))
+                ink = img < ink_threshold
+                edges = np.abs(np.diff(ink.astype(np.int8), axis=1)).sum()
+                h = img.shape[0]
+                bins = np.array_split(ink.sum(axis=1), 16)
+                profile = [float(b.mean()) for b in bins]
+                rows.append(
+                    (ref, float(ink.mean()), float(edges / ink.size), profile)
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["media_ref", "ink_fraction", "edge_density", "row_profile"],
+            )
+
+    return media.select("media_ref", "content").mapInPandas(run, IMAGE_FEATURES_SCHEMA)
+
+
+def _fake_signal(ref: str, content: bytes, n: int) -> np.ndarray:
+    """Deterministic pseudo-signal derived from the media bytes (stub body
+    for environments without audio/video codecs)."""
+    seed = int.from_bytes(hashlib.md5(ref.encode() + content[:64]).digest()[:8], "big")
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal(n)
+
+
+def audio_features(media: DataFrame, deterministic_fake: bool = False) -> DataFrame:
+    """Audio decode + MFCC-ish features.
+
+    STUB: no audio codec ships in this container.  The Spark plumbing
+    (schema, Arrow batching) is real; with ``deterministic_fake`` the
+    decode step is a seeded fake, otherwise it raises NotImplementedError
+    (replace ``_decode`` with a real codec on a production cluster).
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def _decode(ref: str, content: bytes) -> tuple[np.ndarray, int]:
+            if not deterministic_fake:
+                raise NotImplementedError(
+                    "audio decoding requires a codec library not present in "
+                    "this container; pass deterministic_fake=True to exercise "
+                    "the pipeline plumbing"
+                )
+            return _fake_signal(ref, content, 16000), 16000
+
+        for pdf in batches:
+            rows = []
+            for ref, content in zip(pdf["media_ref"], pdf["content"]):
+                signal, sr = _decode(ref, bytes(content))
+                rms = float(np.sqrt(np.mean(signal**2)))
+                spec = np.abs(np.fft.rfft(signal[:2048]))
+                mfcc = [float(np.log1p(b.mean())) for b in np.array_split(spec, 8)]
+                rows.append((ref, len(signal), sr, rms, mfcc))
+            yield pd.DataFrame(
+                rows, columns=["media_ref", "n_samples", "sample_rate", "rms", "mfcc"]
+            )
+
+    return media.select("media_ref", "content").mapInPandas(run, AUDIO_FEATURES_SCHEMA)
+
+
+def video_frame_sample(
+    media: DataFrame, every_n: int = 10, deterministic_fake: bool = False
+) -> DataFrame:
+    """Frame sampling (1 row in -> N frame rows out, UDTF-shaped).
+
+    STUB decode, same policy as audio_features; fake mode emits PNG frames
+    derived deterministically from the media bytes.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def _frames(ref: str, content: bytes) -> list[np.ndarray]:
+            if not deterministic_fake:
+                raise NotImplementedError(
+                    "video decoding requires a codec library not present in "
+                    "this container; pass deterministic_fake=True to exercise "
+                    "the pipeline plumbing"
+                )
+            sig = _fake_signal(ref, content, 3 * 16 * 16)
+            arr = ((sig - sig.min()) / (sig.ptp() + 1e-9) * 255).astype(np.uint8)
+            return [arr[i * 256 : (i + 1) * 256].reshape(16, 16) for i in range(3)]
+
+        for pdf in batches:
+            rows = []
+            for ref, content in zip(pdf["media_ref"], pdf["content"]):
+                for i, frame in enumerate(_frames(ref, bytes(content))):
+                    rows.append((ref, i * every_n, encode_gray(frame)))
+            yield pd.DataFrame(rows, columns=["media_ref", "frame_index", "frame"])
+
+    return media.select("media_ref", "content").mapInPandas(run, VIDEO_FRAMES_SCHEMA)

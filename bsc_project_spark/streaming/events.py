@@ -1,0 +1,170 @@
+"""Structured Streaming operators over an events stream.
+
+The reference is pure batch (SURVEY.md §2f), but a 100 TB training-data
+engine ingests continuously; these are the streaming counterparts of the
+batch aggregations, built on watermarked windows and
+``applyInPandasWithState`` (the custom-stateful-operator path).
+
+All transformations take a DataFrame (batch or streaming — same code, the
+Structured Streaming contract) with columns
+(event_id long, ts timestamp, user_id long, event_type string, value double).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+
+def windowed_event_counts(
+    events: DataFrame, window: str = "1 minute", watermark: str = "2 minutes"
+) -> DataFrame:
+    """Tumbling-window counts/sums per event type with late-data watermark."""
+    src = events.withColumn("ts", F.col("ts").cast("timestamp"))  # NTZ -> LTZ
+    if events.isStreaming:
+        src = src.withWatermark("ts", watermark)
+    return (
+        src.groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"), F.sum("value").alias("sum_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+SESSION_OUTPUT = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("session_start", TimestampType()),
+        StructField("session_end", TimestampType()),
+        StructField("n_events", LongType()),
+        StructField("sum_value", DoubleType()),
+    ]
+)
+
+SESSION_STATE = StructType(
+    [
+        StructField("start_us", LongType()),
+        StructField("last_us", LongType()),
+        StructField("n_events", LongType()),
+        StructField("sum_value", DoubleType()),
+    ]
+)
+
+
+def sessionize(events: DataFrame, gap_seconds: int = 1800) -> DataFrame:
+    """Gap-based sessionization per user via applyInPandasWithState.
+
+    Emits a row per CLOSED session (a new event more than ``gap_seconds``
+    after the previous one closes the running session); on processing-time
+    timeout the open session is flushed.  This is the engine's custom
+    stateful streaming operator (SURVEY.md §2f notes the reference has
+    none; the north-star engine needs one for continuous ingest).
+    """
+    gap_us = gap_seconds * 1_000_000
+
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        if state.hasTimedOut:
+            start_us, last_us, n, sv = state.get
+            state.remove()
+            yield pd.DataFrame(
+                [(user_id, pd.Timestamp(start_us, unit="us"),
+                  pd.Timestamp(last_us, unit="us"), n, sv)],
+                columns=[f.name for f in SESSION_OUTPUT.fields],
+            )
+            return
+
+        if state.exists:
+            start_us, last_us, n, sv = state.get
+        else:
+            start_us = last_us = -1
+            n, sv = 0, 0.0
+
+        closed: list[tuple] = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values("ts")
+            for ts, value in zip(pdf["ts"], pdf["value"]):
+                t_us = int(pd.Timestamp(ts).value // 1_000)
+                if start_us < 0:
+                    start_us = last_us = t_us
+                    n, sv = 1, float(value)
+                elif t_us - last_us > gap_us:
+                    closed.append(
+                        (user_id, pd.Timestamp(start_us, unit="us"),
+                         pd.Timestamp(last_us, unit="us"), n, sv)
+                    )
+                    start_us = last_us = t_us
+                    n, sv = 1, float(value)
+                else:
+                    last_us = max(last_us, t_us)
+                    n += 1
+                    sv += float(value)
+        state.update((start_us, last_us, n, sv))
+        state.setTimeoutDuration(gap_us // 1000)
+        if closed:
+            yield pd.DataFrame(
+                closed, columns=[f.name for f in SESSION_OUTPUT.fields]
+            )
+
+    events = events.withColumn("ts", F.col("ts").cast("timestamp"))
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=SESSION_OUTPUT,
+        stateStructType=SESSION_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )
+
+
+def run_stream_to_memory(
+    spark,
+    source_dir: str,
+    transform,
+    query_name: str,
+    output_mode: str = "append",
+):
+    """Helper: file-source stream over parquet -> transform -> memory sink,
+    processed with availableNow (drains everything, then stops).  A single
+    parquet FILE is wrapped in a temp directory (the file stream source
+    requires a directory)."""
+    import os
+    import tempfile
+
+    if os.path.isfile(source_dir):
+        d = tempfile.mkdtemp(prefix="stream_src_")
+        os.symlink(os.path.abspath(source_dir), os.path.join(d, os.path.basename(source_dir)))
+        schema = spark.read.parquet(source_dir).schema
+        source_dir = d
+    else:
+        schema = spark.read.parquet(source_dir).schema
+    stream = spark.readStream.schema(schema).parquet(source_dir)
+    out = transform(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    return spark.table(query_name)

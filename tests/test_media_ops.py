@@ -1,0 +1,64 @@
+import numpy as np
+import pytest
+
+from bsc_project_spark.fixtures import spark_io
+from bsc_project_spark.io.png import decode_gray
+from bsc_project_spark.pipeline import media_ops
+from bsc_project_spark.fixtures.render import ORIG_H, ORIG_W
+
+
+@pytest.fixture(scope="module")
+def media(spark, corpus):
+    return spark_io.media_df(spark, corpus).cache()
+
+
+def test_image_dims(spark, media):
+    rows = media_ops.image_dims(media).collect()
+    assert len(rows) == media.count()
+    for r in rows:
+        assert (r.width, r.height) == (ORIG_W, ORIG_H)
+        assert 0 <= r.mean_intensity <= 255
+
+
+def test_thumbnails_round_trip(spark, media):
+    rows = media_ops.thumbnails(media, max_side=128).collect()
+    for r in rows:
+        thumb = decode_gray(bytes(r.thumb))
+        assert thumb.shape == (r.thumb_height, r.thumb_width)
+        assert max(r.thumb_width, r.thumb_height) <= 128
+
+
+def test_image_features(spark, media):
+    rows = media_ops.image_features(media).collect()
+    for r in rows:
+        assert 0.0 <= r.ink_fraction < 0.5
+        assert len(r.row_profile) == 16
+
+
+def test_audio_stub_raises_and_fake_works(spark, media):
+    one = media.limit(1)
+    with pytest.raises(Exception, match="NotImplementedError|audio decoding"):
+        media_ops.audio_features(one).collect()
+    rows = media_ops.audio_features(one, deterministic_fake=True).collect()
+    assert rows[0].sample_rate == 16000 and len(rows[0].mfcc) == 8
+    rows2 = media_ops.audio_features(one, deterministic_fake=True).collect()
+    assert rows[0].rms == rows2[0].rms  # deterministic
+
+
+def test_video_frame_sample_fake(spark, media):
+    one = media.limit(1)
+    rows = media_ops.video_frame_sample(one, every_n=5, deterministic_fake=True).collect()
+    assert [r.frame_index for r in rows] == [0, 5, 10]
+    frame = decode_gray(bytes(rows[0].frame))
+    assert frame.shape == (16, 16)
+
+
+def test_media_ops_plans_are_vectorized(spark, media):
+    for df in (
+        media_ops.image_dims(media),
+        media_ops.thumbnails(media),
+        media_ops.image_features(media),
+    ):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "BatchEvalPython" not in plan
+        assert "MapInPandas" in plan

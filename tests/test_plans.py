@@ -1,0 +1,50 @@
+"""Physical-plan hygiene: pushdown, pruning, broadcast, no row-Python."""
+
+import os
+
+from pyspark.sql import functions as F
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
+
+
+def test_filter_and_projection_pushdown(spark):
+    df = (
+        spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+        .filter(F.col("l_quantity") > 40)
+        .select("l_orderkey", "l_quantity")
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,40.0)" in plan
+    # column pruning: scan schema carries only the two referenced columns
+    assert "l_extendedprice" not in plan.split("ReadSchema")[1][:300]
+
+
+def test_broadcast_join_for_small_dim(spark):
+    nation = spark.read.parquet(f"{SF_DIR}/nation.parquet")
+    customer = spark.read.parquet(f"{SF_DIR}/customer.parquet")
+    joined = customer.join(nation, customer.c_nationkey == nation.n_nationkey)
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
+def test_queries_have_no_row_python_udfs(spark):
+    from bsc_project_spark.queries import all_queries
+
+    for name, spec in all_queries().items():
+        plan = spec.spark(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
+        assert "BatchEvalPython" not in plan, f"{name} uses a row-at-a-time Python UDF"
+
+
+def test_extraction_broadcasts_refs_side(spark, corpus):
+    from bsc_project_spark.fixtures import spark_io
+    from bsc_project_spark.fixtures.corpus import FIXTURE_CONFIG
+    from bsc_project_spark.pipeline.extract import extract_spans
+
+    docs = spark_io.documents_df(spark, corpus)
+    media = spark_io.media_df(spark, corpus)
+    plan = (
+        extract_spans(docs, media, FIXTURE_CONFIG)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # unique-refs semi-join must be broadcast (page bytes never shuffle for it)
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
