@@ -100,6 +100,9 @@ def run_extraction_job(
             .write.mode("overwrite")
             .parquet(os.path.join(out_dir, f"lineage/bucket={bucket}"))
         )
+        result.unresolved.write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"errors/bucket={bucket}")
+        )
         result.stage.unpersist()
         committed.add(bucket)
         manifest = {

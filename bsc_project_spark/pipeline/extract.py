@@ -118,9 +118,10 @@ def _make_extract_udf(
 
 
 class ExtractResult(NamedTuple):
-    extracted: DataFrame  # (doc_id, order, kind, text, media_ref)
-    lineage: DataFrame    # per-partition metric rows from inside the UDF
-    stage: DataFrame      # persisted raw stage output (unpersist when done)
+    extracted: DataFrame   # (doc_id, order, kind, text, media_ref)
+    lineage: DataFrame     # per-partition metric rows from inside the UDF
+    stage: DataFrame       # persisted raw stage output (unpersist when done)
+    unresolved: DataFrame  # media spans whose media_ref has no media row
 
 
 def run_extract_stage(
@@ -205,6 +206,13 @@ def run_extract_stage(
         "doc_id", "offset", "row", "col", "text", "media_ref", "kind"
     )
 
+    # Quarantine channel: media spans whose ref has no media row are NOT
+    # silently dropped — they surface here (and in the checkpoint job's
+    # errors/ output) for reprocessing.
+    unresolved = media_spans.join(
+        media.select("media_ref"), on="media_ref", how="left_anti"
+    ).select("doc_id", "offset", "media_ref")
+
     all_spans = text_spans.unionByName(ocr_spans)
     w = Window.partitionBy("doc_id").orderBy("offset", "row", "col")
     extracted = all_spans.select(
@@ -214,7 +222,7 @@ def run_extract_stage(
         "text",
         "media_ref",
     )
-    return ExtractResult(extracted, lineage, stage_out)
+    return ExtractResult(extracted, lineage, stage_out, unresolved)
 
 
 def extract_spans(

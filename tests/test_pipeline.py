@@ -27,7 +27,7 @@ def test_skew_doc_equality_and_spreading(spark, skew_corpus):
     docs = spark_io.documents_df(spark, skew_corpus)
     media = spark_io.media_df(spark, skew_corpus)
     golden = spark_io.golden_df(spark, skew_corpus)
-    extracted, lineage, _ = run_extract_stage(docs, media, FIXTURE_CONFIG, persist=True)
+    extracted, lineage, _, _ = run_extract_stage(docs, media, FIXTURE_CONFIG, persist=True)
     extracted = extracted.cache()
     assert extracted.exceptAll(golden).count() == 0
     assert golden.exceptAll(extracted).count() == 0
@@ -52,7 +52,7 @@ def test_skew_doc_equality_and_spreading(spark, skew_corpus):
 def test_lineage_totals(spark, corpus):
     docs = spark_io.documents_df(spark, corpus)
     media = spark_io.media_df(spark, corpus)
-    extracted, lineage, _ = run_extract_stage(docs, media, FIXTURE_CONFIG, persist=True)
+    extracted, lineage, _, _ = run_extract_stage(docs, media, FIXTURE_CONFIG, persist=True)
     # lineage counts are per UNIQUE page; compare against golden cells of
     # the distinct referenced pages
     referenced = {
@@ -105,6 +105,24 @@ def test_reassemble_round_trip(spark, corpus):
             if g.doc_id == doc_id and g.kind == "text"
         ]
         assert texts == gold
+
+
+def test_unresolved_media_refs_quarantined(spark, corpus):
+    docs = spark_io.documents_df(spark, corpus)
+    media = spark_io.media_df(spark, corpus)
+    extra = spark.createDataFrame(
+        [("doc_dangling",
+          [("media", None, "page_99999-t", 0), ("text", "tail", None, 1)])],
+        spark_io.DOCUMENTS_SCHEMA,
+    )
+    res = run_extract_stage(docs.unionByName(extra), media, FIXTURE_CONFIG)
+    bad = res.unresolved.collect()
+    assert [(r.doc_id, r.offset, r.media_ref) for r in bad] == [
+        ("doc_dangling", 0, "page_99999-t")
+    ]
+    # the doc's resolvable spans still extract
+    tail = res.extracted.filter("doc_id = 'doc_dangling'").collect()
+    assert [(r.order, r.kind, r.text) for r in tail] == [(0, "text", "tail")]
 
 
 def test_explode_is_narrow(spark, corpus):
