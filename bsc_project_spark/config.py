@@ -31,6 +31,13 @@ class ExtractConfig:
     target_width: int = 1600
     target_height: int = 1248
 
+    # Optional shear-deskew between binarization and morphology (engine
+    # extension; the reference pipeline has no deskew op — its margin
+    # detection assumes upright scans).  Off by default to pin reference
+    # semantics; enable for skewed corpora.
+    deskew_enabled: bool = False
+    deskew_max_angle: float = 2.0
+
     # Margin detection (reference scripts/dataset.py:8-29)
     vline_kernel_h: int = 50
     vline_profile_frac: float = 0.15

@@ -157,6 +157,57 @@ def adaptive_threshold_gaussian(
     return out
 
 
+def estimate_skew(binary: np.ndarray, max_angle_deg: float = 2.0, steps: int = 21) -> float:
+    """Estimate small page skew (degrees) by maximizing the variance of the
+    horizontal ink projection over candidate shear angles.
+
+    Classical deskew (the north-star's 'deskew' step): text lines are
+    horizontal runs, so the row-ink histogram is sharpest (max variance)
+    when the shear cancels the skew.  Works on the binarized page; columns
+    are shifted by round(tan(angle) * x) — exact for the small angles
+    scanned pages exhibit.
+    """
+    ink = binary < 128
+    h, w = ink.shape
+    if not ink.any():
+        return 0.0
+    col_ink = ink.sum(axis=0).astype(np.float64)
+    xs = np.arange(w)
+    best_angle, best_score = 0.0, -1.0
+    for angle in np.linspace(-max_angle_deg, max_angle_deg, steps):
+        shift = np.rint(np.tan(np.deg2rad(angle)) * xs).astype(np.int64)
+        # histogram of (row + shift[col]) over ink pixels, computed
+        # column-wise: rows of column x land in bins rows+shift[x]
+        profile = np.zeros(h + int(abs(shift).max()) * 2 + 1, dtype=np.float64)
+        base = int(abs(shift).max())
+        for x in np.nonzero(col_ink)[0]:
+            rows = np.nonzero(ink[:, x])[0]
+            np.add.at(profile, rows + shift[x] + base, 1.0)
+        score = float(profile.var())
+        if score > best_score:
+            best_score, best_angle = score, float(angle)
+    return best_angle
+
+
+def deskew(img: np.ndarray, angle_deg: float, fill: int = 255) -> np.ndarray:
+    """Cancel a small skew by vertical column shear (round(tan(a) * x))."""
+    if angle_deg == 0.0:
+        return img
+    h, w = img.shape
+    shift = np.rint(np.tan(np.deg2rad(angle_deg)) * np.arange(w)).astype(np.int64)
+    out = np.full_like(img, fill)
+    for s in np.unique(shift):
+        cols = shift == s
+        s = int(s)
+        if s == 0:
+            out[:, cols] = img[:, cols]
+        elif s > 0:
+            out[: h - s, cols] = img[s:, cols]
+        else:
+            out[-s:, cols] = img[: h + s, cols]
+    return out
+
+
 def binarize_fused(img: np.ndarray, block_size: int = 13, c: float = 12.0) -> np.ndarray:
     """blur3 + adaptive Gaussian threshold in ONE strip pass — byte-identical
     to adaptive_threshold_gaussian(gaussian_blur3(img)), but the blurred
@@ -416,6 +467,10 @@ def preprocess(gray: np.ndarray, cfg: ExtractConfig) -> np.ndarray:
     stack at scripts/dataset.py:56 is a model-input formality we drop).
     """
     img = binarize_fused(gray, cfg.adaptive_block_size, cfg.adaptive_c)
+    if cfg.deskew_enabled:
+        # estimate returns the content's skew; applying the negated angle
+        # cancels it (deskew(deskew(img, a), -a) == img up to edge fill)
+        img = deskew(img, -estimate_skew(img, cfg.deskew_max_angle))
     # OPEN x2 bit-packed: white foreground, erode border = foreground,
     # dilate border = background (cv2 defaults; same result as
     # morph_open(img, 3, 3, iterations=2))

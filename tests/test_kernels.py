@@ -325,3 +325,38 @@ def test_pad_for_ocr_min_size():
     out = pad_for_ocr(crop, 32)
     assert out.shape == (32, 32)
     assert (out[:10, :12] == 0).all() and out[31, 31] == 255
+
+
+# ---------------------------------------------------------------------------
+# deskew (engine extension; off by default — reference has no deskew op)
+# ---------------------------------------------------------------------------
+
+def test_estimate_skew_recovers_applied_shear():
+    from bsc_project_spark.kernels.imgproc import deskew, estimate_skew
+
+    # synthetic page: three horizontal text lines on white
+    img = np.full((200, 300), 255, dtype=np.uint8)
+    for y0 in (40, 100, 160):
+        img[y0 : y0 + 6, 20:280] = 0
+    assert estimate_skew(img) == pytest.approx(0.0, abs=1e-9)
+    skewed = deskew(img, 1.2)  # apply a known shear
+    est = estimate_skew(skewed, max_angle_deg=2.0, steps=41)
+    # estimate returns the content's skew; preprocess applies deskew(-est)
+    assert abs(est - 1.2) <= 0.15  # recovered within one scan step
+
+
+def test_deskew_roundtrip_preserves_interior_ink():
+    from bsc_project_spark.kernels.imgproc import deskew
+
+    img = np.full((100, 120), 255, dtype=np.uint8)
+    img[45:55, 10:110] = 0
+    back = deskew(deskew(img, 1.0), -1.0)
+    # interior (away from edge fill) is restored exactly
+    assert (back[20:80, :] == img[20:80, :]).all()
+
+
+def test_deskew_zero_angle_identity():
+    from bsc_project_spark.kernels.imgproc import deskew
+
+    img = np.random.default_rng(0).integers(0, 256, (50, 60)).astype(np.uint8)
+    assert (deskew(img, 0.0) == img).all()
