@@ -87,6 +87,33 @@ def _window_reduce(p: np.ndarray, size: int, axis: int, fill: bool, is_and: bool
     return acc
 
 
+def open_u8(img: np.ndarray, kh: int, kw: int) -> np.ndarray:
+    """Morphological OPEN on a {0,255} uint8 image, entirely in the packed
+    domain: pack once, erode (border=foreground) then dilate
+    (border=background) on bit-planes, unpack once to {0,255} uint8.
+
+    Byte-identical to
+    ``where(binary_filter(binary_filter(img>0, kh,kw, erode,border=True),
+    kh,kw, dilate,border=False), 255, 0)`` but skips the two bool
+    materializations and the final where pass — three full-image
+    temporaries (~18 MB/page at scan resolution) that the fleet-width
+    DRAM budget cannot afford."""
+    w = img.shape[1]
+    rem = w % 8
+    p = np.packbits(img, axis=1)  # nonzero -> 1
+    if rem:  # erode assumes foreground outside the image
+        p[:, -1] |= (1 << (8 - rem)) - 1
+    p = _window_reduce(p, kh, 0, True, True)
+    p = _window_reduce(p, kw, 1, True, True)
+    if rem:  # dilate assumes background outside
+        p[:, -1] &= np.uint8(0xFF ^ ((1 << (8 - rem)) - 1))
+    p = _window_reduce(p, kh, 0, False, False)
+    p = _window_reduce(p, kw, 1, False, False)
+    out = np.unpackbits(p, axis=1, count=w)
+    out *= np.uint8(255)
+    return out
+
+
 def binary_filter(
     mask: np.ndarray, kh: int, kw: int, erode: bool, border: bool
 ) -> np.ndarray:

@@ -17,7 +17,7 @@ from __future__ import annotations
 import numpy as np
 
 from ..config import ExtractConfig
-from .imgproc import preprocess
+from .imgproc import deskew_gray, preprocess
 from .ocr import crop_cell, decode_cell, pad_for_ocr
 from .postprocess import extract_row_col_bboxes, post_process_mask, scale_bbox
 from .segment import segment_page
@@ -27,6 +27,7 @@ def extract_page(
     gray: np.ndarray, cfg: ExtractConfig, glyph_scale: int
 ) -> list[tuple[int, int, str]]:
     """Extract ordered (row, col, text) cells from one grayscale page."""
+    gray = deskew_gray(gray, cfg)  # no-op unless cfg.deskew_enabled
     h_orig, w_orig = gray.shape
     binary = preprocess(gray, cfg)
     h_res, w_res = binary.shape

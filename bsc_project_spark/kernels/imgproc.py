@@ -139,22 +139,54 @@ def adaptive_threshold_gaussian(
     h, w = img.shape
     padded = _pad(img, r, r, "replicate")  # uint8, cheap
     out = np.empty((h, w), dtype=np.uint8)
-    strip = max(32, (1 << 20) // (4 * (w + 2 * r)))  # ~1 MB float32 strip
+    strip = max(32, (1 << 17) // (4 * (w + 2 * r)))  # ~128 KB float32 strip:
+    # fits per-core L2 even with 32 concurrent workers (1 MB strips won
+    # benchmarks single-process but lose ~20% under full-width contention)
     thr_c = np.float32(c)
     for y0 in range(0, h, strip):
         y1 = min(h, y0 + strip)
         sub = padded[y0 : y1 + 2 * r].astype(np.float32)
         n = y1 - y0
-        tmp = k[0] * sub[0:n]
-        for i in range(1, block_size):
-            tmp += k[i] * sub[i : i + n]
-        acc = k[0] * tmp[:, 0:w]
-        for i in range(1, block_size):
-            acc += k[i] * tmp[:, i : i + w]
+        tmp = _sep_gauss_vertical(sub, k, n)
+        acc = _sep_gauss_horizontal(tmp, k, w)
         np.rint(acc, out=acc)  # mean of uint8: already in [0,255]
         acc -= thr_c
         out[y0:y1] = np.where(img[y0:y1] > acc, np.uint8(maxval), np.uint8(0))
     return out
+
+
+def _sep_gauss_vertical(sub: np.ndarray, k: np.ndarray, n: int) -> np.ndarray:
+    """Vertical pass of the separable Gaussian over strip rows.
+
+    Exploits kernel symmetry (k[i] == k[L-1-i]): each mirrored tap pair is
+    added first, then scaled once — half the multiply-add sweeps of the
+    naive tap loop, which matters because these float32 sweeps are the
+    dominant DRAM traffic of the whole page pipeline.  MUST stay
+    op-for-op identical to _sep_gauss_horizontal's order: binarize_fused
+    and adaptive_threshold_gaussian both route through these helpers, and
+    the fused==two-step byte-parity test pins the summation order.
+    """
+    L = len(k)
+    r = L // 2
+    tmp = k[r] * sub[r : r + n]
+    buf = np.empty_like(tmp)
+    for i in range(r):
+        np.add(sub[i : i + n], sub[L - 1 - i : L - 1 - i + n], out=buf)
+        buf *= k[i]
+        tmp += buf
+    return tmp
+
+
+def _sep_gauss_horizontal(tmp: np.ndarray, k: np.ndarray, w: int) -> np.ndarray:
+    L = len(k)
+    r = L // 2
+    acc = k[r] * tmp[:, r : r + w]
+    buf = np.empty_like(acc)
+    for i in range(r):
+        np.add(tmp[:, i : i + w], tmp[:, L - 1 - i : L - 1 - i + w], out=buf)
+        buf *= k[i]
+        acc += buf
+    return acc
 
 
 def estimate_skew(binary: np.ndarray, max_angle_deg: float = 2.0, steps: int = 21) -> float:
@@ -189,6 +221,22 @@ def estimate_skew(binary: np.ndarray, max_angle_deg: float = 2.0, steps: int = 2
     return best_angle
 
 
+def deskew_gray(gray: np.ndarray, cfg: ExtractConfig) -> np.ndarray:
+    """Deskew the GRAY page (when cfg.deskew_enabled): estimate the skew on
+    a binarized view, cancel it on the gray source.
+
+    Must run on the gray page, before everything else: bboxes are computed
+    in deskewed mask space but OCR crops slice the gray page
+    (kernels/golden.extract_page), so deskewing only the binarized/mask
+    path would misalign crops by tan(angle)*x pixels — more than a row
+    height at page width for a 1-degree skew."""
+    if not cfg.deskew_enabled:
+        return gray
+    binary = binarize_fused(gray, cfg.adaptive_block_size, cfg.adaptive_c)
+    angle = estimate_skew(binary, cfg.deskew_max_angle)
+    return deskew(gray, -angle) if angle else gray
+
+
 def deskew(img: np.ndarray, angle_deg: float, fill: int = 255) -> np.ndarray:
     """Cancel a small skew by vertical column shear (round(tan(a) * x))."""
     if angle_deg == 0.0:
@@ -221,9 +269,11 @@ def binarize_fused(img: np.ndarray, block_size: int = 13, c: float = 12.0) -> np
     # (replicate of the *blurred* image == blurring a replicate-extended
     # image does NOT hold at edges, so build the blurred halo explicitly:
     # blur the reflect-101-padded raw, then edge-replicate the result)
-    raw = _pad(img, 1, 1, "reflect101").astype(np.uint16)
+    # keep the padded source uint8: each strip upcasts its own slice in
+    # L2, so DRAM reads the page once at 1 byte/px instead of 2
+    raw = _pad(img, 1, 1, "reflect101")
     out = np.empty((h, w), dtype=np.uint8)
-    strip = max(32, (1 << 20) // (4 * (w + 2 * r)))
+    strip = max(32, (1 << 17) // (4 * (w + 2 * r)))  # 128 KB: see adaptive_threshold_gaussian
     thr_c = np.float32(c)
     blur_cache: dict[int, np.ndarray] = {}
 
@@ -231,7 +281,7 @@ def binarize_fused(img: np.ndarray, block_size: int = 13, c: float = 12.0) -> np
         """blur3 of raw rows [y0, y1) (image coords, may exceed bounds ->
         replicate), returns float32 (y1-y0, w+2r) with replicate x-halo."""
         y0c, y1c = max(0, y0), min(h, y1)
-        p = raw[y0c : y1c + 2]
+        p = raw[y0c : y1c + 2].astype(np.uint16)
         n = y1c - y0c
         tmp = p[0:n] + 2 * p[1 : n + 1] + p[2 : n + 2]
         row = tmp[:, 0:w] + 2 * tmp[:, 1 : w + 1] + tmp[:, 2 : w + 2]
@@ -243,12 +293,8 @@ def binarize_fused(img: np.ndarray, block_size: int = 13, c: float = 12.0) -> np
         y1 = min(h, y0 + strip)
         n = y1 - y0
         sub = blurred_rows(y0 - r, y1 + r)
-        tmp = k[0] * sub[0:n]
-        for i in range(1, block_size):
-            tmp += k[i] * sub[i : i + n]
-        acc = k[0] * tmp[:, 0:w]
-        for i in range(1, block_size):
-            acc += k[i] * tmp[:, i : i + w]
+        tmp = _sep_gauss_vertical(sub, k, n)
+        acc = _sep_gauss_horizontal(tmp, k, w)
         np.rint(acc, out=acc)
         acc -= thr_c
         # compare against the BLURRED pixel (reference thresholds the
@@ -419,6 +465,15 @@ def resize_area(img: np.ndarray, target_w: int, target_h: int) -> np.ndarray:
         return img.astype(np.uint8)
     if h % target_h == 0 and w % target_w == 0:
         fy, fx = h // target_h, w // target_w
+        if fy == 2 and fx == 2:
+            # 2x2 block mean via strided uint16 adds + rint lookup table —
+            # no float temporaries (identical results: LUT[s] = rint(s/4))
+            sums = img[0::2, 0::2].astype(np.uint16)
+            sums += img[1::2, 0::2]
+            sums += img[0::2, 1::2]
+            sums += img[1::2, 1::2]
+            lut = np.rint(np.arange(1021, dtype=np.float64) / 4.0).astype(np.uint8)
+            return lut[sums]
         sums = img.reshape(target_h, fy, target_w, fx).astype(np.uint32).sum(axis=(1, 3))
         out = np.rint(sums.astype(np.float32) / (fy * fx))
         return out.astype(np.uint8)
@@ -467,18 +522,12 @@ def preprocess(gray: np.ndarray, cfg: ExtractConfig) -> np.ndarray:
     stack at scripts/dataset.py:56 is a model-input formality we drop).
     """
     img = binarize_fused(gray, cfg.adaptive_block_size, cfg.adaptive_c)
-    if cfg.deskew_enabled:
-        # estimate returns the content's skew; applying the negated angle
-        # cancels it (deskew(deskew(img, a), -a) == img up to edge fill)
-        img = deskew(img, -estimate_skew(img, cfg.deskew_max_angle))
-    # OPEN x2 bit-packed: white foreground, erode border = foreground,
-    # dilate border = background (cv2 defaults; same result as
+    # OPEN x2 bit-packed end-to-end: white foreground, erode border =
+    # foreground, dilate border = background (cv2 defaults; same result as
     # morph_open(img, 3, 3, iterations=2))
-    from .bitmorph import binary_filter
+    from .bitmorph import open_u8
 
-    white = binary_filter(img > 0, 5, 5, erode=True, border=True)
-    white = binary_filter(white, 5, 5, erode=False, border=False)
-    img = np.where(white, np.uint8(255), np.uint8(0))
+    img = open_u8(img, 5, 5)
     lb, rb = find_vertical_line_bounds(img, cfg)
     img = whiteout_margins(img, lb, rb)
     img = resize_area(img, cfg.target_width, cfg.target_height)

@@ -360,3 +360,38 @@ def test_deskew_zero_angle_identity():
 
     img = np.random.default_rng(0).integers(0, 256, (50, 60)).astype(np.uint8)
     assert (deskew(img, 0.0) == img).all()
+
+
+def test_extract_page_with_deskew_recovers_skewed_page():
+    """End-to-end: a sheared page + deskew_enabled extracts the same cells
+    as the upright page.  Guards the crop-alignment contract: deskew must
+    be applied to the GRAY page before bbox extraction AND cropping — a
+    mask-only deskew would leave OCR crops misaligned by tan(a)*x px."""
+    import dataclasses
+
+    from bsc_project_spark.fixtures.corpus import FIXTURE_CONFIG, page_spec
+    from bsc_project_spark.fixtures.render import GLYPH_SCALE, render_page
+    from bsc_project_spark.kernels.golden import extract_page
+    from bsc_project_spark.kernels.imgproc import deskew
+
+    spec = page_spec(0)
+    upright = render_page(spec)
+    expected = extract_page(upright, FIXTURE_CONFIG, GLYPH_SCALE)
+    assert expected  # page 0 has cells
+
+    skewed = deskew(upright, 0.9)
+    cfg = dataclasses.replace(FIXTURE_CONFIG, deskew_enabled=True, deskew_max_angle=2.0)
+    got = extract_page(skewed, cfg, GLYPH_SCALE)
+    assert got == expected
+
+
+def test_open_u8_matches_binary_filter_composition():
+    from bsc_project_spark.kernels.bitmorph import binary_filter, open_u8
+
+    rng = np.random.default_rng(11)
+    for h, w in [(40, 40), (33, 57), (16, 8), (20, 13)]:
+        img = np.where(rng.random((h, w)) < 0.5, np.uint8(255), np.uint8(0))
+        white = binary_filter(img > 0, 5, 5, erode=True, border=True)
+        white = binary_filter(white, 5, 5, erode=False, border=False)
+        expected = np.where(white, np.uint8(255), np.uint8(0))
+        assert np.array_equal(open_u8(img, 5, 5), expected), (h, w)
