@@ -222,3 +222,34 @@ def build_corpus(
         golden=pd.DataFrame(golden_rows),
         intended=pd.DataFrame(intended_rows),
     )
+
+
+def build_golden_masks(n_pages: int) -> pd.DataFrame:
+    """golden_masks(media_ref, h, w, rle) — FIXTURES.md §5.
+
+    The post-processed class mask (preprocess -> segment ->
+    post_process_mask, reference scripts/post_process.py:176-195) of each
+    fixture page, RLE-encoded.  The single-process golden counterpart of
+    pipeline/masks.segment_masks; mask-level regression catches kernel
+    drift that span-level equality could mask (e.g. a bbox shifted within
+    the same decoded text)."""
+    from ..kernels.imgproc import preprocess
+    from ..kernels.postprocess import post_process_mask
+    from ..kernels.rle import mask_to_rle
+    from ..kernels.segment import segment_page
+
+    rows = []
+    for page_idx in range(n_pages):
+        pair, k = divmod(page_idx, 2)
+        ref = _page_refs(pair)[k]
+        img = render_page(page_spec(page_idx))
+        mask = post_process_mask(segment_page(preprocess(img, FIXTURE_CONFIG), FIXTURE_CONFIG), FIXTURE_CONFIG)
+        rows.append(
+            {
+                "media_ref": ref,
+                "h": mask.shape[0],
+                "w": mask.shape[1],
+                "rle": [{"class": c, "run": r} for c, r in mask_to_rle(mask)],
+            }
+        )
+    return pd.DataFrame(rows)

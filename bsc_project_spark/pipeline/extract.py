@@ -117,6 +117,84 @@ def _make_extract_udf(
     return extract_batches
 
 
+def _partition_tokens(spark: SparkSession, n: int) -> list[int]:
+    """token[b] is an int that repartition(n, col) routes to shuffle
+    partition b.  Spark's HashPartitioning places a row at
+    pmod(murmur3(col), n); we invert it by probing small ints with the
+    same expression (F.hash == Murmur3Hash), so a computed bin id can be
+    routed to EXACTLY that partition — plain hash-partitioning on the bin
+    id would collide bins (balls-into-bins) and undo the balancing."""
+    probe = (
+        spark.range(0, max(n * 64, 256))
+        .select(
+            F.col("id").cast("int").alias("v"),
+            F.pmod(F.hash(F.col("id").cast("int")), F.lit(n)).alias("p"),
+        )
+        .collect()
+    )
+    tokens: dict[int, int] = {}
+    for r in probe:
+        tokens.setdefault(r.p, r.v)
+        if len(tokens) == n:
+            break
+    return [tokens.get(b, b) for b in range(n)]
+
+
+def assign_size_bins(sizes: DataFrame, n_bins: int) -> DataFrame:
+    """(media_ref, sz) -> (media_ref, bin) with near-LPT total-size balance.
+
+    Serpentine striping over the size-descending order: pass 0 deals bins
+    0..P-1, pass 1 deals P-1..0, ... — each bin gets one page per pass and
+    the boustrophedon order cancels the within-pass size drift, so
+    max(bin_bytes)/mean(bin_bytes) stays within a few percent of the LPT
+    greedy optimum for realistic size distributions (and degenerates to
+    exact round-robin when sizes are uniform).
+
+    The window is global (single task) but runs over SKINNY rows
+    (media_ref, sz) only — at production scale the refs of one checkpoint
+    bucket are bounded (same argument as the broadcast semi-join in
+    run_extract_stage), so this never sorts image bytes.
+    """
+    w = Window.orderBy(F.desc("sz"), "media_ref")
+    rn = F.row_number().over(w) - F.lit(1)
+    pos = rn % F.lit(n_bins)
+    fwd = (rn / F.lit(n_bins)).cast("long") % 2 == 0
+    return sizes.select(
+        "media_ref",
+        F.when(fwd, pos).otherwise(F.lit(n_bins - 1) - pos).cast("int").alias("bin"),
+    )
+
+
+def repartition_by_size(
+    pages: DataFrame, n_parts: int, sizes: DataFrame | None = None
+) -> DataFrame:
+    """Spread (media_ref, content) rows over n_parts shuffle partitions
+    balancing total BYTES per partition, not row counts.  One byte-shuffle,
+    same as a plain repartition; the planning side-channel (sizes window +
+    bin join) touches only skinny columns.  Replaces round-robin for
+    corpora with variable page sizes (open risk in SURVEY.md §7: one giant
+    page can't be split, but it no longer drags a full round-robin share
+    of other pages with it).
+
+    ``sizes``: optional (media_ref, sz) frame.  Pass one derived from
+    METADATA columns (e.g. width*height) so the sizing branch's scan is
+    column-pruned to skinny columns — the default F.length(content) is
+    convenient but re-reads the byte column in the planning branch, which
+    a 100 TB media table cannot afford."""
+    spark = pages.sparkSession
+    if sizes is None:
+        sizes = pages.select("media_ref", F.length("content").alias("sz"))
+    bins = assign_size_bins(sizes, n_parts)
+    tokens = _partition_tokens(spark, n_parts)
+    token_arr = F.array(*[F.lit(t) for t in tokens])
+    routed = pages.join(F.broadcast(bins), on="media_ref", how="inner").select(
+        "media_ref",
+        "content",
+        F.element_at(token_arr, F.col("bin") + 1).alias("_route"),
+    )
+    return routed.repartition(n_parts, "_route").drop("_route")
+
+
 class ExtractResult(NamedTuple):
     extracted: DataFrame   # (doc_id, order, kind, text, media_ref)
     lineage: DataFrame     # per-partition metric rows from inside the UDF
@@ -176,14 +254,23 @@ def run_extract_stage(
     )
     # Only shuffle the pages if the scan doesn't already give enough
     # parallelism (small row groups + maxPartitionBytes make a parquet
-    # media table split wide for free).  Round-robin repartitioning gives
-    # EXACT count balance — with hash(media_ref) the busiest of P
-    # partitions carries ~3x the mean page count, and that tail task sets
-    # the stage wall time.  (For wildly varying page sizes a size-aware
-    # bin-packing salt would replace this; fixture/bench pages are uniform.)
+    # media table split wide for free).  The shuffle is SIZE-AWARE
+    # bin-packing (serpentine over size order, exact bin->partition
+    # routing): byte-balanced partitions, so one giant page doesn't drag a
+    # full round-robin share of ordinary pages into its task.  Page size
+    # comes from metadata columns (width*height) when available so the
+    # planning branch never re-reads image bytes; uniform sizes degrade to
+    # exact round-robin striping.
     cores = spark.sparkContext.defaultParallelism
     if unique_pages.rdd.getNumPartitions() < cores:
-        unique_pages = unique_pages.repartition(n_parts)
+        if {"width", "height"} <= set(media.columns):
+            sizes = media.join(F.broadcast(refs), on="media_ref", how="left_semi").select(
+                "media_ref",
+                (F.col("width").cast("long") * F.col("height")).alias("sz"),
+            )
+        else:
+            sizes = None
+        unique_pages = repartition_by_size(unique_pages, n_parts, sizes)
 
     stage_out = unique_pages.mapInPandas(_make_extract_udf(cfg), schema=EXTRACT_STAGE_SCHEMA)
     if persist:

@@ -1,0 +1,91 @@
+"""Size-aware bin-packing page distribution (pipeline/extract.py).
+
+Round-robin balances page COUNTS; these tests pin the size-aware path:
+near-LPT byte balance per partition, exact bin->partition routing, and
+degeneration to round-robin striping on uniform sizes.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from bsc_project_spark.pipeline.extract import (
+    _partition_tokens,
+    assign_size_bins,
+    repartition_by_size,
+)
+
+
+def test_partition_tokens_route_exactly(spark):
+    for n in (3, 8, 13):
+        tokens = _partition_tokens(spark, n)
+        assert len(tokens) == n
+        got = (
+            spark.createDataFrame([(t,) for t in tokens], "v int")
+            .select(F.pmod(F.hash("v"), F.lit(n)).alias("p"))
+            .collect()
+        )
+        assert sorted(r.p for r in got) == list(range(n))
+
+
+def test_assign_size_bins_balances_skewed_sizes(spark):
+    # pathological mix: a few giant pages + a long tail of small ones
+    sizes = [(f"p{i:03d}", 1_000_000 if i < 4 else 10_000 + i) for i in range(64)]
+    df = spark.createDataFrame(sizes, "media_ref string, sz long")
+    bins = assign_size_bins(df, 8).join(df, "media_ref")
+    per_bin = (
+        bins.groupBy("bin").agg(F.sum("sz").alias("b"), F.count("*").alias("n")).collect()
+    )
+    assert len(per_bin) == 8
+    loads = [r.b for r in per_bin]
+    # every bin got one giant OR only-small pages; serpentine keeps the
+    # byte spread tight: max load within 2x of mean (round-robin by
+    # insertion order could stack all 4 giants into adjacent bins)
+    assert max(loads) <= 2.0 * (sum(loads) / len(loads))
+    # count balance is preserved too (64 pages / 8 bins)
+    assert {r.n for r in per_bin} == {8}
+
+
+def test_assign_size_bins_uniform_is_round_robin(spark):
+    df = spark.createDataFrame(
+        [(f"p{i:02d}", 100) for i in range(16)], "media_ref string, sz long"
+    )
+    rows = assign_size_bins(df, 4).orderBy("media_ref").collect()
+    # uniform sizes: ties broken by media_ref; serpentine deals 0123 3210 ...
+    assert [r.bin for r in rows] == [0, 1, 2, 3, 3, 2, 1, 0, 0, 1, 2, 3, 3, 2, 1, 0]
+
+
+def test_repartition_by_size_byte_balance(spark):
+    # giant pages (1 MB) among small (1 KB): partition byte loads must be
+    # near-equal, which round-robin by count cannot guarantee
+    rows = [
+        (f"p{i:03d}", bytes([i % 251]) * (1_000_000 if i % 8 == 0 else 1_000))
+        for i in range(32)
+    ]
+    pages = spark.createDataFrame(rows, "media_ref string, content binary")
+    routed = repartition_by_size(pages, 4)
+    per_part = (
+        routed.select(
+            F.spark_partition_id().alias("pid"), F.length("content").alias("sz")
+        )
+        .groupBy("pid")
+        .agg(F.sum("sz").alias("b"))
+        .collect()
+    )
+    assert len(per_part) == 4
+    loads = [r.b for r in per_part]
+    mean = sum(loads) / len(loads)
+    assert max(loads) <= 1.5 * mean
+    # no page lost or duplicated by the routing join
+    assert routed.count() == 32
+    assert routed.select("media_ref").distinct().count() == 32
+
+
+def test_repartition_by_size_handles_fewer_pages_than_bins(spark):
+    pages = spark.createDataFrame(
+        [("a", b"xx"), ("b", b"yyyy")], "media_ref string, content binary"
+    )
+    routed = repartition_by_size(pages, 8)
+    assert routed.count() == 2
+    assert routed.rdd.getNumPartitions() == 8
