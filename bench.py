@@ -11,7 +11,9 @@ Prints ONE JSON line:
 Env knobs:
   SPARK_GRAFT_SF_DIR      testdata dir (default /root/testdata/sf0.1)
   SPARK_GRAFT_CPUS        cores for local master (default all)
-  SPARK_GRAFT_BENCH_DOCS  corpus size in documents (default 48; 2 pages/doc)
+  SPARK_GRAFT_BENCH_DOCS  corpus size in documents (default 192; ~2 pages/doc
+                          — large enough that kernel throughput, not Spark fixed
+                          overhead, dominates the headline number)
 """
 
 from __future__ import annotations
@@ -93,7 +95,7 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    n_docs = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "48"))
+    n_docs = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "192"))
     corpus_dir = ensure_corpus(n_docs)
 
     from bsc_project_spark.pipeline.session import get_spark
