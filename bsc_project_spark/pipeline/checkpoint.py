@@ -3,17 +3,32 @@
 The north rule requires the job to be resumable from the last committed
 snapshot with per-partition lineage rows.  pyspark 4.1.2 in this sandbox
 ships no Iceberg runtime, so commits are emulated with identical semantics
-(documented fallback, SURVEY.md §7 step 5):
+(documented fallback, SURVEY.md §7 step 5): a bucket becomes *committed*
+only when the manifest JSON is atomically replaced (write-temp + rename,
+the same atomicity primitive an Iceberg snapshot commit relies on), and
+readers see only committed buckets.
 
-- the document keyspace is split into ``n_buckets`` hash buckets
-  (pmod(xxhash64(doc_id), n)) — the commit granularity
-- each bucket's extracted spans land under ``data/bucket=K/`` and its
-  lineage rows under ``lineage/bucket=K/``; a bucket becomes *committed*
-  only when the manifest JSON is atomically replaced (write-temp + rename,
-  the same atomicity primitive an Iceberg snapshot commit relies on)
-- resume = re-running the job: committed buckets are skipped (the
-  anti-join-against-committed-lineage idea of SURVEY.md Q12; with hash
-  buckets the anti-join reduces to skipping bucket ids, zero recompute)
+Two independently-resumable stages, because the unit of expensive work
+(a unique page) and the unit of output (a document) have different keys:
+
+1. **Page stage** — the distinct media_refs of the whole input are
+   snapshotted once (``refs/``), hash-bucketed by media_ref, and each
+   bucket runs the image-kernel stage exactly once, committing
+   ``cells/pbucket=K`` + ``lineage/pbucket=K``.  A page referenced by
+   documents in ten different doc-buckets is still extracted ONCE
+   globally (the single-stage design re-extracted shared pages per
+   doc-bucket).
+2. **Doc stage** — documents are hash-bucketed by doc_id
+   (pmod(xxhash64(doc_id), n)); each bucket joins the committed cells,
+   restores span order with the per-doc window, and commits
+   ``data/bucket=K`` + ``errors/bucket=K`` (quarantined unresolved refs)
+   + ``doc_lineage/bucket=K`` (doc/span counts + wall time).
+
+Resume = re-running the job: committed buckets of BOTH stages are skipped
+(the anti-join-against-committed-lineage idea of SURVEY.md Q12; with hash
+buckets the anti-join reduces to skipping bucket ids, zero recompute).
+A crash mid-page-stage resumes page extraction; a crash mid-doc-stage
+never re-runs any image kernel at all.
 
 The reference's analogue is ``ocr_generate_more_crops`` resuming crop
 numbering from files already on disk (reference
@@ -31,7 +46,17 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..config import ExtractConfig
-from .extract import LINEAGE_SCHEMA, run_extract_stage
+from .extract import (
+    assemble_spans,
+    explode_spans,
+    run_page_stage,
+    split_stage_output,
+)
+
+DOC_LINEAGE_SCHEMA = (
+    "bucket int, doc_count long, span_count long, unresolved_count long, "
+    "wall_time_ms long"
+)
 
 
 def _manifest_path(out_dir: str) -> str:
@@ -41,9 +66,18 @@ def _manifest_path(out_dir: str) -> str:
 def read_manifest(out_dir: str) -> dict:
     path = _manifest_path(out_dir)
     if not os.path.exists(path):
-        return {"run_id": None, "committed_buckets": [], "n_buckets": None}
+        return {
+            "run_id": None,
+            "committed_buckets": [],
+            "committed_page_buckets": [],
+            "n_buckets": None,
+            "n_page_buckets": None,
+        }
     with open(path) as f:
-        return json.load(f)
+        m = json.load(f)
+    m.setdefault("committed_page_buckets", [])
+    m.setdefault("n_page_buckets", None)
+    return m
 
 
 def _commit_manifest(out_dir: str, manifest: dict) -> None:
@@ -59,67 +93,139 @@ def run_extraction_job(
     cfg: ExtractConfig,
     out_dir: str,
     n_buckets: int = 4,
+    n_page_buckets: int | None = None,
     run_id: str | None = None,
     fail_after_bucket: int | None = None,
+    fail_after_page_bucket: int | None = None,
 ) -> dict:
-    """Run (or resume) the bucketed extraction job.  Returns the manifest.
+    """Run (or resume) the two-stage bucketed extraction job.  Returns the
+    manifest.
 
-    ``fail_after_bucket`` injects a crash after committing that bucket —
-    test hook for the kill/rerun resume test (SURVEY.md §5.5).
+    ``fail_after_bucket`` / ``fail_after_page_bucket`` inject a crash after
+    that bucket commits — test hooks for the kill/rerun resume tests
+    (SURVEY.md §5.5).
     """
+    spark = documents.sparkSession
     os.makedirs(out_dir, exist_ok=True)
+    n_page_buckets = n_page_buckets or n_buckets
     manifest = read_manifest(out_dir)
     if manifest["n_buckets"] not in (None, n_buckets):
         raise ValueError(
             f"bucket count mismatch: manifest has {manifest['n_buckets']}, got {n_buckets}"
         )
+    if manifest["n_page_buckets"] not in (None, n_page_buckets):
+        raise ValueError(
+            f"page-bucket count mismatch: manifest has {manifest['n_page_buckets']},"
+            f" got {n_page_buckets}"
+        )
     run_id = manifest["run_id"] or run_id or uuid.uuid4().hex[:12]
+    committed_pages = set(manifest["committed_page_buckets"])
     committed = set(manifest["committed_buckets"])
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
 
+    def commit() -> dict:
+        m = {
+            "run_id": run_id,
+            "committed_buckets": sorted(committed),
+            "committed_page_buckets": sorted(committed_pages),
+            "n_buckets": n_buckets,
+            "n_page_buckets": n_page_buckets,
+        }
+        _commit_manifest(out_dir, m)
+        return m
+
+    # ---- stage 1: pages (skipped entirely on a doc-stage-only resume) ----
+    refs_dir = os.path.join(out_dir, "refs")
+    if len(committed_pages) < n_page_buckets:
+        if not os.path.exists(os.path.join(refs_dir, "_SUCCESS")):
+            # snapshot the distinct refs once: page buckets of a resumed run
+            # see the same ref set even if `documents` changed underneath
+            (
+                explode_spans(documents)
+                .filter(F.col("kind") == "media")
+                .select("media_ref")
+                .distinct()
+                .write.mode("overwrite")
+                .parquet(refs_dir)
+            )
+        refs_all = spark.read.parquet(refs_dir)
+        pbucket_col = F.pmod(F.xxhash64("media_ref"), F.lit(n_page_buckets))
+        for pb in range(n_page_buckets):
+            if pb in committed_pages:
+                continue
+            refs_b = refs_all.filter(pbucket_col == pb)
+            # persist the raw stage so cells AND lineage consume one kernel
+            # run (deriving lineage from a second pass would re-run kernels)
+            stage = run_page_stage(media, refs_b, cfg, n_parts).persist()
+            cells, lineage = split_stage_output(stage)
+            cells.write.mode("overwrite").parquet(
+                os.path.join(out_dir, f"cells/pbucket={pb}")
+            )
+            if lineage.limit(1).count() == 0:
+                # empty page bucket (no refs hashed here, or Spark skipped
+                # empty partitions): still commit an explicit zero row so
+                # the lineage table covers every committed bucket
+                from .extract import LINEAGE_SCHEMA
+
+                lineage = spark.createDataFrame([(-1, 0, 0, 0, 0)], LINEAGE_SCHEMA)
+            (
+                lineage.withColumn("run_id", F.lit(run_id))
+                .withColumn("bucket", F.lit(pb))
+                .withColumn("committed_at_ms", F.lit(int(time.time() * 1000)))
+                .write.mode("overwrite")
+                .parquet(os.path.join(out_dir, f"lineage/pbucket={pb}"))
+            )
+            stage.unpersist()
+            committed_pages.add(pb)
+            manifest = commit()
+            if fail_after_page_bucket is not None and pb >= fail_after_page_bucket:
+                raise RuntimeError(f"injected failure after page bucket {pb}")
+
+    # ---- stage 2: documents (joins committed cells; no kernel ever reruns) ----
+    cells_all = spark.read.parquet(
+        *[os.path.join(out_dir, f"cells/pbucket={pb}") for pb in sorted(committed_pages)]
+    )
     bucket_col = F.pmod(F.xxhash64("doc_id"), F.lit(n_buckets))
     for bucket in range(n_buckets):
         if bucket in committed:
             continue
-        docs_b = documents.filter(bucket_col == bucket)
-        result = run_extract_stage(docs_b, media, cfg, persist=True)
         t0 = time.monotonic()
-        result.extracted.write.mode("overwrite").parquet(
+        docs_b = documents.filter(bucket_col == bucket)
+        extracted, unresolved = assemble_spans(docs_b, cells_all, media)
+        extracted.write.mode("overwrite").parquet(
             os.path.join(out_dir, f"data/bucket={bucket}")
         )
-        lineage = result.lineage
-        if lineage.limit(1).count() == 0:
-            # empty bucket: still commit an explicit zero lineage row so the
-            # lineage table covers every committed bucket
-            lineage = documents.sparkSession.createDataFrame(
-                [(-1, 0, 0, 0, 0)], LINEAGE_SCHEMA
-            )
-        (
-            lineage.withColumn("run_id", F.lit(run_id))
-            .withColumn("bucket", F.lit(bucket))
-            .withColumn("committed_at_ms", F.lit(int(time.time() * 1000)))
-            .write.mode("overwrite")
-            .parquet(os.path.join(out_dir, f"lineage/bucket={bucket}"))
-        )
-        result.unresolved.write.mode("overwrite").parquet(
+        unresolved.write.mode("overwrite").parquet(
             os.path.join(out_dir, f"errors/bucket={bucket}")
         )
-        result.stage.unpersist()
+        written = spark.read.parquet(os.path.join(out_dir, f"data/bucket={bucket}"))
+        stats = written.agg(
+            F.countDistinct("doc_id").alias("docs"), F.count("*").alias("spans")
+        ).collect()[0]
+        n_unresolved = spark.read.parquet(
+            os.path.join(out_dir, f"errors/bucket={bucket}")
+        ).count()
+        doc_lineage = spark.createDataFrame(
+            [(bucket, int(stats.docs), int(stats.spans), int(n_unresolved),
+              int((time.monotonic() - t0) * 1000))],
+            DOC_LINEAGE_SCHEMA,
+        )
+        (
+            doc_lineage.withColumn("run_id", F.lit(run_id))
+            .withColumn("committed_at_ms", F.lit(int(time.time() * 1000)))
+            .write.mode("overwrite")
+            .parquet(os.path.join(out_dir, f"doc_lineage/bucket={bucket}"))
+        )
         committed.add(bucket)
-        manifest = {
-            "run_id": run_id,
-            "committed_buckets": sorted(committed),
-            "n_buckets": n_buckets,
-            "last_bucket_wall_ms": int((time.monotonic() - t0) * 1000),
-        }
-        _commit_manifest(out_dir, manifest)
+        manifest = commit()
         if fail_after_bucket is not None and bucket >= fail_after_bucket:
             raise RuntimeError(f"injected failure after bucket {bucket}")
     return manifest
 
 
 def read_extracted(spark: SparkSession, out_dir: str) -> DataFrame:
-    """Read back only COMMITTED buckets (uncommitted files are invisible,
-    like reading an Iceberg snapshot)."""
+    """Read back only COMMITTED doc buckets (uncommitted files are
+    invisible, like reading an Iceberg snapshot)."""
     manifest = read_manifest(out_dir)
     paths = [
         os.path.join(out_dir, f"data/bucket={b}") for b in manifest["committed_buckets"]
@@ -130,10 +236,26 @@ def read_extracted(spark: SparkSession, out_dir: str) -> DataFrame:
 
 
 def read_lineage(spark: SparkSession, out_dir: str) -> DataFrame:
+    """Page-stage lineage rows (per shuffle partition: page/cell/char
+    counts + wall time) of committed page buckets."""
     manifest = read_manifest(out_dir)
     paths = [
-        os.path.join(out_dir, f"lineage/bucket={b}") for b in manifest["committed_buckets"]
+        os.path.join(out_dir, f"lineage/pbucket={b}")
+        for b in manifest["committed_page_buckets"]
     ]
     if not paths:
         raise ValueError(f"no committed lineage under {out_dir}")
+    return spark.read.parquet(*paths)
+
+
+def read_doc_lineage(spark: SparkSession, out_dir: str) -> DataFrame:
+    """Doc-stage lineage rows (per doc bucket: doc/span/unresolved counts +
+    wall time) of committed doc buckets."""
+    manifest = read_manifest(out_dir)
+    paths = [
+        os.path.join(out_dir, f"doc_lineage/bucket={b}")
+        for b in manifest["committed_buckets"]
+    ]
+    if not paths:
+        raise ValueError(f"no committed doc lineage under {out_dir}")
     return spark.read.parquet(*paths)

@@ -202,53 +202,23 @@ class ExtractResult(NamedTuple):
     unresolved: DataFrame  # media spans whose media_ref has no media row
 
 
-def run_extract_stage(
-    documents: DataFrame,
-    media: DataFrame,
-    cfg: ExtractConfig,
-    salt_partitions: int | None = None,
-    persist: bool = False,
-) -> ExtractResult:
-    """Run the extraction stage.
+def run_page_stage(
+    media: DataFrame, refs: DataFrame, cfg: ExtractConfig, n_parts: int
+) -> DataFrame:
+    """The expensive image stage over the UNIQUE pages named by ``refs``
+    (a (media_ref) frame): semi-join media, size-aware repartition, ONE
+    mapInPandas running K1-K21.  Returns the raw stage output (cells +
+    in-band lineage rows; split with ``split_stage_output``).
 
-    extracted: (doc_id, order, kind['text'|'ocr'], text, media_ref), order
-    dense per doc over (offset, row, col) — the golden_spans contract.
-    lineage: per-shuffle-partition metric rows from inside the UDF stage.
-    ``persist=True`` caches the raw stage output (MEMORY_AND_DISK) so that
-    consuming BOTH extracted and lineage runs the expensive image stage
-    exactly once; the caller unpersists ``stage`` afterwards.
+    Byte economics: the refs side (strings) is broadcast, so the big
+    image bytes are shuffled at most ONCE — by the explicit repartition
+    that also fixes the task count for the CPU-bound stage (AQE would
+    otherwise coalesce byte-sized partitions and starve the stage of
+    parallelism).  At 10^12-doc scale the same shape holds per checkpoint
+    bucket: the refs of one bucket are bounded, and media would be a
+    bucketed table co-partitioned by media_ref.
     """
-    spark = documents.sparkSession
-    n_parts = salt_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
-
-    spans = explode_spans(documents)
-    text_spans = spans.filter(F.col("kind") == "text").select(
-        "doc_id",
-        "offset",
-        F.lit(-1).alias("row"),
-        F.lit(-1).alias("col"),
-        "text",
-        F.lit(None).cast("string").alias("media_ref"),
-        F.lit("text").alias("kind"),
-    )
-
-    media_spans = spans.filter(F.col("kind") == "media").select(
-        "doc_id", "offset", "media_ref"
-    )
-
-    # The expensive image work runs once per UNIQUE page: distinct refs,
-    # semi-joined against media, spread uniformly by hash(media_ref).
-    # Heavy documents (many spans) and popular pages (many docs) both
-    # collapse to one kernel invocation per page.
-    #
-    # Byte economics: the refs side (strings) is broadcast, so the big
-    # image bytes are shuffled exactly ONCE — by the explicit repartition
-    # that also fixes the task count for the CPU-bound stage (AQE would
-    # otherwise coalesce byte-sized partitions and starve the stage of
-    # parallelism).  At 10^12-doc scale the same shape holds per checkpoint
-    # bucket: the refs of one bucket are bounded, and media would be a
-    # bucketed table co-partitioned by media_ref.
-    refs = media_spans.select("media_ref").distinct()
+    spark = media.sparkSession
     unique_pages = media.select("media_ref", "content").join(
         F.broadcast(refs), on="media_ref", how="left_semi"
     )
@@ -271,27 +241,50 @@ def run_extract_stage(
         else:
             sizes = None
         unique_pages = repartition_by_size(unique_pages, n_parts, sizes)
+    return unique_pages.mapInPandas(_make_extract_udf(cfg), schema=EXTRACT_STAGE_SCHEMA)
 
-    stage_out = unique_pages.mapInPandas(_make_extract_udf(cfg), schema=EXTRACT_STAGE_SCHEMA)
-    if persist:
-        stage_out = stage_out.persist(StorageLevel.MEMORY_AND_DISK)
 
+def split_stage_output(stage_out: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Raw page-stage output -> (cells, lineage)."""
     lineage = (
         stage_out.filter(F.col("kind") == "_lineage")
         .select(F.from_json(F.col("text"), LINEAGE_SCHEMA).alias("l"))
         .select("l.*")
     )
-
     cells = stage_out.filter(F.col("kind") == "ocr").select(
         "media_ref", "row", "col", "text", "kind"
     )
+    return cells, lineage
 
-    # Fan the per-page cells back out to every (doc, offset) span that
-    # references the page — a cheap join on small text rows; AQE skew-join
-    # splits hot media_refs here.
-    ocr_spans = media_spans.join(cells, on="media_ref", how="inner").select(
-        "doc_id", "offset", "row", "col", "text", "media_ref", "kind"
+
+def assemble_spans(
+    documents: DataFrame, cells: DataFrame, media: DataFrame
+) -> tuple[DataFrame, DataFrame]:
+    """Fan per-page cells back out to documents and restore span order.
+
+    Returns (extracted, unresolved).  Pure skinny-row relational work: the
+    cells join is where AQE skew-join splits hot media_refs; the window is
+    per-doc state only.  ``media`` is used (media_ref column alone, pruned
+    scan) for the quarantine anti-join.
+    """
+    spans = explode_spans(documents)
+    text_spans = spans.filter(F.col("kind") == "text").select(
+        "doc_id",
+        "offset",
+        F.lit(-1).alias("row"),
+        F.lit(-1).alias("col"),
+        "text",
+        F.lit(None).cast("string").alias("media_ref"),
+        F.lit("text").alias("kind"),
     )
+    media_spans = spans.filter(F.col("kind") == "media").select(
+        "doc_id", "offset", "media_ref"
+    )
+    ocr_spans = media_spans.join(
+        cells.select("media_ref", "row", "col", "text", "kind"),
+        on="media_ref",
+        how="inner",
+    ).select("doc_id", "offset", "row", "col", "text", "media_ref", "kind")
 
     # Quarantine channel: media spans whose ref has no media row are NOT
     # silently dropped — they surface here (and in the checkpoint job's
@@ -309,6 +302,44 @@ def run_extract_stage(
         "text",
         "media_ref",
     )
+    return extracted, unresolved
+
+
+def run_extract_stage(
+    documents: DataFrame,
+    media: DataFrame,
+    cfg: ExtractConfig,
+    salt_partitions: int | None = None,
+    persist: bool = False,
+) -> ExtractResult:
+    """Run the full extraction (page stage + assembly) in one plan.
+
+    extracted: (doc_id, order, kind['text'|'ocr'], text, media_ref), order
+    dense per doc over (offset, row, col) — the golden_spans contract.
+    lineage: per-shuffle-partition metric rows from inside the UDF stage.
+    ``persist=True`` caches the raw stage output (MEMORY_AND_DISK) so that
+    consuming BOTH extracted and lineage runs the expensive image stage
+    exactly once; the caller unpersists ``stage`` afterwards.
+
+    The expensive image work runs once per UNIQUE page: distinct refs,
+    semi-joined against media, byte-balanced over partitions.  Heavy
+    documents (many spans) and popular pages (many docs) both collapse to
+    one kernel invocation per page.
+    """
+    spark = documents.sparkSession
+    n_parts = salt_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+
+    refs = (
+        explode_spans(documents)
+        .filter(F.col("kind") == "media")
+        .select("media_ref")
+        .distinct()
+    )
+    stage_out = run_page_stage(media, refs, cfg, n_parts)
+    if persist:
+        stage_out = stage_out.persist(StorageLevel.MEMORY_AND_DISK)
+    cells, lineage = split_stage_output(stage_out)
+    extracted, unresolved = assemble_spans(documents, cells, media)
     return ExtractResult(extracted, lineage, stage_out, unresolved)
 
 

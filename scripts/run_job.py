@@ -37,6 +37,7 @@ def main() -> None:
     from bsc_project_spark.config import REFERENCE_CONFIG
     from bsc_project_spark.fixtures.corpus import FIXTURE_CONFIG
     from bsc_project_spark.pipeline.checkpoint import (
+        read_doc_lineage,
         read_extracted,
         read_lineage,
         run_extraction_job,
@@ -56,14 +57,20 @@ def main() -> None:
     lineage = read_lineage(spark, args.out)
     n_spans = extracted.count()
     totals = lineage.groupBy().sum("page_count", "ocr_char_count").collect()[0]
+    doc_totals = read_doc_lineage(spark, args.out).groupBy().sum(
+        "doc_count", "unresolved_count"
+    ).collect()[0]
     print(
         json.dumps(
             {
                 "run_id": manifest["run_id"],
                 "committed_buckets": manifest["committed_buckets"],
+                "committed_page_buckets": manifest["committed_page_buckets"],
+                "docs": int(doc_totals[0] or 0),
                 "spans": n_spans,
                 "pages": int(totals[0] or 0),
                 "ocr_chars": int(totals[1] or 0),
+                "unresolved": int(doc_totals[1] or 0),
                 "wall_sec": round(wall, 2),
             }
         )

@@ -73,3 +73,53 @@ def test_bucket_count_mismatch_rejected(spark, corpus, tmp_path):
         )
     with pytest.raises(ValueError, match="bucket count mismatch"):
         run_extraction_job(docs, media, FIXTURE_CONFIG, out_dir, n_buckets=8)
+
+
+def test_page_stage_resume_and_global_page_dedup(spark, skew_corpus, tmp_path):
+    """Crash mid-PAGE-stage, resume; committed page buckets are not
+    recomputed, and every unique page is extracted exactly once globally
+    even though skew docs re-reference pages across doc buckets."""
+    from bsc_project_spark.pipeline.checkpoint import read_doc_lineage
+
+    docs = spark_io.documents_df(spark, skew_corpus)
+    media = spark_io.media_df(spark, skew_corpus)
+    out_dir = str(tmp_path / "job3")
+
+    with pytest.raises(RuntimeError, match="injected failure after page bucket"):
+        run_extraction_job(
+            docs, media, FIXTURE_CONFIG, out_dir, n_buckets=4,
+            fail_after_page_bucket=1,
+        )
+    m1 = read_manifest(out_dir)
+    assert m1["committed_page_buckets"] == [0, 1]
+    assert m1["committed_buckets"] == []
+    cell_files = {
+        b: _mtimes(os.path.join(out_dir, f"cells/pbucket={b}")) for b in (0, 1)
+    }
+
+    m2 = run_extraction_job(docs, media, FIXTURE_CONFIG, out_dir, n_buckets=4)
+    assert m2["committed_page_buckets"] == [0, 1, 2, 3]
+    assert m2["committed_buckets"] == [0, 1, 2, 3]
+    for b in (0, 1):
+        assert _mtimes(os.path.join(out_dir, f"cells/pbucket={b}")) == cell_files[b], (
+            f"page bucket {b} was recomputed on resume"
+        )
+
+    # global page dedup: lineage page_count sums to the UNIQUE page count,
+    # not to pages-per-doc-bucket (the single-stage design recomputed
+    # shared pages in every doc bucket that referenced them)
+    lin = read_lineage(spark, out_dir)
+    total_pages = lin.groupBy().sum("page_count").collect()[0][0]
+    assert total_pages == len(skew_corpus.media)
+
+    # output equality with the one-shot pipeline
+    final = read_extracted(spark, out_dir)
+    oneshot = extract_spans(docs, media, FIXTURE_CONFIG)
+    assert final.exceptAll(oneshot).count() == 0
+    assert oneshot.exceptAll(final).count() == 0
+
+    # doc lineage covers all buckets and counts every document
+    dl = read_doc_lineage(spark, out_dir)
+    rows = dl.collect()
+    assert {r.bucket for r in rows} == {0, 1, 2, 3}
+    assert sum(r.doc_count for r in rows) == len(skew_corpus.documents)
