@@ -139,6 +139,80 @@ def label(mask: np.ndarray) -> tuple[np.ndarray, int]:
     return labels, next_label - 1
 
 
+def multiclass_regions(
+    mask: np.ndarray, class_lo: int, class_hi: int
+) -> dict[int, list[tuple[int, int, int, int, int]]]:
+    """Per-class 8-connected components in ONE image pass.
+
+    Returns {class_id: [(y0, x0, y1, x1, area), ...]} for classes in
+    [class_lo, class_hi) — bbox in regionprops convention (half-open).
+    Component ORDER within a class is unspecified (raster order of root
+    runs in practice); use only where downstream is order-independent
+    (bbox fills of a single value, or an explicit sort).  Replaces
+    per-class `mask == c` + label() + regionprops() sweeps — one run
+    extraction over the whole mask instead of one full-image pass per
+    class."""
+    h, w = mask.shape
+    flat = mask.ravel()
+    out: dict[int, list[tuple[int, int, int, int, int]]] = {
+        c: [] for c in range(class_lo, class_hi)
+    }
+    if flat.size == 0:
+        return out
+    pos = np.arange(1, flat.size)
+    change = np.nonzero((flat[1:] != flat[:-1]) | (pos % w == 0))[0] + 1
+    starts = np.concatenate(([0], change))
+    ends = np.concatenate((change, [flat.size]))
+    vals = flat[starts]
+    keep = (vals >= class_lo) & (vals < class_hi)
+    starts, ends, vals = starts[keep], ends[keep], vals[keep]
+    n_runs = len(starts)
+    if n_runs == 0:
+        return out
+    rows = (starts // w).tolist()
+    s_col = (starts - np.asarray(rows) * w).tolist()
+    e_col = (ends - np.asarray(rows) * w).tolist()
+    vals_l = vals.tolist()
+
+    uf = _UnionFind()
+    run_sets = [uf.make() for _ in range(n_runs)]
+    blocks: list[tuple[int, int, int]] = []
+    lo = 0
+    for i in range(1, n_runs + 1):
+        if i == n_runs or rows[i] != rows[lo]:
+            blocks.append((rows[lo], lo, i))
+            lo = i
+    prev_y, prev_lo, prev_hi = -2, 0, 0
+    for y, blo, bhi in blocks:
+        if prev_y == y - 1:
+            for i in range(blo, bhi):
+                s, e, v = s_col[i], e_col[i], vals_l[i]
+                for j in range(prev_lo, prev_hi):
+                    if vals_l[j] == v and s_col[j] - 1 < e and e_col[j] + 1 > s:
+                        uf.union(run_sets[i], run_sets[j])
+        prev_y, prev_lo, prev_hi = y, blo, bhi
+
+    # aggregate bbox + area per root
+    agg: dict[int, list[int]] = {}  # root -> [y0, x0, y1, x1, area, class]
+    for i in range(n_runs):
+        r = uf.find(run_sets[i])
+        y, s, e = rows[i], s_col[i], e_col[i]
+        a = agg.get(r)
+        if a is None:
+            agg[r] = [y, s, y + 1, e, e - s, vals_l[i]]
+        else:
+            if s < a[1]:
+                a[1] = s
+            if y + 1 > a[2]:
+                a[2] = y + 1
+            if e > a[3]:
+                a[3] = e
+            a[4] += e - s
+    for y0, x0, y1, x1, area, v in agg.values():
+        out[v].append((y0, x0, y1, x1, area))
+    return out
+
+
 def regionprops(labels: np.ndarray) -> list[Region]:
     """Bounding box + area per label, ordered by label id (skimage order)."""
     n = int(labels.max())

@@ -33,18 +33,66 @@ from .imgproc import binary_erode_mask, gaussian_smooth_1d
 # ---------------------------------------------------------------------------
 
 def remove_small_regions(mask: np.ndarray, cfg: ExtractConfig) -> np.ndarray:
+    """Drop 8-connected components with area < min_region_size, per class
+    1..4 (reference quirk: class 0 never cleaned,
+    scripts/post_process.py:101-102).
+
+    Single multi-class pass: maximal constant-VALUE horizontal runs are
+    extracted once for the whole mask, unioned across rows when same-class
+    runs 8-overlap, and small components are painted background run-by-run
+    — one image sweep instead of four per-class (compare + label + gather
+    + masked-assign) sweeps.  Removal is order-independent, so this is
+    exactly equivalent to per-class labeling."""
     out = mask.copy()
-    for class_idx in range(cfg.n_content_classes):
-        class_mask = out == class_idx
-        if class_idx == 0 or not class_mask.any():
-            continue  # reference quirk: class 0 never cleaned
-        labels, n = cc.label(class_mask)
-        if n == 0:
-            continue
-        areas = np.bincount(labels.ravel(), minlength=n + 1)
-        small = np.zeros(n + 1, dtype=bool)
-        small[1:] = areas[1:] < cfg.min_region_size
-        out[small[labels]] = cfg.background_class
+    h, w = mask.shape
+    flat = mask.ravel()
+    if flat.size == 0:
+        return out
+    pos = np.arange(1, flat.size)
+    change = np.nonzero((flat[1:] != flat[:-1]) | (pos % w == 0))[0] + 1
+    starts = np.concatenate(([0], change))
+    ends = np.concatenate((change, [flat.size]))
+    vals = flat[starts]
+    # keep only cleanable classes (1..4); class 0 and background pass through
+    keep = (vals >= 1) & (vals < cfg.n_content_classes)
+    starts, ends, vals = starts[keep], ends[keep], vals[keep]
+    if len(starts) == 0:
+        return out
+    rows = starts // w
+    s_col = (starts - rows * w).tolist()
+    e_col = (ends - rows * w).tolist()
+    rows_l = rows.tolist()
+    vals_l = vals.tolist()
+    n_runs = len(rows_l)
+
+    uf = cc._UnionFind()
+    run_sets = [uf.make() for _ in range(n_runs)]
+    # per-row blocks (runs are in raster order)
+    blocks: list[tuple[int, int, int]] = []
+    lo = 0
+    for i in range(1, n_runs + 1):
+        if i == n_runs or rows_l[i] != rows_l[lo]:
+            blocks.append((rows_l[lo], lo, i))
+            lo = i
+    prev_y, prev_lo, prev_hi = -2, 0, 0
+    for y, blo, bhi in blocks:
+        if prev_y == y - 1:
+            for i in range(blo, bhi):
+                s, e, v = s_col[i], e_col[i], vals_l[i]
+                for j in range(prev_lo, prev_hi):
+                    if vals_l[j] == v and s_col[j] - 1 < e and e_col[j] + 1 > s:
+                        uf.union(run_sets[i], run_sets[j])
+        prev_y, prev_lo, prev_hi = y, blo, bhi
+
+    areas: dict[int, int] = {}
+    roots = [uf.find(run_sets[i]) for i in range(n_runs)]
+    for i, r in enumerate(roots):
+        areas[r] = areas.get(r, 0) + e_col[i] - s_col[i]
+    bg = np.uint8(cfg.background_class)
+    min_size = cfg.min_region_size
+    for i, r in enumerate(roots):
+        if areas[r] < min_size:
+            out[rows_l[i], s_col[i] : e_col[i]] = bg
     return out
 
 
@@ -144,15 +192,14 @@ def erode_regions(mask: np.ndarray, cfg: ExtractConfig) -> np.ndarray:
 def create_bounding_boxes(mask: np.ndarray, cfg: ExtractConfig) -> np.ndarray:
     out = mask.copy()
     erh = cfg.expected_row_height
+    # one multi-class pass; within a class, fill order is irrelevant (same
+    # value), and the class_idx loop preserves the reference's cross-class
+    # overwrite order (scripts/post_process.py:131-150)
+    comps = cc.multiclass_regions(mask, 0, cfg.n_content_classes)
     for class_idx in range(cfg.n_content_classes):
-        class_mask = mask == class_idx
-        if not class_mask.any():
-            continue
-        labels, _ = cc.label(class_mask)
-        for region in cc.regionprops(labels):
-            if region.area < erh * erh:
+        for y_min, x_min, y_max, x_max, area in comps[class_idx]:
+            if area < erh * erh:
                 continue
-            y_min, x_min, y_max, x_max = region.bbox
             out[y_min:y_max, x_min:x_max] = class_idx
     return out
 
@@ -186,13 +233,9 @@ def extract_row_col_bboxes(
     x_max, y_max) (scripts/post_process.py:224-225).
     """
     regions: list[tuple[float, int, int, int, int, int]] = []
+    comps = cc.multiclass_regions(final_mask, 0, cfg.n_content_classes)
     for class_id in range(cfg.n_content_classes):
-        class_mask = final_mask == class_id
-        if not class_mask.any():
-            continue
-        labels, _ = cc.label(class_mask)
-        for region in cc.regionprops(labels):
-            y_min, x_min, y_max, x_max = region.bbox
+        for y_min, x_min, y_max, x_max, _area in comps[class_id]:
             y_center = (y_max + y_min) / 2
             regions.append((y_center, class_id, x_min, y_min, x_max, y_max))
     regions.sort()

@@ -395,3 +395,36 @@ def test_open_u8_matches_binary_filter_composition():
         white = binary_filter(white, 5, 5, erode=False, border=False)
         expected = np.where(white, np.uint8(255), np.uint8(0))
         assert np.array_equal(open_u8(img, 5, 5), expected), (h, w)
+
+
+def test_remove_small_fuzz_vs_per_class_reference():
+    """The single-pass multi-class implementation must match per-class
+    labeling exactly on random multi-class masks."""
+    def reference_impl(mask, cfg):
+        out = mask.copy()
+        for class_idx in range(cfg.n_content_classes):
+            class_mask = out == class_idx
+            if class_idx == 0 or not class_mask.any():
+                continue
+            labels, n = cc.label(class_mask)
+            if n == 0:
+                continue
+            areas = np.bincount(labels.ravel(), minlength=n + 1)
+            small = np.zeros(n + 1, dtype=bool)
+            small[1:] = areas[1:] < cfg.min_region_size
+            out[small[labels]] = cfg.background_class
+        return out
+
+    cfg = ExtractConfig(min_region_size=6, background_class=5, n_content_classes=5)
+    rng = np.random.default_rng(19)
+    for _ in range(40):
+        h, w = rng.integers(3, 40, 2)
+        # blocky masks: classes 0-5 with spatial structure
+        mask = rng.integers(0, 6, (max(1, h // 4), max(1, w // 4))).astype(np.uint8)
+        mask = np.repeat(np.repeat(mask, 4, axis=0), 4, axis=1)[:h, :w]
+        # salt with random pixels to create small fragments
+        salt = rng.random(mask.shape) < 0.1
+        mask[salt] = rng.integers(0, 6, int(salt.sum()))
+        got = remove_small_regions(mask.copy(), cfg)
+        want = reference_impl(mask.copy(), cfg)
+        assert np.array_equal(got, want)
