@@ -4,7 +4,7 @@ Spark lifecycle of the reference computation (SURVEY.md §3.1):
 
     documents --explode--> spans
     spans[kind=media].media_ref --distinct--> unique pages --join media-->
-      --salted repartition (hash(media_ref))-->                # skew defuse
+      --size-aware bin-packing repartition-->                  # skew defuse
       --ONE mapInPandas stage (K1..K21 numpy kernels)-->       # zero per-row Python
         cells(media_ref, row, col, text) + per-partition lineage rows
     cells --join back to media spans (doc_id, offset)-->
