@@ -145,11 +145,12 @@ def _match_char_partial(bitmap: np.ndarray) -> tuple[str, int]:
     return _match_stack(_trim_rows_cols(bitmap), _ATLAS_PART)
 
 
-def _decode_at_scale(
+def _decode_at_scale_ref(
     ink: np.ndarray, scale: int, ink_top: int, ink_height: int,
     integral: np.ndarray | None = None,
 ) -> tuple[str, int]:
-    """Decode all glyph segments at a fixed scale; returns (text, total_dist)."""
+    """Reference (sequential) decode — kept as the parity oracle for the
+    vectorized _decode_at_scale; same result, offset loop in Python."""
     if integral is None:
         integral = _integral(ink)
     full_height = ink_height >= 0.75 * GLYPH_H * scale
@@ -179,6 +180,88 @@ def _decode_at_scale(
                     break
             if best_dist == 0:
                 break
+        chars.append(best_char)
+        total += best_dist
+    return "".join(chars), total
+
+
+def _sample_bitmaps_batch(
+    integral: np.ndarray, anchor: int, x0: int, scale: int, n_rows: int, n_cols: int
+) -> np.ndarray:
+    """All scale x scale sub-pixel offsets at once: (scale*scale, n_rows,
+    n_cols) bool bitmaps, offset index = dy * scale + dx (dy-major — the
+    same order the sequential reference scans, so first-argmin tie-breaks
+    agree)."""
+    h, w = integral.shape[0] - 1, integral.shape[1] - 1
+    dy = np.arange(scale)
+    dx = np.arange(scale)
+    ys = np.clip(anchor - dy[:, None] + np.arange(n_rows + 1) * scale, 0, h)  # (s, R+1)
+    xs = np.clip(x0 - dx[:, None] + np.arange(n_cols + 1) * scale, 0, w)      # (s, C+1)
+    s4 = integral[ys[:, None, :, None], xs[None, :, None, :]]  # (s, s, R+1, C+1)
+    block = s4[:, :, 1:, 1:] - s4[:, :, :-1, 1:] - s4[:, :, 1:, :-1] + s4[:, :, :-1, :-1]
+    area_y = np.diff(ys, axis=1)  # (s, R)
+    area_x = np.diff(xs, axis=1)  # (s, C)
+    area = area_y[:, None, :, None] * area_x[None, :, None, :]
+    bm = block * 2 >= np.maximum(area, 1)
+    return bm.reshape(scale * scale, n_rows, n_cols)
+
+
+def _match_batch(bitmaps: np.ndarray, atlas: np.ndarray, trim_rows: bool) -> tuple[str, int]:
+    """Best (char, dist) over a batch of offset bitmaps vs an atlas stack.
+    Per offset the bitmap is trimmed (columns always, rows for the partial
+    matcher) by SHIFTING into a zero frame — identical to pad(trim(bm)) —
+    then all offsets match against all atlas glyphs in one xor."""
+    n, R, C = bitmaps.shape
+    frames = np.zeros((n, GLYPH_H, GLYPH_W), dtype=bool)
+    col_any = bitmaps.any(axis=1)  # (n, C)
+    row_any = bitmaps.any(axis=2)  # (n, R)
+    for i in range(n):
+        cols = np.nonzero(col_any[i])[0]
+        if cols.size == 0:
+            continue  # empty bitmap -> empty frame (matches trim-to-empty)
+        c0, c1 = cols[0], cols[-1] + 1
+        if trim_rows:
+            rows = np.nonzero(row_any[i])[0]
+            r0, r1 = rows[0], rows[-1] + 1
+        else:
+            r0, r1 = 0, min(R, GLYPH_H)
+        frames[i, : r1 - r0, : c1 - c0] = bitmaps[i, r0:r1, c0 : c0 + min(c1 - c0, GLYPH_W)][
+            :GLYPH_H, :GLYPH_W
+        ]
+    dists = np.count_nonzero(frames[:, None, :, :] ^ atlas[None, :, :, :], axis=(2, 3))
+    ci = np.argmin(dists, axis=1)  # first-min per offset = sorted-char tie-break
+    dmin = dists[np.arange(n), ci]
+    oi = int(np.argmin(dmin))  # first offset achieving the global min =
+    return _CHARS[int(ci[oi])], int(dmin[oi])  # the sequential scan's pick
+
+
+def _decode_at_scale(
+    ink: np.ndarray, scale: int, ink_top: int, ink_height: int,
+    integral: np.ndarray | None = None,
+) -> tuple[str, int]:
+    """Decode all glyph segments at a fixed scale; returns (text, total_dist).
+    Vectorized over the scale^2 sub-pixel offsets (parity with
+    _decode_at_scale_ref pinned by a fuzz test)."""
+    if integral is None:
+        integral = _integral(ink)
+    full_height = ink_height >= 0.75 * GLYPH_H * scale
+    gap_min = max(2, scale // 2 + 1)
+    chars = []
+    total = 0
+    for xs, xe in _segments_from_columns(ink, gap_min):
+        seg_width = xe - xs
+        n_cols = min(GLYPH_W, max(1, int(np.ceil(seg_width / scale))))
+        if full_height:
+            anchor = ink_top
+            n_rows = GLYPH_H
+            atlas, trim_rows = _ATLAS_FULL, False
+        else:
+            seg_rows = np.where(ink[:, xs:xe].any(axis=1))[0]
+            anchor = int(seg_rows[0])
+            n_rows = min(GLYPH_H, max(1, int(np.ceil((seg_rows[-1] - seg_rows[0] + 1) / scale))))
+            atlas, trim_rows = _ATLAS_PART, True
+        bms = _sample_bitmaps_batch(integral, anchor, xs, scale, n_rows, n_cols)
+        best_char, best_dist = _match_batch(bms, atlas, trim_rows)
         chars.append(best_char)
         total += best_dist
     return "".join(chars), total

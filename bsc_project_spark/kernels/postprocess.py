@@ -143,10 +143,18 @@ def _filtered_split_points(
 def separate_tall_regions(mask: np.ndarray, cfg: ExtractConfig) -> np.ndarray:
     out = mask.copy()
     erh = cfg.expected_row_height
-    for class_idx in range(cfg.n_content_classes):
+    # Fast path: one multi-class pass finds per-component bboxes; a class
+    # only pays the exact label+regionprops sweep (needed for the
+    # component-pixel profile, region.image) when it actually has a
+    # tall-and-wide component — most pages have none.
+    comps = cc.multiclass_regions(mask, 1, cfg.n_content_classes)
+    for class_idx in range(1, cfg.n_content_classes):  # class 0 never split
+        if not any(
+            (y1 - y0) > erh * 1.15 and (x1 - x0) >= (y1 - y0) * 0.5
+            for y0, x0, y1, x1, _a in comps[class_idx]
+        ):
+            continue
         class_mask = mask == class_idx
-        if class_idx == 0 or not class_mask.any():
-            continue  # reference quirk: class 0 never split
         labels, _ = cc.label(class_mask)
         for region in cc.regionprops(labels):
             y_min, x_min, y_max, x_max = region.bbox

@@ -428,3 +428,40 @@ def test_remove_small_fuzz_vs_per_class_reference():
         got = remove_small_regions(mask.copy(), cfg)
         want = reference_impl(mask.copy(), cfg)
         assert np.array_equal(got, want)
+
+
+def test_decode_vectorized_matches_sequential_reference():
+    """_decode_at_scale (offset-batched) == _decode_at_scale_ref (loop) on
+    fixture crops, clipped crops, and random-noise crops."""
+    import numpy as np
+
+    from bsc_project_spark.fixtures.corpus import FIXTURE_CONFIG as fcfg
+    from bsc_project_spark.kernels import ocr
+    from bsc_project_spark.kernels.font import render_text
+
+    def both(crop, scale):
+        ink = crop < fcfg.ocr_ink_threshold
+        if not ink.any():
+            return ("", 0), ("", 0)
+        rows = np.where(ink.any(axis=1))[0]
+        top, height = int(rows[0]), int(rows[-1]) - int(rows[0]) + 1
+        integ = ocr._integral(ink)
+        return (
+            ocr._decode_at_scale(ink, scale, top, height, integ),
+            ocr._decode_at_scale_ref(ink, scale, top, height, integ),
+        )
+
+    for text in ["1907", "28.12", "50.4N", "-3.5", ".", "1", "NSEW", "0123456789"]:
+        for scale in (4, 5, 7):
+            img = render_text(text, scale)
+            got, want = both(img, scale)
+            assert got == want, (text, scale)
+            got2, want2 = both(img[2:, 1:], scale)  # erode-style clipping
+            assert got2 == want2, (text, scale, "clipped")
+
+    rng = np.random.default_rng(23)
+    for _ in range(20):
+        h, w = rng.integers(10, 60, 2)
+        noise = rng.integers(0, 256, (h, w)).astype(np.uint8)
+        got, want = both(noise, 5)
+        assert got == want
