@@ -275,32 +275,73 @@ def binarize_fused(img: np.ndarray, block_size: int = 13, c: float = 12.0) -> np
     out = np.empty((h, w), dtype=np.uint8)
     strip = max(32, (1 << 17) // (4 * (w + 2 * r)))  # 128 KB: see adaptive_threshold_gaussian
     thr_c = np.float32(c)
-    blur_cache: dict[int, np.ndarray] = {}
-
-    def blurred_rows(y0: int, y1: int) -> np.ndarray:
-        """blur3 of raw rows [y0, y1) (image coords, may exceed bounds ->
-        replicate), returns float32 (y1-y0, w+2r) with replicate x-halo."""
-        y0c, y1c = max(0, y0), min(h, y1)
-        p = raw[y0c : y1c + 2].astype(np.uint16)
-        n = y1c - y0c
-        tmp = p[0:n] + 2 * p[1 : n + 1] + p[2 : n + 2]
-        row = tmp[:, 0:w] + 2 * tmp[:, 1 : w + 1] + tmp[:, 2 : w + 2]
-        b = ((row + 8) >> 4).astype(np.float32)
-        b = np.pad(b, ((y0c - y0, y1 - y1c), (r, r)), mode="edge")
-        return b
+    L = block_size
+    W = w + 2 * r
+    # Preallocated per-image buffers, reused by every strip (all L2-scale).
+    # The strip loop runs ~h/15 times on a full page, so per-strip np.pad
+    # calls and fresh temporaries were a measurable constant cost; every op
+    # below writes into one of these with out=.  The SUMMATION ORDER is
+    # op-for-op the _sep_gauss_vertical/_sep_gauss_horizontal order — the
+    # fused==two-step parity test pins it.
+    sub = np.empty((strip + 2 * r, W), np.float32)   # blurred rows + halos
+    t16a = np.empty((strip + 2 * r, w + 2), np.uint16)
+    t16b = np.empty((strip + 2 * r, w), np.uint16)
+    vtmp = np.empty((strip, W), np.float32)
+    vbuf = np.empty((strip, W), np.float32)
+    hacc = np.empty((strip, w), np.float32)
+    hbuf = np.empty((strip, w), np.float32)
 
     for y0 in range(0, h, strip):
         y1 = min(h, y0 + strip)
         n = y1 - y0
-        sub = blurred_rows(y0 - r, y1 + r)
-        tmp = _sep_gauss_vertical(sub, k, n)
-        acc = _sep_gauss_horizontal(tmp, k, w)
-        np.rint(acc, out=acc)
-        acc -= thr_c
+        # blur3 of rows [y0-r, y1+r), edge-replicated into sub
+        # (reflect-101 halo for the blur itself via `raw`; replicate halo
+        # for the mean conv — blurring a replicate-extended image does NOT
+        # equal replicating the blurred image at edges, so the blurred
+        # halo is built explicitly)
+        ya = y0 - r
+        y0c, y1c = max(0, ya), min(h, y1 + r)
+        m = y1c - y0c
+        p = raw[y0c : y1c + 2]
+        ta = t16a[:m]
+        np.add(p[0:m], p[2 : m + 2], out=ta, dtype=np.uint16)
+        np.add(ta, p[1 : m + 1], out=ta, dtype=np.uint16)
+        np.add(ta, p[1 : m + 1], out=ta, dtype=np.uint16)
+        tb = t16b[:m]
+        np.add(ta[:, 0:w], ta[:, 2 : w + 2], out=tb)
+        np.add(tb, ta[:, 1 : w + 1], out=tb)
+        np.add(tb, ta[:, 1 : w + 1], out=tb)
+        tb += 8
+        tb >>= 4
+        off = y0c - ya
+        np.copyto(sub[off : off + m, r : r + w], tb)
+        sub[off : off + m, :r] = sub[off : off + m, r : r + 1]
+        sub[off : off + m, r + w :] = sub[off : off + m, r + w - 1 : r + w]
+        if off:
+            sub[:off] = sub[off]
+        tail = n + 2 * r - (off + m)
+        if tail:
+            sub[off + m : n + 2 * r] = sub[off + m - 1]
+        # vertical then horizontal Gaussian (symmetric-tap pairing)
+        vt = vtmp[:n]
+        np.multiply(sub[r : r + n], k[r], out=vt)
+        vb = vbuf[:n]
+        for i in range(r):
+            np.add(sub[i : i + n], sub[L - 1 - i : L - 1 - i + n], out=vb)
+            vb *= k[i]
+            vt += vb
+        ha = hacc[:n]
+        np.multiply(vt[:, r : r + w], k[r], out=ha)
+        hb = hbuf[:n]
+        for i in range(r):
+            np.add(vt[:, i : i + w], vt[:, L - 1 - i : L - 1 - i + w], out=hb)
+            hb *= k[i]
+            ha += hb
+        np.rint(ha, out=ha)
+        ha -= thr_c
         # compare against the BLURRED pixel (reference thresholds the
         # blurred image, scripts/dataset.py:35-43)
-        blurred_center = sub[r : r + n, r : r + w]
-        out[y0:y1] = np.where(blurred_center > acc, np.uint8(255), np.uint8(0))
+        out[y0:y1] = np.where(sub[r : r + n, r : r + w] > ha, np.uint8(255), np.uint8(0))
     return out
 
 
