@@ -183,9 +183,9 @@ _ROW_CLUSTER_SQL = """
       SELECT e.*, lag(y) OVER (PARTITION BY page ORDER BY y, event_id) AS py FROM e
     )
     SELECT event_id, page, y,
-           sum(CASE WHEN py IS NOT NULL AND y - py > 40 THEN 1 ELSE 0 END) OVER (
+           CAST(sum(CASE WHEN py IS NOT NULL AND y - py > 40 THEN 1 ELSE 0 END) OVER (
              PARTITION BY page ORDER BY y, event_id
-             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS row_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS row_id
     FROM l
 """
 

@@ -88,35 +88,59 @@ _q("q_ngram_jaccard", *_shingle_query(_JACCARD_BODY),
    description="character-8-gram Jaccard similarity of adjacent doc pairs")
 
 # ---------------------------------------------------------------------------
-# MinHash signatures (k=8, md5-keyed so both engines agree)
+# MinHash signatures (k=8, md5-keyed so both engines agree).
+#
+# All 8 seeds are computed as 8 min-aggregates in ONE group-by over the
+# shingle set (one shuffle of the shingle rows with map-side partial mins)
+# instead of a seeds CROSS JOIN that blew the shingle table up 8x before
+# aggregating (round-1 shape, 8.6 s at sf0.1 for q_lsh_pairs).  The wide
+# signature row then unpivots: Spark stack() / DuckDB UNPIVOT, both reading
+# the wide CTE exactly once.
 # ---------------------------------------------------------------------------
 
-_MINHASH_BODY_SPARK = """
+_N_SEEDS = 8
+
+_MINHASH_WIDE_AGGS = ", ".join(
+    f"min(md5(concat('{seed}:', s))) AS m{seed}" for seed in range(_N_SEEDS)
+)
+
+_MINHASH_WIDE = """
     WITH d AS ({shingles}),
-    seeds AS (SELECT explode(sequence(0, 7)) AS seed)
-    SELECT doc_id, seed, min(md5(concat(CAST(seed AS STRING), ':', s))) AS minh
-    FROM d CROSS JOIN seeds
-    GROUP BY doc_id, seed
+    wide AS (SELECT doc_id, {aggs} FROM d GROUP BY doc_id)
 """
 
-_MINHASH_BODY_DUCK = """
-    WITH d AS ({shingles}),
-    seeds AS (SELECT unnest(generate_series(0, 7)) AS seed)
-    SELECT doc_id, seed, min(md5(concat(CAST(seed AS VARCHAR), ':', s))) AS minh
-    FROM d CROSS JOIN seeds
-    GROUP BY doc_id, seed
+
+def _minhash_wide(shingles: str) -> str:
+    return _MINHASH_WIDE.format(shingles=shingles, aggs=_MINHASH_WIDE_AGGS)
+
+
+_SIG_STACK_SPARK = ", ".join(f"'m{seed}', m{seed}" for seed in range(_N_SEEDS))
+_SIG_UNPIVOT_DUCK = ", ".join(f"m{seed}" for seed in range(_N_SEEDS))
+
+_MINHASH_SIG_SPARK = f"""
+    {_minhash_wide(_SHINGLES_SPARK.format(src="documents"))}
+    SELECT doc_id, CAST(substring(nm, 2) AS BIGINT) AS seed, minh
+    FROM (SELECT doc_id, stack({_N_SEEDS}, {_SIG_STACK_SPARK}) AS (nm, minh) FROM wide)
+"""
+
+_MINHASH_SIG_DUCK = f"""
+    {_minhash_wide(_SHINGLES_DUCK.format(src="documents"))},
+    unp AS (UNPIVOT wide ON {_SIG_UNPIVOT_DUCK} INTO NAME nm VALUE minh)
+    SELECT doc_id, CAST(substring(nm, 2) AS BIGINT) AS seed, minh FROM unp
 """
 
 _q(
     "q_minhash_sig",
-    _MINHASH_BODY_SPARK.format(shingles=_SHINGLES_SPARK.format(src="documents")),
-    _MINHASH_BODY_DUCK.format(shingles=_SHINGLES_DUCK.format(src="documents")),
-    "k=8 MinHash signatures over char shingles",
+    _MINHASH_SIG_SPARK,
+    _MINHASH_SIG_DUCK,
+    "k=8 MinHash signatures over char shingles (one grouped pass, 8 min-aggs)",
 )
 
 # ---------------------------------------------------------------------------
 # MinHash + LSH band join over a corpus with planted duplicates
-# (doc_id + 1000000 clones every 50th doc) — end-to-end near-dup discovery
+# (doc_id + 1000000 clones every 50th doc) — end-to-end near-dup discovery.
+# Band signature = the band's two minhashes in sorted order (identical to the
+# round-1 min/max-over-band formulation); 4 bands of 2 seeds, OR-amplified.
 # ---------------------------------------------------------------------------
 
 _PLANTED = """(
@@ -125,27 +149,44 @@ _PLANTED = """(
       SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 50 = 0
     )"""
 
-_LSH_BODY = """
-    WITH sig AS ({minhash}),
-    bands AS (
-      SELECT doc_id, CAST(floor(seed / 2.0) AS BIGINT) AS band,
-             concat(min(minh), ':', max(minh)) AS bsig
-      FROM sig GROUP BY doc_id, 2
-    )
+_N_BANDS = _N_SEEDS // 2
+
+
+def _band_sig(b: int) -> str:
+    lo, hi = 2 * b, 2 * b + 1
+    return f"concat(least(m{lo}, m{hi}), ':', greatest(m{lo}, m{hi}))"
+
+
+_BANDS_STACK_SPARK = ", ".join(f"'s{b}', {_band_sig(b)}" for b in range(_N_BANDS))
+_BANDS_WIDE_DUCK = ", ".join(f"{_band_sig(b)} AS s{b}" for b in range(_N_BANDS))
+_BANDS_UNPIVOT_DUCK = ", ".join(f"s{b}" for b in range(_N_BANDS))
+
+_LSH_JOIN = """
     SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS shared_bands
     FROM bands a
     JOIN bands b ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id
     GROUP BY 1, 2
 """
 
+_LSH_PAIRS_SPARK = f"""
+    {_minhash_wide(_SHINGLES_SPARK.format(src=_PLANTED))},
+    bands AS (
+      SELECT doc_id, stack({_N_BANDS}, {_BANDS_STACK_SPARK}) AS (band, bsig) FROM wide
+    )
+    {_LSH_JOIN}
+"""
+
+_LSH_PAIRS_DUCK = f"""
+    {_minhash_wide(_SHINGLES_DUCK.format(src=_PLANTED))},
+    wideb AS (SELECT doc_id, {_BANDS_WIDE_DUCK} FROM wide),
+    bands AS (UNPIVOT wideb ON {_BANDS_UNPIVOT_DUCK} INTO NAME band VALUE bsig)
+    {_LSH_JOIN}
+"""
+
 _q(
     "q_lsh_pairs",
-    _LSH_BODY.format(
-        minhash=_MINHASH_BODY_SPARK.format(shingles=_SHINGLES_SPARK.format(src=_PLANTED))
-    ),
-    _LSH_BODY.format(
-        minhash=_MINHASH_BODY_DUCK.format(shingles=_SHINGLES_DUCK.format(src=_PLANTED))
-    ),
+    _LSH_PAIRS_SPARK,
+    _LSH_PAIRS_DUCK,
     "MinHash-LSH band-bucket join surfacing planted near-dup pairs",
 )
 
