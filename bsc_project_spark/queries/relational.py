@@ -412,3 +412,93 @@ _BOX_MAD_SQL = """
 
 _q("q_box_mad", sql_query(_BOX_MAD_SQL), _BOX_MAD_SQL,
    "box-count MAD pred vs gt (reference evaluate_post_process.py:123-195)")
+
+# ---------------------------------------------------------------------------
+# M5 boundary F1 / M6 instance separation / M9 pixel-diff % — the SQL
+# aggregation halves of kernels/metrics.py:90,117,164.  The per-pixel /
+# per-region halves (Sobel threshold, CC labeling) run in-UDF per page; here
+# the boundary flags and instance counts are derived deterministically from
+# lineitem (same fixture pattern as _PRED_TRUTH) so the driver's DuckDB
+# oracle can check the aggregation exactly.  Epsilon 1e-7 matches the
+# reference formulas (metrics.py:108-177, evaluate_post_process.py:85-88).
+# ---------------------------------------------------------------------------
+
+# Aggregation-half templates, parameterized on the flag/count source so
+# tests can run the IDENTICAL SQL over counts produced by the numpy kernels
+# (tests/test_metric_queries.py) while the driver-checked queries feed them
+# lineitem-derived fixtures.
+
+_BOUNDARY_F1_AGG = """
+    WITH px AS ({px}),
+    per AS (
+      SELECT cls,
+             count(CASE WHEN pb AND tb THEN 1 END) AS tp,
+             count(CASE WHEN pb AND NOT tb THEN 1 END) AS fp,
+             count(CASE WHEN NOT pb AND tb THEN 1 END) AS fn
+      FROM px GROUP BY cls
+    ),
+    pr AS (
+      SELECT tp / (tp + fp + 1e-7) AS prec, tp / (tp + fn + 1e-7) AS recall
+      FROM per WHERE tp + fn > 0
+    )
+    SELECT round(avg(prec), 6) AS boundary_precision,
+           round(avg(recall), 6) AS boundary_recall,
+           round(avg(2 * prec * recall / (prec + recall + 1e-7)), 6) AS boundary_f1
+    FROM pr
+"""
+
+_BOUNDARY_F1_SQL = _BOUNDARY_F1_AGG.format(
+    px="""
+      SELECT l_orderkey % 6 AS cls,
+             (l_partkey * 31 + l_linenumber) % 19 < 4 AS pb,
+             (l_suppkey * 17 + l_linenumber) % 19 < 4 AS tb
+      FROM lineitem
+    """
+)
+
+_q("q_boundary_f1", sql_query(_BOUNDARY_F1_SQL), _BOUNDARY_F1_SQL,
+   "boundary precision/recall/F1 over valid classes from per-class edge "
+   "counts (M5 aggregation half; reference metrics.py:108-149)")
+
+_INSTANCE_SEP_AGG = """
+    WITH r AS ({r}),
+    sc AS (
+      SELECT batch,
+             greatest(0e0, least(1e0, 1e0 - abs(pred_n - target_n) * 1e0 / target_n)) AS score
+      FROM r WHERE target_n > 0
+    ),
+    bm AS (SELECT batch, avg(score) AS bscore FROM sc GROUP BY batch)
+    SELECT round(avg(bscore), 6) AS instance_separation FROM bm
+"""
+
+_INSTANCE_SEP_SQL = _INSTANCE_SEP_AGG.format(
+    r="""
+      SELECT l_orderkey % 8 AS batch, l_partkey % 6 AS cls,
+             count(CASE WHEN (l_partkey * l_linenumber) % 11 < 5 THEN 1 END) AS pred_n,
+             count(CASE WHEN (l_suppkey * l_linenumber) % 11 < 5 THEN 1 END) AS target_n
+      FROM lineitem GROUP BY 1, 2
+    """
+)
+
+_q("q_instance_sep", sql_query(_INSTANCE_SEP_SQL), _INSTANCE_SEP_SQL,
+   "clamped instance-count agreement, per-batch then overall mean "
+   "(M6 aggregation half; reference metrics.py:151-177)")
+
+_PIXEL_DIFF_AGG = """
+    WITH px AS ({px})
+    SELECT page,
+           count(CASE WHEN pred <> gt THEN 1 END) AS n_diff,
+           round(count(CASE WHEN pred <> gt THEN 1 END) * 100e0 / count(*), 6) AS pixel_diff_pct
+    FROM px GROUP BY page
+"""
+
+_PIXEL_DIFF_SQL = _PIXEL_DIFF_AGG.format(
+    px="""
+      SELECT l_orderkey % 40 AS page, l_partkey % 6 AS pred, l_suppkey % 6 AS gt
+      FROM lineitem
+    """
+)
+
+_q("q_pixel_diff", sql_query(_PIXEL_DIFF_SQL), _PIXEL_DIFF_SQL,
+   "per-page differing-pixel count and percentage "
+   "(M9 aggregation half; reference evaluate_post_process.py:85-88)")
