@@ -18,6 +18,7 @@ kernel semantics are size-independent.
 from __future__ import annotations
 
 from dataclasses import dataclass, field
+from typing import Callable, Optional
 
 
 @dataclass(frozen=True)
@@ -72,6 +73,17 @@ class ExtractConfig:
     # Column names for the wide-matrix form
     # (reference scripts/imgs2csv.py:238-244)
     column_names: tuple = ("Year", "Date", "Latitude", "Longitude", "Temperature")
+
+    # Model-backend seam: drop in a real segmentation model / OCR decoder
+    # (the reference's DeepLabV3 forward pass, imgs2csv.py:139-143, and
+    # TrOCR decode, imgs2csv.py:163-175) without touching the pipeline.
+    # None -> the built-in classical segmenter / glyph decoder.  Must be
+    # MODULE-LEVEL callables (the config is pickled into the mapInPandas
+    # closure once per task).  Contracts:
+    #   segmenter(binary_img: ndarray, cfg) -> HxW class mask (0..4 + bg 5)
+    #   ocr_decoder(crop: ndarray, cfg, glyph_scale: int|None) -> str
+    segmenter: Optional[Callable] = None
+    ocr_decoder: Optional[Callable] = None
 
 
 # Reference-faithful defaults (full-resolution logbook pages).

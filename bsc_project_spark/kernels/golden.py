@@ -27,11 +27,16 @@ def extract_page(
     gray: np.ndarray, cfg: ExtractConfig, glyph_scale: int
 ) -> list[tuple[int, int, str]]:
     """Extract ordered (row, col, text) cells from one grayscale page."""
+    # Model-backend seam (config.py): a real DeepLabV3/TrOCR wrapper drops
+    # in via cfg.segmenter / cfg.ocr_decoder; defaults are the built-ins.
+    segment = cfg.segmenter or segment_page
+    decode = cfg.ocr_decoder or decode_cell
+
     gray = deskew_gray(gray, cfg)  # no-op unless cfg.deskew_enabled
     h_orig, w_orig = gray.shape
     binary = preprocess(gray, cfg)
     h_res, w_res = binary.shape
-    class_mask = segment_page(binary, cfg)
+    class_mask = segment(binary, cfg)
     final_mask = post_process_mask(class_mask, cfg)
     bboxes = extract_row_col_bboxes(final_mask, cfg)
 
@@ -44,7 +49,7 @@ def extract_page(
         )
         crop = crop_cell(gray, x1, y1, x2, y2)
         padded = pad_for_ocr(crop, cfg.ocr_min_size)
-        text = decode_cell(padded, cfg, glyph_scale)
+        text = decode(padded, cfg, glyph_scale)
         outputs.append((row, col, text))
     outputs.sort()  # reference scripts/imgs2csv.py:186
     return outputs

@@ -205,13 +205,17 @@ def estimate_skew(binary: np.ndarray, max_angle_deg: float = 2.0, steps: int = 2
         return 0.0
     col_ink = ink.sum(axis=0).astype(np.float64)
     xs = np.arange(w)
+    # One FIXED histogram length for every candidate (padded to the global
+    # max shift): a per-angle length would dilute each candidate's variance
+    # by a different number of zero bins, making scores incomparable and
+    # biasing the argmax toward small angles.
+    base = int(np.rint(np.tan(np.deg2rad(max_angle_deg)) * (w - 1)))
     best_angle, best_score = 0.0, -1.0
     for angle in np.linspace(-max_angle_deg, max_angle_deg, steps):
         shift = np.rint(np.tan(np.deg2rad(angle)) * xs).astype(np.int64)
         # histogram of (row + shift[col]) over ink pixels, computed
         # column-wise: rows of column x land in bins rows+shift[x]
-        profile = np.zeros(h + int(abs(shift).max()) * 2 + 1, dtype=np.float64)
-        base = int(abs(shift).max())
+        profile = np.zeros(h + 2 * base + 1, dtype=np.float64)
         for x in np.nonzero(col_ink)[0]:
             rows = np.nonzero(ink[:, x])[0]
             np.add.at(profile, rows + shift[x] + base, 1.0)
@@ -436,12 +440,15 @@ def binary_erode_mask(mask: np.ndarray, ksize: int = 3) -> np.ndarray:
     """Erode a boolean mask with a ksize x ksize rect kernel (True shrinks).
 
     Matches cv2.erode on a {0,1} uint8 mask (reference
-    scripts/post_process.py:126) — border counts as 0 outside, so edge
-    pixels erode away.  Runs bit-packed (kernels/bitmorph.py).
+    scripts/post_process.py:126): cv2.erode's default borderValue is
+    morphologyDefaultBorderValue() (+inf), i.e. the outside counts as
+    FOREGROUND for a min filter, so pixels at the image edge do NOT erode
+    and class regions touching the boundary keep their border pixels.
+    Runs bit-packed (kernels/bitmorph.py).
     """
     from .bitmorph import binary_filter
 
-    return binary_filter(np.asarray(mask, dtype=bool), ksize, ksize, erode=True, border=False)
+    return binary_filter(np.asarray(mask, dtype=bool), ksize, ksize, erode=True, border=True)
 
 
 # ---------------------------------------------------------------------------
@@ -464,7 +471,13 @@ def find_vertical_line_bounds(img: np.ndarray, cfg: ExtractConfig) -> tuple[int,
 
     half_w = img.shape[1] // 2
     left = img[:, :half_w]
-    # vertical CLOSE bit-packed (== morph_close(left, kernel_h, 1))
+    # vertical CLOSE bit-packed (== morph_close(left, kernel_h, 1)).
+    # NOTE: for the even 50-tall kernel both passes use the same window
+    # anchor, whereas cv2.morphologyEx(MORPH_CLOSE) mirrors the anchor
+    # between dilate and erode — the result equals cv2's close shifted
+    # vertically by one row.  Deliberate 1-px deviation: per-column black
+    # COUNTS feed a 15%-of-max threshold, which a one-row shift at the
+    # image top/bottom cannot flip.
     white = binary_filter(left > 0, cfg.vline_kernel_h, 1, erode=False, border=False)
     white = binary_filter(white, cfg.vline_kernel_h, 1, erode=True, border=True)
     col_profile = np.sum(~white, axis=0)

@@ -218,29 +218,31 @@ def run_page_stage(
     bucket: the refs of one bucket are bounded, and media would be a
     bucketed table co-partitioned by media_ref.
     """
-    spark = media.sparkSession
     unique_pages = media.select("media_ref", "content").join(
         F.broadcast(refs), on="media_ref", how="left_semi"
     )
-    # Only shuffle the pages if the scan doesn't already give enough
-    # parallelism (small row groups + maxPartitionBytes make a parquet
-    # media table split wide for free).  The shuffle is SIZE-AWARE
-    # bin-packing (serpentine over size order, exact bin->partition
-    # routing): byte-balanced partitions, so one giant page doesn't drag a
-    # full round-robin share of ordinary pages into its task.  Page size
+    # ALWAYS shuffle the pages once, with SIZE-AWARE bin-packing
+    # (serpentine over size order, exact bin->partition routing):
+    # byte-balanced partitions, so one giant page doesn't drag a full
+    # round-robin share of ordinary pages into its task, and the task count
+    # of the CPU-bound kernel stage is pinned regardless of how the scan
+    # happened to split.  Unconditional by design: the earlier "skip if the
+    # scan is already wide" probe read unique_pages.rdd.getNumPartitions(),
+    # and touching .rdd forces a full plan-to-RDD conversion of the media
+    # scan on the driver per job — a planning cost (and a byte-column
+    # deserialization hazard) a 100 TB table cannot afford, for a shuffle
+    # the stage wants anyway (balance + fixed parallelism).  Page size
     # comes from metadata columns (width*height) when available so the
     # planning branch never re-reads image bytes; uniform sizes degrade to
     # exact round-robin striping.
-    cores = spark.sparkContext.defaultParallelism
-    if unique_pages.rdd.getNumPartitions() < cores:
-        if {"width", "height"} <= set(media.columns):
-            sizes = media.join(F.broadcast(refs), on="media_ref", how="left_semi").select(
-                "media_ref",
-                (F.col("width").cast("long") * F.col("height")).alias("sz"),
-            )
-        else:
-            sizes = None
-        unique_pages = repartition_by_size(unique_pages, n_parts, sizes)
+    if {"width", "height"} <= set(media.columns):
+        sizes = media.join(F.broadcast(refs), on="media_ref", how="left_semi").select(
+            "media_ref",
+            (F.col("width").cast("long") * F.col("height")).alias("sz"),
+        )
+    else:
+        sizes = None
+    unique_pages = repartition_by_size(unique_pages, n_parts, sizes)
     return unique_pages.mapInPandas(_make_extract_udf(cfg), schema=EXTRACT_STAGE_SCHEMA)
 
 

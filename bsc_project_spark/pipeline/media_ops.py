@@ -96,6 +96,40 @@ def image_features(media: DataFrame, ink_threshold: int = 128) -> DataFrame:
     return media.select("media_ref", "content").mapInPandas(run, IMAGE_FEATURES_SCHEMA)
 
 
+WHITE_ROW_PROBE_SCHEMA = (
+    "media_ref string, probe_row int, probe_clear boolean, is_train boolean"
+)
+
+
+def white_row_probe(
+    media: DataFrame, probe_offset: int = 20, threshold: int = 25
+) -> DataFrame:
+    """Train/test routing by the reference's white-row probe
+    (reference notebooks/select_for_training.ipynb cells 5-11): binarize at
+    ``threshold`` (cv2.THRESH_BINARY, pixel > threshold -> white) and probe
+    ONE pixel row for ink; a page whose probe row contains no dark pixel
+    routes to training.  Top pages ('-t' refs) probe ``probe_offset`` rows
+    from the top; bottom pages ('-b' refs) probe ``probe_offset`` rows from
+    the bottom; anything else probes from the top.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for ref, content in zip(pdf["media_ref"], pdf["content"]):
+                img = decode_gray(bytes(content))
+                h = img.shape[0]
+                r = h - probe_offset if str(ref).endswith("-b") else probe_offset
+                r = min(max(r, 0), h - 1)
+                clear = bool((img[r, :] > threshold).all())
+                rows.append((ref, r, clear, clear))
+            yield pd.DataFrame(
+                rows, columns=["media_ref", "probe_row", "probe_clear", "is_train"]
+            )
+
+    return media.select("media_ref", "content").mapInPandas(run, WHITE_ROW_PROBE_SCHEMA)
+
+
 def _fake_signal(ref: str, content: bytes, n: int) -> np.ndarray:
     """Deterministic pseudo-signal derived from the media bytes (stub body
     for environments without audio/video codecs)."""

@@ -337,12 +337,24 @@ _TOPK_SQL = """
 _q("q_topk_orders", sql_query(_TOPK_SQL), _TOPK_SQL,
    "deterministic top-k (reference imgs2csv.py:280-290 debug limits)")
 
+# White-row-probe split (reference notebooks/select_for_training.ipynb
+# cells 5-11): probe ONE fixed row of the page for ink; pages whose probe
+# row is clear go to training.  The real media op is
+# pipeline/media_ops.white_row_probe (binarize-at-25, probe row 20 /
+# h-20); this SQL analogue probes a fixed window of each document's text
+# for a "dark" character so the driver's DuckDB oracle can check the same
+# clear-row routing shape.
 _SPLIT_SQL = """
-    SELECT CASE WHEN doc_id % 10 < 8 THEN 1 ELSE 0 END AS is_train, count(*) AS n
-    FROM documents GROUP BY 1
+    SELECT is_train, count(*) AS n FROM (
+      SELECT CASE WHEN instr(substring(text, 21, 20), 'e') = 0
+                  THEN 1 ELSE 0 END AS is_train
+      FROM documents
+    ) GROUP BY is_train
 """
 _q("q_train_test_split", sql_query(_SPLIT_SQL), _SPLIT_SQL,
-   "predicate-routed train/test split (reference notebooks/select_for_training.ipynb)")
+   "white-row-probe train/test routing: probe window clear -> train "
+   "(reference notebooks/select_for_training.ipynb cells 5-11; media op: "
+   "pipeline/media_ops.white_row_probe)")
 
 _SORT_RANK_SQL = """
     SELECT doc_id, row_number() OVER (ORDER BY source, doc_id) AS rnk FROM documents

@@ -77,6 +77,22 @@ def sessionize(events: DataFrame, gap_seconds: int = 1800) -> DataFrame:
     timeout the open session is flushed.  This is the engine's custom
     stateful streaming operator (SURVEY.md §2f notes the reference has
     none; the north-star engine needs one for continuous ingest).
+
+    Ordering: ALL pandas chunks Spark feeds for a key within one trigger
+    are buffered and sorted ONCE before the gap scan — a later chunk may
+    contain earlier timestamps, and a per-chunk sort would let such an
+    out-of-order event spuriously close a session or fold an old event
+    into the current one.  Events that arrive in a LATER trigger with
+    earlier timestamps are folded per the usual processing-time contract
+    (they extend/trigger sessions relative to the retained state).
+
+    availableNow caveat: ProcessingTimeTimeout only fires on a SUBSEQUENT
+    trigger, so under ``trigger(availableNow=True)`` the final open session
+    per key is retained in state, not emitted (pinned by
+    test_sessionize_available_now_keeps_open_session).  A continuous
+    deployment gets the flush from the next trigger; a finite drain wanting
+    open sessions should run a last empty trigger or compute the tail
+    batch-side.
     """
     gap_us = gap_seconds * 1_000_000
 
@@ -101,9 +117,12 @@ def sessionize(events: DataFrame, gap_seconds: int = 1800) -> DataFrame:
             n, sv = 0, 0.0
 
         closed: list[tuple] = []
-        for pdf in pdfs:
-            pdf = pdf.sort_values("ts")
-            for ts, value in zip(pdf["ts"], pdf["value"]):
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if chunks:
+            buffered = (
+                pd.concat(chunks, ignore_index=True) if len(chunks) > 1 else chunks[0]
+            ).sort_values("ts", kind="stable")
+            for ts, value in zip(buffered["ts"], buffered["value"]):
                 t_us = int(pd.Timestamp(ts).value // 1_000)
                 if start_us < 0:
                     start_us = last_us = t_us

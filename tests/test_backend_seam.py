@@ -1,0 +1,60 @@
+"""The model-backend seam (config.segmenter / config.ocr_decoder) is
+wiring-only: alternative callables flow through the distributed pipeline
+end-to-end, so a real DeepLabV3 forward pass (reference imgs2csv.py:139-143)
+or TrOCR decode (imgs2csv.py:163-175) drops in without touching any
+pipeline code — only the config."""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+from bsc_project_spark.fixtures import spark_io
+from bsc_project_spark.fixtures.corpus import FIXTURE_CONFIG, page_spec
+from bsc_project_spark.fixtures.render import render_page
+from bsc_project_spark.kernels.golden import extract_page
+from bsc_project_spark.kernels.ocr import decode_cell
+from bsc_project_spark.kernels.segment import segment_page
+from bsc_project_spark.pipeline.extract import extract_spans
+
+# The alternative backends are CLOSURES: cloudpickle ships them by value
+# inside the mapInPandas closure (a test module isn't importable on the
+# workers; a production model wrapper would live in an importable module
+# or, like here, be serialized by value — both work through the seam).
+
+
+def _alt_backends():
+    def alt_segmenter(binary_img: np.ndarray, cfg) -> np.ndarray:
+        # A real backend would run its forward pass here; delegating to the
+        # classical segmenter proves the call path, the tagged decoder
+        # below proves the output actually flows from the swapped callables.
+        return segment_page(binary_img, cfg)
+
+    def alt_decoder(crop: np.ndarray, cfg, scale=None) -> str:
+        return "<" + decode_cell(crop, cfg, scale) + ">"
+
+    return alt_segmenter, alt_decoder
+
+
+def test_swapped_backends_flow_through_golden():
+    alt_segmenter, alt_decoder = _alt_backends()
+    spec = page_spec(0)
+    cfg = dataclasses.replace(
+        FIXTURE_CONFIG, segmenter=alt_segmenter, ocr_decoder=alt_decoder
+    )
+    cells = extract_page(render_page(spec), cfg, cfg.ocr_glyph_scale)
+    expected = sorted((c.row, c.col, f"<{c.text}>") for c in spec.cells)
+    assert cells == expected
+
+
+def test_swapped_backends_flow_through_pipeline(spark, corpus):
+    alt_segmenter, alt_decoder = _alt_backends()
+    docs = spark_io.documents_df(spark, corpus)
+    media = spark_io.media_df(spark, corpus)
+    cfg = dataclasses.replace(
+        FIXTURE_CONFIG, segmenter=alt_segmenter, ocr_decoder=alt_decoder
+    )
+    rows = extract_spans(docs, media, cfg).filter("kind = 'ocr'").collect()
+    assert rows, "swapped-backend pipeline produced no OCR spans"
+    assert all(r.text.startswith("<") and r.text.endswith(">") for r in rows)

@@ -284,11 +284,18 @@ def test_extract_row_col_tie_break_by_class():
     assert [(b[0], b[1]) for b in boxes] == [(0, 1), (0, 3)]
 
 
-def test_binary_erode_border_erodes():
+def test_binary_erode_border_preserved():
+    # cv2.erode default borderValue = +inf: the outside acts as foreground,
+    # so an all-True mask survives erosion INCLUDING its edge pixels
+    # (reference post_process.py:126 keeps boundary-touching regions).
     m = np.ones((5, 5), dtype=bool)
     out = binary_erode_mask(m, 3)
-    assert out[0, 0] == False  # noqa: E712 — border treated as background
-    assert out[2, 2] == True  # noqa: E712
+    assert out.all()
+    # interior erosion still happens: an isolated blob shrinks by 1 px
+    m2 = np.zeros((7, 7), dtype=bool)
+    m2[2:5, 2:5] = True
+    out2 = binary_erode_mask(m2, 3)
+    assert out2[3, 3] and out2.sum() == 1
 
 
 # ---------------------------------------------------------------------------

@@ -35,6 +35,27 @@ def test_image_features(spark, media):
         assert len(r.row_profile) == 16
 
 
+def test_white_row_probe_routes_on_probe_row(spark):
+    from bsc_project_spark.io.png import encode_gray
+
+    clear = np.full((64, 40), 255, np.uint8)
+    clear[40, :] = 0  # ink, but away from the probe row
+    faulty = np.full((64, 40), 255, np.uint8)
+    faulty[20, 5] = 0  # one dark pixel ON the top probe row
+    bottom = np.full((64, 40), 255, np.uint8)
+    bottom[20, :] = 0  # dark at the TOP probe row; '-b' probes the bottom
+    rows = [
+        ("p1-t", bytearray(encode_gray(clear))),
+        ("p2-t", bytearray(encode_gray(faulty))),
+        ("p3-b", bytearray(encode_gray(bottom))),
+    ]
+    df = spark.createDataFrame(rows, "media_ref string, content binary")
+    out = {r.media_ref: r for r in media_ops.white_row_probe(df).collect()}
+    assert out["p1-t"].is_train and out["p1-t"].probe_row == 20
+    assert not out["p2-t"].is_train
+    assert out["p3-b"].is_train and out["p3-b"].probe_row == 44
+
+
 def test_audio_stub_raises_and_fake_works(spark, media):
     one = media.limit(1)
     with pytest.raises(Exception, match="NotImplementedError|audio decoding"):

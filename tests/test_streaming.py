@@ -3,6 +3,7 @@ drained stream; the stateful sessionizer matches batch sessionization for
 all closed sessions."""
 
 import os
+from datetime import datetime, timedelta
 
 import pandas as pd
 import pytest
@@ -59,3 +60,101 @@ def test_sessionize_stream_matches_batch_closed_sessions(spark):
     got_c = got.select("user_id", "session_start", "session_end", "n_events", "sum_value")
     assert got_c.exceptAll(batch).count() == 0
     assert batch.exceptAll(got_c).count() == 0
+
+
+EVENT_SCHEMA = "event_id long, ts timestamp, user_id long, event_type string, value double"
+
+
+def _write_events(spark, tmp_path, rows):
+    path = str(tmp_path / "events_src")
+    spark.createDataFrame(rows, EVENT_SCHEMA).coalesce(1).write.mode("overwrite").parquet(path)
+    return path
+
+
+def _pandas_sessions(rows, gap_s):
+    """Closed-session oracle: per-user sort by ts, gap scan, drop the last
+    (still-open) session."""
+    out = []
+    by_user = {}
+    for _eid, ts, uid, _et, val in rows:
+        by_user.setdefault(uid, []).append((ts, val))
+    for uid, evs in by_user.items():
+        evs.sort()
+        sessions = []
+        start = last = evs[0][0]
+        n, sv = 1, evs[0][1]
+        for ts, val in evs[1:]:
+            if (ts - last).total_seconds() > gap_s:
+                sessions.append((uid, start, last, n, sv))
+                start = last = ts
+                n, sv = 1, val
+            else:
+                last = max(last, ts)
+                n += 1
+                sv += val
+        # final session stays open -> not emitted under availableNow
+        out.extend(sessions)
+    return sorted(out)
+
+
+def test_sessionize_out_of_order_within_trigger(spark, tmp_path):
+    # rows deliberately NOT in time order: without a buffer-all-then-sort
+    # scan, the 2000s event seen first would swallow t0 into its session
+    # and corrupt session_start
+    t0 = datetime(2024, 1, 1, 10, 0, 0)
+    s = timedelta(seconds=1)
+    rows = [
+        (1, t0 + 2000 * s, 7, "click", 1.0),
+        (2, t0, 7, "click", 2.0),
+        (3, t0 + 2005 * s, 7, "click", 4.0),
+        (4, t0 + 5 * s, 7, "click", 8.0),
+    ]
+    path = _write_events(spark, tmp_path, rows)
+    got = run_stream_to_memory(
+        spark, path, lambda df: sessionize(df, 600), "sess_ooo", output_mode="append"
+    ).collect()
+    assert [(r.user_id, r.session_start, r.session_end, r.n_events, r.sum_value) for r in got] == [
+        (7, t0, t0 + 5 * s, 2, 10.0)
+    ]
+
+
+def test_sessionize_available_now_keeps_open_session(spark, tmp_path):
+    # all events within one gap -> the only session stays OPEN in state and
+    # availableNow emits nothing (ProcessingTimeTimeout needs a later
+    # trigger) — the documented finite-drain caveat
+    t0 = datetime(2024, 1, 1, 12, 0, 0)
+    rows = [(i, t0 + timedelta(seconds=10 * i), 3, "view", 1.0) for i in range(5)]
+    path = _write_events(spark, tmp_path, rows)
+    got = run_stream_to_memory(
+        spark, path, lambda df: sessionize(df, 600), "sess_open", output_mode="append"
+    )
+    assert got.count() == 0
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_sessionize_randomized_matches_pandas_oracle(spark, tmp_path, seed):
+    import random
+
+    rng = random.Random(seed)
+    t0 = datetime(2024, 2, 1, 0, 0, 0)
+    gap_s = 300
+    rows = []
+    eid = 0
+    for uid in range(4):
+        t = 0.0
+        for _ in range(rng.randint(3, 12)):
+            # mix of intra-session steps and gap-crossing jumps
+            t += rng.choice([5, 30, 90, 400, 900])
+            rows.append(
+                (eid, t0 + timedelta(seconds=t), uid, "e", float(rng.randint(1, 9)))
+            )
+            eid += 1
+    rng.shuffle(rows)  # arrival order decoupled from event time
+    path = _write_events(spark, tmp_path, rows)
+    got = run_stream_to_memory(
+        spark, path, lambda df: sessionize(df, gap_s), f"sess_rand_{seed}", output_mode="append"
+    ).collect()
+    got_t = sorted(
+        (r.user_id, r.session_start, r.session_end, r.n_events, r.sum_value) for r in got
+    )
+    assert got_t == _pandas_sessions(rows, gap_s)
