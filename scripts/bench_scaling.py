@@ -182,6 +182,11 @@ one memory bus.  A ~30%-slower build of this engine measured 0.85 on
 2->8 on this box; the current build trades that ratio for ~30% more
 absolute throughput at narrow widths and ~15% at full width.
 
+Companion evidence: `python scripts/scaling_tasklog.py` writes
+BENCH/TASKLOG.md — a Spark-event-log decomposition of the 2->8 pair
+showing wall efficiency tracks 1/(kernel core-second inflation) per
+contention window, i.e. the gap is bus-bound compute, not orchestration.
+
 Reproduce: `python scripts/bench_scaling.py`
 (env: SPARK_GRAFT_SCALING_DOCS, SPARK_GRAFT_SCALING_TRIALS)
 """
