@@ -359,3 +359,114 @@ QUERIES["q_ivf_assign"] = QuerySpec(
     oracle=_IVF_DUCK,
     description="IVF coarse assignment: nearest of K centroids per embedding",
 )
+
+
+# ---------------------------------------------------------------------------
+# IVF with TRAINED centroids: k-means (Lloyd) refinement of the coarse
+# quantizer — the engine's iterative-algorithm surface.  Per iteration:
+# ONE mapInPandas pass computes assignments AND per-centroid partial sums
+# (map-side combine; each task emits k rows), the driver folds the
+# n_partitions x k partials into new centroids (k x d floats — trivially
+# driver-sized at any corpus scale), and the next iteration broadcasts
+# them via closure capture.  No oracle entry: 3-deep iterative float
+# averaging is not SQL-expressible with cross-engine bit parity, so the
+# driver records the weaker rows-only check; exactness vs a pure-numpy
+# reference implementation is pinned by tests/test_kmeans.py.
+# ---------------------------------------------------------------------------
+
+_KMEANS_K = 8
+_KMEANS_ITERS = 3
+_KMEANS_SCHEMA = "centroid_id int, n long, s array<double>"
+_ASSIGN_SCHEMA = "vec_id long, centroid_id int, cosine double"
+
+
+def _unit_rows(m: np.ndarray) -> np.ndarray:
+    return m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+
+
+def _kmeans_partials_fn(cents: np.ndarray):
+    c_norm = _unit_rows(cents)
+
+    def run(batches):
+        k, d = cents.shape
+        sums = np.zeros((k, d))
+        counts = np.zeros(k, dtype=np.int64)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            E = np.stack([np.asarray(x, dtype=np.float64) for x in pdf["v"]])
+            cid = np.argmax(_unit_rows(E) @ c_norm.T, axis=1)
+            for j in range(k):
+                mask = cid == j
+                counts[j] += int(mask.sum())
+                if mask.any():
+                    sums[j] += E[mask].sum(axis=0)
+        yield pd.DataFrame(
+            {"centroid_id": np.arange(k, dtype=np.int32), "n": counts,
+             "s": [sums[j].tolist() for j in range(k)]}
+        )
+
+    return run
+
+
+def _kmeans_assign_fn(cents: np.ndarray):
+    c_norm = _unit_rows(cents)
+
+    def run(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            E = np.stack([np.asarray(x, dtype=np.float64) for x in pdf["v"]])
+            sims = _unit_rows(E) @ c_norm.T
+            cid = np.argmax(sims, axis=1)
+            yield pd.DataFrame(
+                {"vec_id": pdf["vec_id"].to_numpy(),
+                 "centroid_id": cid.astype(np.int32),
+                 "cosine": np.round(sims[np.arange(len(cid)), cid], 5)}
+            )
+
+    return run
+
+
+def kmeans_refine(emb: DataFrame, k: int = _KMEANS_K, iters: int = _KMEANS_ITERS):
+    """Lloyd refinement over an (vec_id, v: array<double>) frame.
+
+    Returns (centroids ndarray, assignment DataFrame).  Init = the k
+    lowest vec_ids (deterministic).  Empty clusters keep their previous
+    centroid (standard Lloyd degenerate-case handling).
+    """
+    init = emb.filter(F.col("vec_id") < k).orderBy("vec_id").collect()
+    cents = np.stack([np.asarray(r.v, dtype=np.float64) for r in init])
+    for _ in range(iters):
+        partials = emb.select("vec_id", "v").mapInPandas(
+            _kmeans_partials_fn(cents), _KMEANS_SCHEMA
+        ).collect()
+        sums = np.zeros_like(cents)
+        counts = np.zeros(cents.shape[0], dtype=np.int64)
+        for r in partials:
+            sums[r.centroid_id] += np.asarray(r.s)
+            counts[r.centroid_id] += r.n
+        nonempty = counts > 0
+        cents = cents.copy()
+        cents[nonempty] = sums[nonempty] / counts[nonempty, None]
+    assigned = emb.select("vec_id", "v").mapInPandas(
+        _kmeans_assign_fn(cents), _ASSIGN_SCHEMA
+    )
+    return cents, assigned
+
+
+def _ivf_kmeans_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    emb = spark.table("embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    ).persist()  # scanned once; every Lloyd pass rereads the cached columns
+    _, assigned = kmeans_refine(emb)
+    return assigned
+
+
+QUERIES["q_ivf_kmeans"] = QuerySpec(
+    spark=_ivf_kmeans_spark,
+    oracle=None,  # iterative; rows-only driver check + tests/test_kmeans.py
+    description="IVF with trained centroids: 3 Lloyd iterations, map-side "
+    "partial sums, driver-folded k x d centroid state",
+)

@@ -312,3 +312,86 @@ _q(
     _FP_TEMPLATE.format(st="VARCHAR"),
     "stable document fingerprint (length + head hash)",
 )
+
+# ---------------------------------------------------------------------------
+# End-to-end corpus curation: the composed training-data pipeline in ONE
+# declarative plan — quality gate + language gate + exact-dedup survivorship
+# + token-budget cut (cumulative window capped at a budget).  This is the
+# query a 100 TB curation job runs nightly; every stage is native SQL so
+# Catalyst fuses the gates into one scan + one window.
+# ---------------------------------------------------------------------------
+
+_CURATION_TEMPLATE = """
+    WITH feat AS (
+      SELECT doc_id,
+             length(text) AS n_chars,
+             CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                       ELSE {n_tokens} END AS BIGINT) AS n_tokens,
+             (length(text) - length({strip_punct})) * 1e0
+               / NULLIF(length(text), 0) AS punct_ratio,
+             {en_hits} AS en_hits,
+             {de_hits} AS de_hits,
+             min(doc_id) OVER (PARTITION BY md5(text)) AS keeper
+      FROM documents
+    ),
+    kept AS (
+      SELECT doc_id, n_tokens FROM feat
+      WHERE doc_id = keeper
+        AND n_chars BETWEEN 20 AND 100000
+        AND punct_ratio < 0.1
+        AND en_hits >= de_hits
+    ),
+    budgeted AS (
+      SELECT doc_id, n_tokens,
+             CAST(sum(n_tokens) OVER (
+               ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS cum_tokens
+      FROM kept
+    )
+    SELECT doc_id, n_tokens, cum_tokens
+    FROM budgeted WHERE cum_tokens <= 20000
+"""
+
+_q(
+    "q_corpus_curation",
+    _CURATION_TEMPLATE.format(
+        n_tokens="size(split(trim(text), '\\\\s+'))",
+        strip_punct="regexp_replace(text, '[.,;:!?]', '')",
+        en_hits=_hits(_EN_WORDS),
+        de_hits=_hits(_DE_WORDS),
+    ),
+    _CURATION_TEMPLATE.format(
+        n_tokens=r"len(string_split_regex(trim(text), '\s+'))",
+        strip_punct="regexp_replace(text, '[.,;:!?]', '', 'g')",
+        en_hits=_hits(_EN_WORDS),
+        de_hits=_hits(_DE_WORDS),
+    ),
+    "composed curation pipeline: quality + language + dedup survivorship "
+    "+ token-budget window cap, one declarative plan",
+)
+
+# ---------------------------------------------------------------------------
+# Deterministic stratified sampling: top-k per language stratum under a
+# content-keyed pseudo-random order (md5 — identical in both engines, no
+# engine RNG).  The scale path is the standard window-per-stratum top-k:
+# one shuffle on the stratum key, no driver involvement.
+# ---------------------------------------------------------------------------
+
+_STRATIFIED_TEMPLATE = """
+    SELECT lang, doc_id FROM (
+      SELECT lang, doc_id,
+             row_number() OVER (
+               PARTITION BY lang
+               ORDER BY md5(concat('samp:', CAST(doc_id AS {st}))), doc_id) AS rn
+      FROM documents
+    ) t WHERE rn <= 5
+"""
+
+_q(
+    "q_stratified_sample",
+    _STRATIFIED_TEMPLATE.format(st="STRING"),
+    _STRATIFIED_TEMPLATE.format(st="VARCHAR"),
+    "deterministic stratified sample: 5 docs per language stratum under "
+    "md5-keyed pseudo-random order",
+)
