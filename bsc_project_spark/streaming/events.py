@@ -155,6 +155,21 @@ def sessionize(events: DataFrame, gap_seconds: int = 1800) -> DataFrame:
     )
 
 
+def dedup_events(events: DataFrame, watermark: str = "10 minutes") -> DataFrame:
+    """Streaming exact dedup by event_id — the continuous-ingest
+    counterpart of q_dedup_exact.  On a stream, state is bounded by the
+    watermark horizon (``dropDuplicatesWithinWatermark``: a duplicate
+    arriving later than the watermark allows is not guaranteed dropped —
+    the documented at-least-once boundary); on a batch frame it degrades
+    to plain dropDuplicates, so the same code serves both paths."""
+    src = events.withColumn("ts", F.col("ts").cast("timestamp"))
+    if src.isStreaming:
+        return src.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+            ["event_id"]
+        )
+    return src.dropDuplicates(["event_id"])
+
+
 def run_stream_to_memory(
     spark,
     source_dir: str,

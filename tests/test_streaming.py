@@ -11,6 +11,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from bsc_project_spark.streaming.events import (
+    dedup_events,
     run_stream_to_memory,
     sessionize,
     windowed_event_counts,
@@ -129,6 +130,21 @@ def test_sessionize_available_now_keeps_open_session(spark, tmp_path):
         spark, path, lambda df: sessionize(df, 600), "sess_open", output_mode="append"
     )
     assert got.count() == 0
+
+
+def test_dedup_events_stream_drops_within_watermark(spark, tmp_path):
+    t0 = datetime(2024, 3, 1, 9, 0, 0)
+    base = [(i, t0 + timedelta(seconds=30 * i), i % 3, "e", float(i)) for i in range(10)]
+    rows = base + base[::2] + base[:3]  # exact duplicates, out of arrival order
+    path = _write_events(spark, tmp_path, rows)
+    got = run_stream_to_memory(
+        spark, path, dedup_events, "dedup_stream", output_mode="append"
+    )
+    assert got.count() == 10
+    assert sorted(r.event_id for r in got.collect()) == list(range(10))
+    # batch path: same operator, same result
+    batch = dedup_events(spark.read.parquet(path))
+    assert batch.count() == 10
 
 
 @pytest.mark.parametrize("seed", [0, 1])
