@@ -316,9 +316,17 @@ _q(
 # ---------------------------------------------------------------------------
 # End-to-end corpus curation: the composed training-data pipeline in ONE
 # declarative plan — quality gate + language gate + exact-dedup survivorship
-# + token-budget cut (cumulative window capped at a budget).  This is the
-# query a 100 TB curation job runs nightly; every stage is native SQL so
-# Catalyst fuses the gates into one scan + one window.
+# + token-budget cut (cumulative window capped at a budget).  Every stage is
+# native SQL so Catalyst fuses the gates into one scan + windows.
+#
+# Scale note: the ORDER BY doc_id cumulative sum is a GLOBAL window (one
+# task) — it is the semantic spec of "take documents in id order until the
+# budget is hit".  At 100 TB the same result comes from the standard
+# two-phase prefix sum: bucket by doc_id range, aggregate per-bucket token
+# subtotals (tiny), prefix-sum the subtotals on the driver, then filter
+# each bucket against its precomputed offset — only the last straddling
+# bucket needs a within-bucket window.  The skinny post-filter row count
+# here makes the single-task window the right plan at bench scale.
 # ---------------------------------------------------------------------------
 
 _CURATION_TEMPLATE = """
