@@ -126,6 +126,13 @@ def _lsh_bits_fn(vecs: pd.Series) -> pd.Series:
     Replaces _N_PLANES separate interpreted aggregate(zip_with(...)) passes;
     the JVM<->Python cost is one Arrow transfer of the (already needed)
     vectors, and the bit computation is a (n, d) @ (d, p) BLAS call.
+
+    Boundary semantics: a projection that is EXACTLY zero in exact
+    arithmetic can round to either side under different summation orders
+    (BLAS shape, engine), so its bit is summation-order-defined.  Generic
+    float embeddings never sit on that measure-zero boundary (property
+    tests pin the away-from-boundary invariants); exact duplicates agree
+    trivially because both rows compute the identical expression.
     """
     if len(vecs) == 0:
         return pd.Series([], dtype=object)

@@ -105,3 +105,65 @@ def test_deskew_roundtrip_interior(mask):
         return
     back = deskew(deskew(img, 1.5), -1.5)
     assert (back[margin : h - margin, :] == img[margin : h - margin, :]).all()
+
+
+# ---------------------------------------------------------------------------
+# LSH banding invariants (queries/similarity.py, pure-numpy halves)
+# ---------------------------------------------------------------------------
+
+vectors = arrays(
+    np.float64,
+    st.integers(2, 96),
+    elements=st.floats(-10, 10, allow_nan=False, width=64),
+)
+
+
+@settings(max_examples=60, deadline=None)
+@given(vectors, st.floats(0.1, 100.0))
+def test_lsh_bits_scale_invariant(v, c):
+    """sign(dot(cv, s)) == sign(dot(v, s)) for c > 0: LSH buckets depend on
+    direction only, so rescaled duplicates land in the same bucket.  Only
+    claimed away from the sign boundary — a projection within float-
+    cancellation distance of 0 can legitimately flip under rescaling."""
+    import pandas as pd
+
+    from bsc_project_spark.queries.similarity import _lsh_bits_fn, _sign_matrix
+    from hypothesis import assume
+
+    margins = np.abs(np.asarray(v) @ _sign_matrix(len(v)))
+    assume(margins.min() > 1e-6 * (np.abs(v).sum() + 1.0))
+    bits = _lsh_bits_fn(pd.Series([v, c * v]))
+    assert bits[0] == bits[1]
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.integers(1, 128))
+def test_sign_matrix_matches_sql_formula(dim):
+    from bsc_project_spark.queries.similarity import _N_PLANES, _sign_matrix
+
+    m = _sign_matrix(dim)
+    assert m.shape == (dim, _N_PLANES)
+    for i in (1, dim):  # 1-based dimension index, spot-check both ends
+        for j in (0, _N_PLANES - 1):
+            expect = 1.0 if ((i * 2654435761 + j * 40503) % 97) % 2 == 0 else -1.0
+            assert m[i - 1, j] == expect
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(vectors, min_size=1, max_size=6))
+def test_lsh_bits_batch_equals_per_row(vs):
+    """Batched (possibly ragged-dim) evaluation must equal row-at-a-time —
+    away from exactly-zero projections, where BLAS summation order for
+    different matrix shapes may round a mathematical 0 to either side
+    (generic embeddings never sit on that measure-zero boundary)."""
+    import pandas as pd
+
+    from bsc_project_spark.queries.similarity import _lsh_bits_fn, _sign_matrix
+    from hypothesis import assume
+
+    for v in vs:
+        margins = np.abs(np.asarray(v) @ _sign_matrix(len(v)))
+        assume(margins.min() > 1e-6 * (np.abs(v).sum() + 1.0))
+    batched = list(_lsh_bits_fn(pd.Series(vs)))
+    single = [_lsh_bits_fn(pd.Series([v]))[0] for v in vs]
+    assert batched == single
