@@ -58,3 +58,29 @@ def test_swapped_backends_flow_through_pipeline(spark, corpus):
     rows = extract_spans(docs, media, cfg).filter("kind = 'ocr'").collect()
     assert rows, "swapped-backend pipeline produced no OCR spans"
     assert all(r.text.startswith("<") and r.text.endswith(">") for r in rows)
+
+
+def test_backend_with_broadcast_weights(spark, corpus):
+    """S8 model-weight distribution: a backend carrying real model weights
+    ships them to executors ONCE via a Spark broadcast variable captured in
+    the decoder closure (the Spark-idiomatic analogue of the reference's
+    model.to(device) per process, imgs2csv.py:132-137); the weights are
+    read inside the mapInPandas stage on the executors."""
+    weights = np.arange(65536, dtype=np.float32)  # stand-in weight tensor
+    bweights = spark.sparkContext.broadcast(weights)
+    checksum = int(weights.sum())
+
+    def weighted_decoder(crop: np.ndarray, cfg, scale=None) -> str:
+        w = bweights.value  # touched on the EXECUTOR
+        assert int(w.sum()) == checksum
+        return decode_cell(crop, cfg, scale)
+
+    docs = spark_io.documents_df(spark, corpus)
+    media = spark_io.media_df(spark, corpus)
+    cfg = dataclasses.replace(FIXTURE_CONFIG, ocr_decoder=weighted_decoder)
+    golden = spark_io.golden_df(spark, corpus)
+    extracted = extract_spans(docs, media, cfg)
+    # weights present + decode unchanged => exact golden parity holds
+    assert extracted.exceptAll(golden).count() == 0
+    assert golden.exceptAll(extracted).count() == 0
+    bweights.unpersist()
