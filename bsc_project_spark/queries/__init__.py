@@ -58,10 +58,11 @@ def sql_query(sql: str) -> Callable[[SparkSession, str], DataFrame]:
 
 
 def all_queries() -> dict[str, QuerySpec]:
-    from . import relational, similarity, textops
+    from . import eventops, relational, similarity, textops
 
     out: dict[str, QuerySpec] = {}
     out.update(relational.QUERIES)
     out.update(textops.QUERIES)
     out.update(similarity.QUERIES)
+    out.update(eventops.QUERIES)
     return out
