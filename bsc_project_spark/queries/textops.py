@@ -191,6 +191,73 @@ _q(
 )
 
 # ---------------------------------------------------------------------------
+# MinHash estimator quality: for every LSH candidate pair, the
+# signature-estimated Jaccard (fraction of agreeing seeds) next to the
+# exact shingle Jaccard.  This is the measurement a dedup pipeline runs to
+# pick its band/seed configuration; at scale the exact half is computed on
+# a SAMPLE of candidate pairs while the estimate is free (signatures
+# already exist).  One shingle table feeds signatures, candidates and the
+# exact intersection — Catalyst reuses the CTE scan.
+# ---------------------------------------------------------------------------
+
+_EST_AGREE = " + ".join(
+    f"(CASE WHEN wa.m{s} = wb.m{s} THEN 1 ELSE 0 END)" for s in range(_N_SEEDS)
+)
+
+_MINHASH_EST_BODY = f"""
+    cand AS (
+      SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+      FROM bands a
+      JOIN bands b ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id
+    ),
+    est AS (
+      SELECT c.a_id, c.b_id, ({_EST_AGREE}) * 1e0 / {_N_SEEDS} AS est_j
+      FROM cand c
+      JOIN wide wa ON wa.doc_id = c.a_id
+      JOIN wide wb ON wb.doc_id = c.b_id
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM d GROUP BY doc_id),
+    inter AS (
+      SELECT c.a_id, c.b_id, count(*) AS i
+      FROM cand c
+      JOIN d da ON da.doc_id = c.a_id
+      JOIN d db ON db.doc_id = c.b_id AND db.s = da.s
+      GROUP BY 1, 2
+    )
+    SELECT e.a_id, e.b_id,
+           round(e.est_j, 6) AS est_jaccard,
+           round(coalesce(i.i, 0) * 1e0 / (sa.n + sb.n - coalesce(i.i, 0)), 6)
+             AS true_jaccard
+    FROM est e
+    JOIN sizes sa ON sa.doc_id = e.a_id
+    JOIN sizes sb ON sb.doc_id = e.b_id
+    LEFT JOIN inter i ON i.a_id = e.a_id AND i.b_id = e.b_id
+"""
+
+_MINHASH_EST_SPARK = f"""
+    {_minhash_wide(_SHINGLES_SPARK.format(src=_PLANTED))},
+    bands AS (
+      SELECT doc_id, stack({_N_BANDS}, {_BANDS_STACK_SPARK}) AS (band, bsig) FROM wide
+    ),
+    {_MINHASH_EST_BODY}
+"""
+
+_MINHASH_EST_DUCK = f"""
+    {_minhash_wide(_SHINGLES_DUCK.format(src=_PLANTED))},
+    wideb AS (SELECT doc_id, {_BANDS_WIDE_DUCK} FROM wide),
+    bands AS (UNPIVOT wideb ON {_BANDS_UNPIVOT_DUCK} INTO NAME band VALUE bsig),
+    {_MINHASH_EST_BODY}
+"""
+
+_q(
+    "q_minhash_est",
+    _MINHASH_EST_SPARK,
+    _MINHASH_EST_DUCK,
+    "MinHash estimator quality: signature-estimated vs exact Jaccard per "
+    "LSH candidate pair",
+)
+
+# ---------------------------------------------------------------------------
 # SimHash (16-bit, from the first 4 hex chars of md5(shingle))
 # ---------------------------------------------------------------------------
 

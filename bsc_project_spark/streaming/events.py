@@ -155,6 +155,41 @@ def sessionize(events: DataFrame, gap_seconds: int = 1800) -> DataFrame:
     )
 
 
+def enrich_with_dim(
+    events: DataFrame,
+    dim: DataFrame,
+    on: str = "user_id",
+    window: str = "1 day",
+    watermark: str = "2 minutes",
+) -> DataFrame:
+    """Stream-static enrichment: join the event stream against a SLOWLY
+    CHANGING static dimension (broadcast per micro-batch — the static side
+    is re-planned each trigger, so a refreshed dim table is picked up
+    without restarting the query), then roll up per (window, dim attribute).
+
+    This is the continuous form of q_segment_revenue's broadcast-dim shape:
+    the stream side never shuffles for the join; only the windowed groupBy
+    keeps (bounded, watermark-expired) state.  Left join keeps events whose
+    key has no dim row (dim_value NULL bucket) — dropping them silently
+    would make the rollup lie about traffic volume.
+    """
+    src = events.withColumn("ts", F.col("ts").cast("timestamp"))
+    if src.isStreaming:
+        src = src.withWatermark("ts", watermark)
+    joined = src.join(F.broadcast(dim), on=on, how="left")
+    dim_cols = [c for c in dim.columns if c != on]
+    return (
+        joined.groupBy(F.window("ts", window).alias("w"), *dim_cols)
+        .agg(F.count("*").alias("n_events"), F.sum("value").alias("sum_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            *dim_cols,
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
 def dedup_events(events: DataFrame, watermark: str = "10 minutes") -> DataFrame:
     """Streaming exact dedup by event_id — the continuous-ingest
     counterpart of q_dedup_exact.  On a stream, state is bounded by the

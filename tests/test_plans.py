@@ -35,6 +35,30 @@ def test_queries_have_no_row_python_udfs(spark):
         assert "BatchEvalPython" not in plan, f"{name} uses a row-at-a-time Python UDF"
 
 
+def test_segment_revenue_broadcasts_dims(spark):
+    """The fact (lineitem) side must never shuffle for the dim joins:
+    both customer and orders arrive via BroadcastHashJoin; the only
+    Exchange below the top-k sort is the final groupBy."""
+    from bsc_project_spark.queries.eventops import QUERIES
+
+    plan = (
+        QUERIES["q_segment_revenue"].spark(spark, SF_DIR)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_pricing_summary_pushes_date_filter(spark):
+    from bsc_project_spark.queries.eventops import QUERIES
+
+    plan = (
+        QUERIES["q_pricing_summary"].spark(spark, SF_DIR)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+
+
 def test_extraction_broadcasts_refs_side(spark, corpus):
     from bsc_project_spark.fixtures import spark_io
     from bsc_project_spark.fixtures.corpus import FIXTURE_CONFIG

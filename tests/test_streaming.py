@@ -174,3 +174,24 @@ def test_sessionize_randomized_matches_pandas_oracle(spark, tmp_path, seed):
         (r.user_id, r.session_start, r.session_end, r.n_events, r.sum_value) for r in got
     )
     assert got_t == _pandas_sessions(rows, gap_s)
+
+
+def test_enrich_with_dim_stream_equals_batch(spark):
+    from bsc_project_spark.streaming.events import enrich_with_dim
+
+    dim = spark.sql(
+        "SELECT DISTINCT user_id, CASE WHEN user_id % 3 = 0 THEN 'a' ELSE 'b' END"
+        f" AS segment FROM parquet.`{EVENTS}` WHERE user_id % 5 <> 4"
+    )  # incomplete dim: some events must land in the NULL-segment bucket
+    got = run_stream_to_memory(
+        spark,
+        EVENTS,
+        lambda df: enrich_with_dim(df, dim),
+        "enriched",
+        output_mode="complete",
+    )
+    batch = enrich_with_dim(spark.read.parquet(EVENTS), dim)
+    assert got.exceptAll(batch).count() == 0
+    assert batch.exceptAll(got).count() == 0
+    # the left join must retain dim-less events as a NULL bucket
+    assert got.filter("segment IS NULL").count() > 0
