@@ -30,6 +30,12 @@ buckets the anti-join reduces to skipping bucket ids, zero recompute).
 A crash mid-page-stage resumes page extraction; a crash mid-doc-stage
 never re-runs any image kernel at all.
 
+Snapshot history is append-only: every commit freezes its manifest under
+``snapshots/vN.json`` before atomically flipping the current pointer, so
+``read_extracted(..., as_of=N)`` time-travels to any past commit and
+``rollback(out_dir, N)`` re-points the table at an older state as a NEW
+snapshot (Iceberg snapshot/rollback semantics on plain parquet + JSON).
+
 The reference's analogue is ``ocr_generate_more_crops`` resuming crop
 numbering from files already on disk (reference
 scripts/ocr_generate_more_crops.py:11-18,69-76).
@@ -63,7 +69,20 @@ def _manifest_path(out_dir: str) -> str:
     return os.path.join(out_dir, "_manifest.json")
 
 
-def read_manifest(out_dir: str) -> dict:
+def _snapshots_dir(out_dir: str) -> str:
+    return os.path.join(out_dir, "snapshots")
+
+
+def read_manifest(out_dir: str, as_of: int | None = None) -> dict:
+    """Current manifest, or (time travel) the immutable state at snapshot
+    ``as_of`` — the manifest every commit froze under ``snapshots/vN.json``
+    before flipping the current pointer."""
+    if as_of is not None:
+        path = os.path.join(_snapshots_dir(out_dir), f"v{as_of}.json")
+        if not os.path.exists(path):
+            raise ValueError(f"no snapshot v{as_of} under {out_dir}")
+        with open(path) as f:
+            return json.load(f)
     path = _manifest_path(out_dir)
     if not os.path.exists(path):
         return {
@@ -80,11 +99,67 @@ def read_manifest(out_dir: str) -> dict:
     return m
 
 
-def _commit_manifest(out_dir: str, manifest: dict) -> None:
+def _commit_manifest(out_dir: str, manifest: dict) -> dict:
+    """Atomic snapshot commit, Iceberg-style: write the new state as an
+    IMMUTABLE numbered snapshot file first, then flip the current pointer
+    with an atomic rename.  A reader holding snapshot N is never affected
+    by later commits; a crash between the two writes leaves the pointer on
+    the previous fully-written snapshot."""
+    prev = read_manifest(out_dir)
+    sid = int(prev.get("snapshot_id") or 0) + 1
+    manifest = {
+        **manifest,
+        "snapshot_id": sid,
+        "committed_at_ms": int(time.time() * 1000),
+    }
+    snaps = _snapshots_dir(out_dir)
+    os.makedirs(snaps, exist_ok=True)
+    spath = os.path.join(snaps, f"v{sid}.json")
+    with open(spath + ".tmp", "w") as f:
+        json.dump(manifest, f, indent=2, sort_keys=True)
+    os.replace(spath + ".tmp", spath)
     tmp = _manifest_path(out_dir) + ".tmp"
     with open(tmp, "w") as f:
         json.dump(manifest, f, indent=2, sort_keys=True)
-    os.replace(tmp, _manifest_path(out_dir))  # atomic snapshot commit
+    os.replace(tmp, _manifest_path(out_dir))  # atomic pointer flip
+    return manifest
+
+
+def list_snapshots(out_dir: str) -> list[dict]:
+    """Snapshot history, oldest first (id, commit time, bucket progress)."""
+    snaps = _snapshots_dir(out_dir)
+    if not os.path.isdir(snaps):
+        return []
+    out = []
+    for name in os.listdir(snaps):
+        if name.startswith("v") and name.endswith(".json"):
+            with open(os.path.join(snaps, name)) as f:
+                out.append(json.load(f))
+    return sorted(out, key=lambda m: m["snapshot_id"])
+
+
+def rollback(out_dir: str, snapshot_id: int) -> dict:
+    """Re-point the table at an older snapshot's state.  Like Iceberg's
+    rollback this creates a NEW snapshot whose state equals the old one
+    (history is append-only; the abandoned snapshots stay readable via
+    ``as_of``).  A subsequent ``run_extraction_job`` recomputes exactly the
+    buckets the rollback un-committed — their stale data files are
+    invisible until then (readers go through the manifest) and are
+    overwritten when recommitted."""
+    old = read_manifest(out_dir, as_of=snapshot_id)
+    state = {
+        k: old[k]
+        for k in (
+            "run_id",
+            "committed_buckets",
+            "committed_page_buckets",
+            "n_buckets",
+            "n_page_buckets",
+        )
+    }
+    state["rolled_back_from"] = read_manifest(out_dir).get("snapshot_id")
+    state["rolled_back_to"] = snapshot_id
+    return _commit_manifest(out_dir, state)
 
 
 def run_extraction_job(
@@ -124,15 +199,16 @@ def run_extraction_job(
     n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
 
     def commit() -> dict:
-        m = {
-            "run_id": run_id,
-            "committed_buckets": sorted(committed),
-            "committed_page_buckets": sorted(committed_pages),
-            "n_buckets": n_buckets,
-            "n_page_buckets": n_page_buckets,
-        }
-        _commit_manifest(out_dir, m)
-        return m
+        return _commit_manifest(
+            out_dir,
+            {
+                "run_id": run_id,
+                "committed_buckets": sorted(committed),
+                "committed_page_buckets": sorted(committed_pages),
+                "n_buckets": n_buckets,
+                "n_page_buckets": n_page_buckets,
+            },
+        )
 
     # ---- stage 1: pages (skipped entirely on a doc-stage-only resume) ----
     refs_dir = os.path.join(out_dir, "refs")
@@ -223,10 +299,13 @@ def run_extraction_job(
     return manifest
 
 
-def read_extracted(spark: SparkSession, out_dir: str) -> DataFrame:
+def read_extracted(
+    spark: SparkSession, out_dir: str, as_of: int | None = None
+) -> DataFrame:
     """Read back only COMMITTED doc buckets (uncommitted files are
-    invisible, like reading an Iceberg snapshot)."""
-    manifest = read_manifest(out_dir)
+    invisible, like reading an Iceberg snapshot).  ``as_of`` reads the
+    table as it stood at that snapshot id (time travel)."""
+    manifest = read_manifest(out_dir, as_of=as_of)
     paths = [
         os.path.join(out_dir, f"data/bucket={b}") for b in manifest["committed_buckets"]
     ]
@@ -235,10 +314,12 @@ def read_extracted(spark: SparkSession, out_dir: str) -> DataFrame:
     return spark.read.parquet(*paths)
 
 
-def read_lineage(spark: SparkSession, out_dir: str) -> DataFrame:
+def read_lineage(
+    spark: SparkSession, out_dir: str, as_of: int | None = None
+) -> DataFrame:
     """Page-stage lineage rows (per shuffle partition: page/cell/char
     counts + wall time) of committed page buckets."""
-    manifest = read_manifest(out_dir)
+    manifest = read_manifest(out_dir, as_of=as_of)
     paths = [
         os.path.join(out_dir, f"lineage/pbucket={b}")
         for b in manifest["committed_page_buckets"]

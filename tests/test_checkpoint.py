@@ -123,3 +123,47 @@ def test_page_stage_resume_and_global_page_dedup(spark, skew_corpus, tmp_path):
     rows = dl.collect()
     assert {r.bucket for r in rows} == {0, 1, 2, 3}
     assert sum(r.doc_count for r in rows) == len(skew_corpus.documents)
+
+
+def test_snapshot_time_travel_and_rollback(spark, corpus, tmp_path):
+    """Every commit freezes an immutable snapshot; as_of reads past states;
+    rollback re-points the table (append-only history) and a rerun
+    recommits exactly the rolled-back buckets."""
+    from bsc_project_spark.pipeline.checkpoint import list_snapshots, rollback
+
+    docs = spark_io.documents_df(spark, corpus)
+    media = spark_io.media_df(spark, corpus)
+    out_dir = str(tmp_path / "job4")
+
+    m = run_extraction_job(docs, media, FIXTURE_CONFIG, out_dir, n_buckets=4)
+    snaps = list_snapshots(out_dir)
+    # one snapshot per commit: page buckets + doc buckets, ids 1..N
+    assert [s["snapshot_id"] for s in snaps] == list(range(1, len(snaps) + 1))
+    assert len(snaps) == len(m["committed_page_buckets"]) + len(m["committed_buckets"])
+    assert snaps[-1]["snapshot_id"] == m["snapshot_id"]
+
+    # time travel: at the first doc-stage commit only bucket 0 is visible
+    first_doc_snap = next(s for s in snaps if s["committed_buckets"])
+    old = read_extracted(spark, out_dir, as_of=first_doc_snap["snapshot_id"])
+    full = read_extracted(spark, out_dir)
+    assert old.count() < full.count()
+    bucket0_docs = {r.doc_id for r in old.select("doc_id").distinct().collect()}
+    assert bucket0_docs < {r.doc_id for r in full.select("doc_id").distinct().collect()}
+
+    # rollback to that state: new snapshot, old data visible, history intact
+    rb = rollback(out_dir, first_doc_snap["snapshot_id"])
+    assert rb["snapshot_id"] == m["snapshot_id"] + 1
+    assert rb["rolled_back_to"] == first_doc_snap["snapshot_id"]
+    assert read_manifest(out_dir)["committed_buckets"] == [0]
+    assert read_extracted(spark, out_dir).count() == old.count()
+    # the pre-rollback snapshot stays readable (append-only history)
+    assert read_extracted(spark, out_dir, as_of=m["snapshot_id"]).count() == full.count()
+
+    # resume from the rolled-back state: only buckets 1..3 recommit, and the
+    # final table equals the pre-rollback one.  Materialize the pre-rollback
+    # rows first: the rerun OVERWRITES bucket files, so the lazy `full` plan
+    # would read deleted files afterwards.
+    full_rows = sorted(map(tuple, full.collect()))
+    m2 = run_extraction_job(docs, media, FIXTURE_CONFIG, out_dir, n_buckets=4)
+    assert m2["committed_buckets"] == [0, 1, 2, 3]
+    assert sorted(map(tuple, read_extracted(spark, out_dir).collect())) == full_rows
