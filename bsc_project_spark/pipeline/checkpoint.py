@@ -96,6 +96,7 @@ def read_manifest(out_dir: str, as_of: int | None = None) -> dict:
         m = json.load(f)
     m.setdefault("committed_page_buckets", [])
     m.setdefault("n_page_buckets", None)
+    m.setdefault("committed_updates", [])
     return m
 
 
@@ -148,7 +149,7 @@ def rollback(out_dir: str, snapshot_id: int) -> dict:
     overwritten when recommitted."""
     old = read_manifest(out_dir, as_of=snapshot_id)
     state = {
-        k: old[k]
+        k: old.get(k)
         for k in (
             "run_id",
             "committed_buckets",
@@ -157,6 +158,7 @@ def rollback(out_dir: str, snapshot_id: int) -> dict:
             "n_page_buckets",
         )
     }
+    state["committed_updates"] = old.get("committed_updates", [])
     state["rolled_back_from"] = read_manifest(out_dir).get("snapshot_id")
     state["rolled_back_to"] = snapshot_id
     return _commit_manifest(out_dir, state)
@@ -299,6 +301,131 @@ def run_extraction_job(
     return manifest
 
 
+def run_incremental_update(
+    new_documents: DataFrame,
+    media: DataFrame,
+    cfg: ExtractConfig,
+    out_dir: str,
+) -> dict:
+    """Extract a batch of NEWLY-ARRIVED documents into an already-committed
+    table (the continuous-ingest path; the reference's analogue is
+    ``ocr_generate_more_crops`` continuing over images added after the
+    first run, reference scripts/ocr_generate_more_crops.py:11-18,69-76).
+
+    Page-level incremental dedup: the delta's media refs are anti-joined
+    against every ref already extracted (the base snapshot + prior
+    updates), so a new document citing an ALREADY-EXTRACTED page reuses
+    its committed cells — no image kernel reruns, at any corpus size the
+    kernel cost of an update is proportional to its genuinely-new pages.
+
+    One update = one snapshot commit: all delta files (cells, lineage,
+    data, errors, doc lineage under ``*/update=U``) are written first and
+    become visible only when the manifest commit appends U to
+    ``committed_updates``.  A crash mid-update leaves the table at the
+    previous snapshot; rerunning the same delta recomputes U's files
+    idempotently (same id, overwrite mode) and commits once.
+
+    Callers own doc-id disjointness (append-only ingest): re-submitting an
+    already-committed document duplicates it, exactly like appending the
+    same rows to any table twice.
+    """
+    spark = new_documents.sparkSession
+    manifest = read_manifest(out_dir)
+    if manifest["run_id"] is None or len(manifest["committed_buckets"]) < (
+        manifest["n_buckets"] or 0
+    ):
+        raise ValueError(
+            f"{out_dir} has no fully-committed base run; run run_extraction_job first"
+        )
+    committed_updates: list[int] = list(manifest.get("committed_updates", []))
+    uid = (committed_updates[-1] + 1) if committed_updates else 1
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+
+    # refs already extracted: base snapshot + prior update deltas
+    known_ref_paths = [os.path.join(out_dir, "refs")] + [
+        os.path.join(out_dir, f"refs_updates/update={u}") for u in committed_updates
+    ]
+    known_refs = spark.read.parquet(*known_ref_paths)
+    delta_refs = (
+        explode_spans(new_documents)
+        .filter(F.col("kind") == "media")
+        .select("media_ref")
+        .distinct()
+        .join(known_refs, on="media_ref", how="left_anti")
+    )
+    delta_refs.write.mode("overwrite").parquet(
+        os.path.join(out_dir, f"refs_updates/update={uid}")
+    )
+    delta_refs = spark.read.parquet(os.path.join(out_dir, f"refs_updates/update={uid}"))
+
+    # page stage over ONLY the genuinely-new pages
+    stage = run_page_stage(media, delta_refs, cfg, n_parts).persist()
+    cells, lineage = split_stage_output(stage)
+    cells.write.mode("overwrite").parquet(os.path.join(out_dir, f"cells/update={uid}"))
+    if lineage.limit(1).count() == 0:
+        from .extract import LINEAGE_SCHEMA
+
+        lineage = spark.createDataFrame([(-1, 0, 0, 0, 0)], LINEAGE_SCHEMA)
+    (
+        lineage.withColumn("run_id", F.lit(manifest["run_id"]))
+        .withColumn("bucket", F.lit(-uid))  # negative id marks update deltas
+        .withColumn("committed_at_ms", F.lit(int(time.time() * 1000)))
+        .write.mode("overwrite")
+        .parquet(os.path.join(out_dir, f"lineage/update={uid}"))
+    )
+    stage.unpersist()
+
+    # doc stage: join ALL committed cells (base + every update incl. this
+    # one) so shared pages resolve without recompute
+    t0 = time.monotonic()
+    cell_paths = [
+        os.path.join(out_dir, f"cells/pbucket={pb}")
+        for pb in manifest["committed_page_buckets"]
+    ] + [
+        os.path.join(out_dir, f"cells/update={u}")
+        for u in [*committed_updates, uid]
+    ]
+    cells_all = spark.read.parquet(*cell_paths)
+    extracted, unresolved = assemble_spans(new_documents, cells_all, media)
+    extracted.write.mode("overwrite").parquet(
+        os.path.join(out_dir, f"data/update={uid}")
+    )
+    unresolved.write.mode("overwrite").parquet(
+        os.path.join(out_dir, f"errors/update={uid}")
+    )
+    written = spark.read.parquet(os.path.join(out_dir, f"data/update={uid}"))
+    stats = written.agg(
+        F.countDistinct("doc_id").alias("docs"), F.count("*").alias("spans")
+    ).collect()[0]
+    n_unresolved = spark.read.parquet(
+        os.path.join(out_dir, f"errors/update={uid}")
+    ).count()
+    doc_lineage = spark.createDataFrame(
+        [(-uid, int(stats.docs), int(stats.spans), int(n_unresolved),
+          int((time.monotonic() - t0) * 1000))],
+        DOC_LINEAGE_SCHEMA,
+    )
+    (
+        doc_lineage.withColumn("run_id", F.lit(manifest["run_id"]))
+        .withColumn("committed_at_ms", F.lit(int(time.time() * 1000)))
+        .write.mode("overwrite")
+        .parquet(os.path.join(out_dir, f"doc_lineage/update={uid}"))
+    )
+
+    # single atomic commit makes the whole update visible
+    return _commit_manifest(
+        out_dir,
+        {
+            "run_id": manifest["run_id"],
+            "committed_buckets": manifest["committed_buckets"],
+            "committed_page_buckets": manifest["committed_page_buckets"],
+            "n_buckets": manifest["n_buckets"],
+            "n_page_buckets": manifest["n_page_buckets"],
+            "committed_updates": [*committed_updates, uid],
+        },
+    )
+
+
 def read_extracted(
     spark: SparkSession, out_dir: str, as_of: int | None = None
 ) -> DataFrame:
@@ -308,6 +435,9 @@ def read_extracted(
     manifest = read_manifest(out_dir, as_of=as_of)
     paths = [
         os.path.join(out_dir, f"data/bucket={b}") for b in manifest["committed_buckets"]
+    ] + [
+        os.path.join(out_dir, f"data/update={u}")
+        for u in manifest.get("committed_updates", [])
     ]
     if not paths:
         raise ValueError(f"no committed buckets under {out_dir}")
@@ -323,19 +453,28 @@ def read_lineage(
     paths = [
         os.path.join(out_dir, f"lineage/pbucket={b}")
         for b in manifest["committed_page_buckets"]
+    ] + [
+        os.path.join(out_dir, f"lineage/update={u}")
+        for u in manifest.get("committed_updates", [])
     ]
     if not paths:
         raise ValueError(f"no committed lineage under {out_dir}")
     return spark.read.parquet(*paths)
 
 
-def read_doc_lineage(spark: SparkSession, out_dir: str) -> DataFrame:
+def read_doc_lineage(
+    spark: SparkSession, out_dir: str, as_of: int | None = None
+) -> DataFrame:
     """Doc-stage lineage rows (per doc bucket: doc/span/unresolved counts +
-    wall time) of committed doc buckets."""
-    manifest = read_manifest(out_dir)
+    wall time) of committed doc buckets; incremental updates appear with
+    negative bucket ids (-update_id)."""
+    manifest = read_manifest(out_dir, as_of=as_of)
     paths = [
         os.path.join(out_dir, f"doc_lineage/bucket={b}")
         for b in manifest["committed_buckets"]
+    ] + [
+        os.path.join(out_dir, f"doc_lineage/update={u}")
+        for u in manifest.get("committed_updates", [])
     ]
     if not paths:
         raise ValueError(f"no committed doc lineage under {out_dir}")

@@ -167,3 +167,87 @@ def test_snapshot_time_travel_and_rollback(spark, corpus, tmp_path):
     m2 = run_extraction_job(docs, media, FIXTURE_CONFIG, out_dir, n_buckets=4)
     assert m2["committed_buckets"] == [0, 1, 2, 3]
     assert sorted(map(tuple, read_extracted(spark, out_dir).collect())) == full_rows
+
+
+def test_incremental_update_reuses_committed_pages(spark, corpus, tmp_path):
+    """New documents land via run_incremental_update: already-extracted
+    pages are never re-run (kernel cost proportional to genuinely-new
+    pages), the update commits atomically as one snapshot, and the final
+    table equals one-shot extraction over the union."""
+    from pyspark.sql import functions as F
+
+    from bsc_project_spark.fixtures.spark_io import DOCUMENTS_SCHEMA
+    from bsc_project_spark.pipeline.checkpoint import (
+        list_snapshots,
+        run_incremental_update,
+    )
+
+    docs = spark_io.documents_df(spark, corpus)
+    media = spark_io.media_df(spark, corpus)
+    ids = sorted(r.doc_id for r in docs.select("doc_id").collect())
+    base_ids, delta_ids = set(ids[: len(ids) // 2]), set(ids[len(ids) // 2 :])
+    base_docs = docs.filter(F.col("doc_id").isin(base_ids))
+    out_dir = str(tmp_path / "job5")
+
+    run_extraction_job(base_docs, media, FIXTURE_CONFIG, out_dir, n_buckets=2)
+    base_cells = _mtimes(os.path.join(out_dir, "cells"))
+    snaps_before = len(list_snapshots(out_dir))
+
+    # delta: the remaining docs (new pages) + one doc citing an OLD page
+    base_ref = (
+        spark_io.documents_df(spark, corpus)
+        .filter(F.col("doc_id").isin(base_ids))
+        .select(F.explode("spans").alias("s"))
+        .filter("s.kind = 'media'")
+        .select("s.media_ref").first().media_ref
+    )
+    extra = spark.createDataFrame(
+        [("doc-extra", [("text", "intro", None, 0), ("media", None, base_ref, 1)])],
+        DOCUMENTS_SCHEMA,
+    )
+    delta_docs = docs.filter(F.col("doc_id").isin(delta_ids)).unionByName(extra)
+
+    m = run_incremental_update(delta_docs, media, FIXTURE_CONFIG, out_dir)
+    assert m["committed_updates"] == [1]
+    assert len(list_snapshots(out_dir)) == snaps_before + 1
+    # committed base cells untouched byte-for-byte
+    assert {
+        p: t for p, t in _mtimes(os.path.join(out_dir, "cells")).items()
+        if "update=" not in p
+    } == base_cells
+
+    # the update's page lineage counts ONLY genuinely-new pages: the shared
+    # page cited by doc-extra was reused, not re-extracted
+    delta_refs = {
+        r.media_ref
+        for r in delta_docs.select(F.explode("spans").alias("s"))
+        .filter("s.kind = 'media'").select("s.media_ref").distinct().collect()
+    }
+    base_refs = {
+        r.media_ref
+        for r in base_docs.select(F.explode("spans").alias("s"))
+        .filter("s.kind = 'media'").select("s.media_ref").distinct().collect()
+    }
+    lin = read_lineage(spark, out_dir)
+    update_pages = (
+        lin.filter("bucket = -1").groupBy().sum("page_count").collect()[0][0]
+    )
+    assert update_pages == len(delta_refs - base_refs)
+
+    # final table == one-shot extraction over base + delta documents
+    final = read_extracted(spark, out_dir)
+    oneshot = extract_spans(
+        base_docs.unionByName(delta_docs), media, FIXTURE_CONFIG
+    )
+    assert final.exceptAll(oneshot).count() == 0
+    assert oneshot.exceptAll(final).count() == 0
+
+    # a second update citing ONLY old pages: zero kernel work, doc assembled
+    extra2 = spark.createDataFrame(
+        [("doc-extra-2", [("media", None, base_ref, 0)])], DOCUMENTS_SCHEMA
+    )
+    m2 = run_incremental_update(extra2, media, FIXTURE_CONFIG, out_dir)
+    assert m2["committed_updates"] == [1, 2]
+    lin2 = read_lineage(spark, out_dir)
+    assert lin2.filter("bucket = -2").groupBy().sum("page_count").collect()[0][0] == 0
+    assert read_extracted(spark, out_dir).filter("doc_id = 'doc-extra-2'").count() > 0
