@@ -159,6 +159,8 @@ def rollback(out_dir: str, snapshot_id: int) -> dict:
         )
     }
     state["committed_updates"] = old.get("committed_updates", [])
+    if old.get("compaction"):
+        state["compaction"] = old["compaction"]
     state["rolled_back_from"] = read_manifest(out_dir).get("snapshot_id")
     state["rolled_back_to"] = snapshot_id
     return _commit_manifest(out_dir, state)
@@ -201,16 +203,22 @@ def run_extraction_job(
     n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
 
     def commit() -> dict:
-        return _commit_manifest(
-            out_dir,
-            {
-                "run_id": run_id,
-                "committed_buckets": sorted(committed),
-                "committed_page_buckets": sorted(committed_pages),
-                "n_buckets": n_buckets,
-                "n_page_buckets": n_page_buckets,
-            },
-        )
+        state = {
+            "run_id": run_id,
+            "committed_buckets": sorted(committed),
+            "committed_page_buckets": sorted(committed_pages),
+            "n_buckets": n_buckets,
+            "n_page_buckets": n_page_buckets,
+        }
+        # carry forward table-level state this job does not own (updates
+        # committed earlier, an active compaction) — a resumed bucket
+        # commit must not un-commit them
+        current = read_manifest(out_dir)
+        if current.get("committed_updates"):
+            state["committed_updates"] = current["committed_updates"]
+        if current.get("compaction"):
+            state["compaction"] = current["compaction"]
+        return _commit_manifest(out_dir, state)
 
     # ---- stage 1: pages (skipped entirely on a doc-stage-only resume) ----
     refs_dir = os.path.join(out_dir, "refs")
@@ -413,17 +421,38 @@ def run_incremental_update(
     )
 
     # single atomic commit makes the whole update visible
-    return _commit_manifest(
-        out_dir,
-        {
-            "run_id": manifest["run_id"],
-            "committed_buckets": manifest["committed_buckets"],
-            "committed_page_buckets": manifest["committed_page_buckets"],
-            "n_buckets": manifest["n_buckets"],
-            "n_page_buckets": manifest["n_page_buckets"],
-            "committed_updates": [*committed_updates, uid],
-        },
-    )
+    state = {
+        "run_id": manifest["run_id"],
+        "committed_buckets": manifest["committed_buckets"],
+        "committed_page_buckets": manifest["committed_page_buckets"],
+        "n_buckets": manifest["n_buckets"],
+        "n_page_buckets": manifest["n_page_buckets"],
+        "committed_updates": [*committed_updates, uid],
+    }
+    if manifest.get("compaction"):
+        state["compaction"] = manifest["compaction"]
+    return _commit_manifest(out_dir, state)
+
+
+def _data_paths(out_dir: str, manifest: dict) -> list[str]:
+    """Doc-output dirs a manifest's state reads: the compacted dir (if the
+    state has one) plus every bucket/update NOT covered by it."""
+    comp = manifest.get("compaction") or {}
+    covered_b = set(comp.get("buckets", []))
+    covered_u = set(comp.get("updates", []))
+    paths = []
+    if comp:
+        paths.append(os.path.join(out_dir, f"data/compacted={comp['id']}"))
+    paths += [
+        os.path.join(out_dir, f"data/bucket={b}")
+        for b in manifest["committed_buckets"]
+        if b not in covered_b
+    ] + [
+        os.path.join(out_dir, f"data/update={u}")
+        for u in manifest.get("committed_updates", [])
+        if u not in covered_u
+    ]
+    return paths
 
 
 def read_extracted(
@@ -433,15 +462,75 @@ def read_extracted(
     invisible, like reading an Iceberg snapshot).  ``as_of`` reads the
     table as it stood at that snapshot id (time travel)."""
     manifest = read_manifest(out_dir, as_of=as_of)
-    paths = [
-        os.path.join(out_dir, f"data/bucket={b}") for b in manifest["committed_buckets"]
-    ] + [
-        os.path.join(out_dir, f"data/update={u}")
-        for u in manifest.get("committed_updates", [])
-    ]
+    paths = _data_paths(out_dir, manifest)
     if not paths:
         raise ValueError(f"no committed buckets under {out_dir}")
     return spark.read.parquet(*paths)
+
+
+def compact(spark: SparkSession, out_dir: str, target_partitions: int = 1) -> dict:
+    """Rewrite the committed doc output into ``target_partitions`` coalesced
+    files (Iceberg's rewrite_data_files analogue).  Small-file pressure is
+    structural here: every bucket/update commit writes its own directory,
+    so a long-lived table accretes one dir per commit; compaction folds
+    them into one dir and commits a snapshot whose manifest records which
+    buckets/updates the compacted dir COVERS.  Later commits (resumed
+    buckets, new updates) simply append alongside it.  Old files are NOT
+    deleted — older snapshots still reference them; reclaim space with
+    ``expire_snapshots``."""
+    manifest = read_manifest(out_dir)
+    cid = int((manifest.get("compaction") or {}).get("id", 0)) + 1
+    df = read_extracted(spark, out_dir)
+    dest = os.path.join(out_dir, f"data/compacted={cid}")
+    df.repartition(target_partitions).write.mode("overwrite").parquet(dest)
+    state = {
+        k: manifest.get(k)
+        for k in (
+            "run_id",
+            "committed_buckets",
+            "committed_page_buckets",
+            "n_buckets",
+            "n_page_buckets",
+            "committed_updates",
+        )
+    }
+    state["compaction"] = {
+        "id": cid,
+        "buckets": manifest["committed_buckets"],
+        "updates": manifest.get("committed_updates", []),
+    }
+    return _commit_manifest(out_dir, state)
+
+
+def expire_snapshots(out_dir: str, keep_from: int) -> list[str]:
+    """Drop snapshots older than ``keep_from`` and garbage-collect doc-output
+    dirs no RETAINED snapshot references (Iceberg expire_snapshots +
+    remove_orphan_files in one).  Returns the deleted paths.  Cells and
+    lineage are never collected — incremental updates anti-join against
+    them regardless of snapshot retention."""
+    import shutil
+
+    kept = [m for m in list_snapshots(out_dir) if m["snapshot_id"] >= keep_from]
+    if not kept:
+        raise ValueError(f"keep_from={keep_from} would drop every snapshot")
+    referenced: set[str] = set()
+    for m in kept:
+        referenced.update(os.path.abspath(p) for p in _data_paths(out_dir, m))
+    deleted = []
+    data_root = os.path.join(out_dir, "data")
+    if os.path.isdir(data_root):
+        for name in sorted(os.listdir(data_root)):
+            p = os.path.abspath(os.path.join(data_root, name))
+            if p not in referenced:
+                shutil.rmtree(p)
+                deleted.append(p)
+    snaps = _snapshots_dir(out_dir)
+    for m in list_snapshots(out_dir):
+        if m["snapshot_id"] < keep_from:
+            p = os.path.join(snaps, f"v{m['snapshot_id']}.json")
+            os.remove(p)
+            deleted.append(p)
+    return deleted
 
 
 def read_lineage(

@@ -369,6 +369,112 @@ QUERIES["q_ivf_assign"] = QuerySpec(
 
 
 # ---------------------------------------------------------------------------
+# IVF top-k SEARCH: the query path that q_ivf_assign's index serves.
+# For each query vector, probe the nprobe nearest centroids, then rank only
+# the vectors ASSIGNED to those centroids — the classic recall/cost knob
+# (nprobe = K is exact; nprobe = 2 of 8 here searches ~1/4 of the corpus).
+# At scale the assignment table is partitioned by centroid_id, so a probe
+# is a partition-pruned scan, and the centroid table is broadcast.
+# ---------------------------------------------------------------------------
+
+_NPROBE = 2
+
+_IVF_SEARCH_BODY = f"""
+    , probes AS (
+      SELECT q_id, centroid_id FROM (
+        SELECT q.q_id, c.centroid_id,
+               row_number() OVER (
+                 PARTITION BY q.q_id
+                 ORDER BY {{dot_qc}} / (qn * cn) DESC, c.centroid_id) AS rn
+        FROM q CROSS JOIN c
+      ) t WHERE rn <= {_NPROBE}
+    ),
+    cand AS (
+      SELECT p.q_id, a.vec_id
+      FROM probes p JOIN assign a ON a.centroid_id = p.centroid_id
+    ),
+    scored AS (
+      SELECT cand.q_id, cand.vec_id,
+             round({{dot_qv}} / (qn * vn), 5) AS cosine
+      FROM cand
+      JOIN q ON q.q_id = cand.q_id
+      JOIN v ON v.vec_id = cand.vec_id
+      WHERE cand.q_id <> cand.vec_id
+    )
+    SELECT q_id, vec_id, cosine FROM (
+      SELECT scored.*, row_number() OVER (
+        PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rn
+      FROM scored
+    ) t WHERE rn <= {_TOPK}
+"""
+
+
+def _ivf_search_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    dot = _SPARK_DOT
+    return spark.sql(
+        f"""
+        WITH c AS (SELECT vec_id AS centroid_id,
+                          transform(embedding, x -> CAST(x AS DOUBLE)) AS cv,
+                          sqrt({dot.format(a='transform(embedding, x -> CAST(x AS DOUBLE))',
+                                           b='transform(embedding, x -> CAST(x AS DOUBLE))')}) AS cn
+                   FROM embeddings WHERE vec_id < 8),
+        v AS (SELECT vec_id, transform(embedding, x -> CAST(x AS DOUBLE)) AS vv,
+                     sqrt({dot.format(a='transform(embedding, x -> CAST(x AS DOUBLE))',
+                                      b='transform(embedding, x -> CAST(x AS DOUBLE))')}) AS vn
+              FROM embeddings),
+        q AS (SELECT vec_id AS q_id, vv AS qv, vn AS qn FROM v
+              WHERE vec_id < {_N_QUERIES}),
+        assign AS (
+          SELECT vec_id, centroid_id FROM (
+            SELECT /*+ BROADCAST(c) */ v.vec_id, c.centroid_id,
+                   row_number() OVER (PARTITION BY v.vec_id
+                     ORDER BY {dot.format(a='vv', b='cv')} / (vn * cn) DESC,
+                              c.centroid_id) AS rn
+            FROM v CROSS JOIN c
+          ) t WHERE rn = 1
+        )
+        {_IVF_SEARCH_BODY.format(
+            dot_qc=dot.format(a='q.qv', b='c.cv'),
+            dot_qv=dot.format(a='q.qv', b='v.vv'),
+        )}
+        """
+    )
+
+
+_IVF_SEARCH_DUCK = f"""
+    WITH c AS (SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS cv,
+                      sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS cn
+               FROM embeddings WHERE vec_id < 8),
+    v AS (SELECT vec_id, embedding::DOUBLE[] AS vv,
+                 sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS vn
+          FROM embeddings),
+    q AS (SELECT vec_id AS q_id, vv AS qv, vn AS qn FROM v
+          WHERE vec_id < {_N_QUERIES}),
+    assign AS (
+      SELECT vec_id, centroid_id FROM (
+        SELECT v.vec_id, c.centroid_id,
+               row_number() OVER (PARTITION BY v.vec_id
+                 ORDER BY list_dot_product(vv, cv) / (vn * cn) DESC,
+                          c.centroid_id) AS rn
+        FROM v CROSS JOIN c
+      ) t WHERE rn = 1
+    )
+    {_IVF_SEARCH_BODY.format(
+        dot_qc="list_dot_product(q.qv, c.cv)",
+        dot_qv="list_dot_product(q.qv, v.vv)",
+    )}
+"""
+
+QUERIES["q_ivf_search"] = QuerySpec(
+    spark=_ivf_search_spark,
+    oracle=_IVF_SEARCH_DUCK,
+    description=f"IVF top-k search: probe {_NPROBE} nearest centroids, rank "
+    "only vectors assigned to them (partition-pruned at scale)",
+)
+
+
+# ---------------------------------------------------------------------------
 # IVF with TRAINED centroids: k-means (Lloyd) refinement of the coarse
 # quantizer — the engine's iterative-algorithm surface.  Per iteration:
 # ONE mapInPandas pass computes assignments AND per-centroid partial sums

@@ -251,3 +251,62 @@ def test_incremental_update_reuses_committed_pages(spark, corpus, tmp_path):
     lin2 = read_lineage(spark, out_dir)
     assert lin2.filter("bucket = -2").groupBy().sum("page_count").collect()[0][0] == 0
     assert read_extracted(spark, out_dir).filter("doc_id = 'doc-extra-2'").count() > 0
+
+
+def test_compaction_and_snapshot_expiry(spark, corpus, tmp_path):
+    """compact() folds all committed doc dirs into one, later updates
+    append alongside it, pre-compaction snapshots stay readable until
+    expire_snapshots garbage-collects exactly the unreferenced dirs."""
+    from pyspark.sql import functions as F
+
+    from bsc_project_spark.fixtures.spark_io import DOCUMENTS_SCHEMA
+    from bsc_project_spark.pipeline.checkpoint import (
+        compact,
+        expire_snapshots,
+        list_snapshots,
+        run_incremental_update,
+    )
+
+    docs = spark_io.documents_df(spark, corpus)
+    media = spark_io.media_df(spark, corpus)
+    out_dir = str(tmp_path / "job6")
+    run_extraction_job(docs, media, FIXTURE_CONFIG, out_dir, n_buckets=4)
+    full_rows = sorted(map(tuple, read_extracted(spark, out_dir).collect()))
+    pre_compaction_sid = read_manifest(out_dir)["snapshot_id"]
+
+    mc = compact(spark, out_dir)
+    assert mc["compaction"]["id"] == 1
+    assert mc["compaction"]["buckets"] == [0, 1, 2, 3]
+    # identical rows from the compacted layout
+    assert sorted(map(tuple, read_extracted(spark, out_dir).collect())) == full_rows
+    # ... and the pre-compaction snapshot still reads the original dirs
+    assert sorted(
+        map(tuple, read_extracted(spark, out_dir, as_of=pre_compaction_sid).collect())
+    ) == full_rows
+
+    # an update AFTER compaction appends alongside the compacted dir
+    some_ref = (
+        docs.select(F.explode("spans").alias("s")).filter("s.kind = 'media'")
+        .select("s.media_ref").first().media_ref
+    )
+    extra = spark.createDataFrame(
+        [("doc-post-compact", [("media", None, some_ref, 0)])], DOCUMENTS_SCHEMA
+    )
+    mu = run_incremental_update(extra, media, FIXTURE_CONFIG, out_dir)
+    assert mu["compaction"]["id"] == 1  # survived the update commit
+    now = read_extracted(spark, out_dir)
+    new_spans = now.filter("doc_id = 'doc-post-compact'").count()
+    assert new_spans > 0  # one row per extracted span of the new doc
+    assert now.count() == len(full_rows) + new_spans
+
+    # expire everything before the compaction snapshot: the four original
+    # bucket dirs are orphaned and deleted; current reads are unaffected
+    deleted = expire_snapshots(out_dir, keep_from=mc["snapshot_id"])
+    assert {os.path.basename(p) for p in deleted if "data" in p} == {
+        f"bucket={b}" for b in range(4)
+    }
+    assert min(s["snapshot_id"] for s in list_snapshots(out_dir)) == mc["snapshot_id"]
+    assert read_extracted(spark, out_dir).count() == len(full_rows) + new_spans
+    # time travel older than the horizon is now (correctly) impossible
+    with pytest.raises(ValueError, match="no snapshot"):
+        read_manifest(out_dir, as_of=1)
