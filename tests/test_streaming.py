@@ -195,3 +195,62 @@ def test_enrich_with_dim_stream_equals_batch(spark):
     assert batch.exceptAll(got).count() == 0
     # the left join must retain dim-less events as a NULL bucket
     assert got.filter("segment IS NULL").count() > 0
+
+
+def test_streaming_checkpoint_restart_preserves_dedup_state(spark, tmp_path):
+    """Stop a stateful streaming query, add more source files (including
+    duplicates of already-processed events), restart with the SAME
+    checkpointLocation: the restarted query resumes from the committed
+    offsets/state and still drops the cross-restart duplicates —
+    exactly-once across restarts, the property checkpoint-resume gives
+    the batch job."""
+    import pyspark.sql.functions as F
+
+    src = str(tmp_path / "restart_src")
+    sink = str(tmp_path / "restart_sink")
+    ckpt = str(tmp_path / "restart_ckpt")
+    t0 = datetime(2024, 5, 1, 12, 0, 0)
+
+    def rows(ids):
+        return [(i, t0 + timedelta(seconds=10 * i), i % 3, "e", float(i)) for i in ids]
+
+    schema = spark.createDataFrame(rows([0]), EVENT_SCHEMA).schema
+
+    def drain(batch_rows, fname):
+        staged = str(tmp_path / fname)
+        spark.createDataFrame(batch_rows, EVENT_SCHEMA).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(staged)
+        os.makedirs(src, exist_ok=True)
+        # the file source lists leaf files, not nested dirs: link the part
+        # files of this batch into the source dir under unique names
+        for i, part in enumerate(sorted(os.listdir(staged))):
+            if part.endswith(".parquet"):
+                os.symlink(
+                    os.path.join(staged, part),
+                    os.path.join(src, f"{fname}_{i}.parquet"),
+                )
+        q = (
+            spark.readStream.schema(schema).parquet(src)
+            .transform(dedup_events)
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    # run 1: events 0..9 with in-batch duplicates
+    drain(rows([0, 1, 2, 3, 4, 0, 2, 4, 5, 6, 7, 8, 9]), "batch1")
+    first = spark.read.parquet(sink)
+    assert sorted(r.event_id for r in first.collect()) == list(range(10))
+
+    # run 2 (restart): duplicates of 0..9 plus genuinely-new 10..14
+    drain(rows([0, 3, 6, 9]) + rows([10, 11, 12, 13, 14]), "batch2")
+    final = spark.read.parquet(sink)
+    assert sorted(r.event_id for r in final.collect()) == list(range(15)), (
+        "restart reprocessed or dropped events: checkpointed dedup state "
+        "did not survive the query restart"
+    )
