@@ -235,5 +235,37 @@ def run_stream_to_memory(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(180)
+    _drain_and_stop(q)
     return spark.table(query_name)
+
+
+def _drain_and_stop(q, timeout_s: float = 120.0) -> None:
+    """Wait until a finite (availableNow) query has processed everything,
+    then stop it explicitly.
+
+    Neither built-in wait works once stateful operators register
+    ProcessingTimeTimeout state (the sessionizer): awaitTermination(t)
+    burns the whole timeout because the query lingers to serve future
+    timeouts, and processAllAvailable() never returns at all — the engine
+    keeps scheduling timeout-evaluation batches, so its "nothing pending"
+    latch never latches (observed: Python state workers spinning
+    indefinitely).  Polling the query STATUS for the drained condition
+    (at least one batch completed, no data available, trigger inactive)
+    sidesteps both, and the explicit stop() is what a finite drain wants
+    anyway — it also keeps session teardown from stalling on a live query.
+    """
+    import time as _time
+
+    deadline = _time.monotonic() + timeout_s
+    while _time.monotonic() < deadline and q.isActive:
+        progs = q.recentProgress
+        if progs:
+            total_in = sum(p["numInputRows"] for p in progs)
+            # a zero-input batch AFTER data flowed = the source is drained
+            # (the engine moved on to timeout-evaluation batches); a query
+            # that self-terminates instead exits via isActive above
+            if total_in > 0 and progs[-1]["numInputRows"] == 0:
+                break
+        _time.sleep(0.2)
+    q.stop()
+    q.awaitTermination(60)

@@ -9,6 +9,9 @@ def spark():
 
     s = get_spark("tests", master="local[8]", shuffle_partitions=8)
     yield s
+    # a streaming query still running would deadlock/stall the JVM shutdown
+    for q in s.streams.active:
+        q.stop()
     s.stop()
 
 

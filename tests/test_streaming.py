@@ -240,7 +240,12 @@ def test_streaming_checkpoint_restart_preserves_dedup_state(spark, tmp_path):
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(180)
+        # drain explicitly: self-termination of availableNow queries is not
+        # reliable once stateful operators hold state, and a query left
+        # running stalls the session-fixture teardown
+        from bsc_project_spark.streaming.events import _drain_and_stop
+
+        _drain_and_stop(q)
 
     # run 1: events 0..9 with in-batch duplicates
     drain(rows([0, 1, 2, 3, 4, 0, 2, 4, 5, 6, 7, 8, 9]), "batch1")
