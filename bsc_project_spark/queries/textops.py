@@ -11,7 +11,7 @@ the value-hash comparison).
 
 from __future__ import annotations
 
-from . import QuerySpec, sql_query
+from . import QuerySpec, register_views, sql_query
 
 QUERIES: dict[str, QuerySpec] = {}
 
@@ -102,7 +102,8 @@ _N_SEEDS = 8
 
 _MINHASH_WIDE_AGGS = ", ".join(
     f"min(md5(concat('{seed}:', s))) AS m{seed}" for seed in range(_N_SEEDS)
-)
+) + ", count(*) AS n_shingles"  # d is DISTINCT, so this IS the set size —
+# the estimator's Jaccard denominator comes free with the signature pass
 
 _MINHASH_WIDE = """
     WITH d AS ({shingles}),
@@ -168,13 +169,42 @@ _LSH_JOIN = """
     GROUP BY 1, 2
 """
 
-_LSH_PAIRS_SPARK = f"""
-    {_minhash_wide(_SHINGLES_SPARK.format(src=_PLANTED))},
+def _planted_minhash_views(spark, sf_dir: str) -> None:
+    """Materialize the planted-corpus shingle table and wide MinHash
+    signatures ONCE as persisted temp views (``mh_shingles`` / ``mh_wide``).
+
+    The band self-join and the estimator query reference these relations
+    two and five times respectively; as inlined CTEs Spark replans the
+    scan+explode+md5+groupBy subtree per reference (~30 parquet scans in
+    q_minhash_est's round-2 plan).  Persisting turns every reference into
+    an InMemoryRelation read — the 100 TB analogue is a materialized
+    signature table, which a real dedup pipeline keeps anyway because
+    signatures feed banding, estimator tuning AND incremental re-dedup."""
+    register_views(spark, sf_dir)
+    # the shingle view stays UNPERSISTED: materializing ~10^5 8-char rows
+    # costs more than the explode recompute it saves (measured at sf0.1);
+    # only the skinny per-doc signature frame is worth caching
+    d = spark.sql(_SHINGLES_SPARK.format(src=_PLANTED))
+    d.createOrReplaceTempView("mh_shingles")
+    wide = spark.sql(
+        f"SELECT doc_id, {_MINHASH_WIDE_AGGS} FROM mh_shingles GROUP BY doc_id"
+    ).persist()
+    wide.createOrReplaceTempView("mh_wide")
+
+
+_LSH_PAIRS_SPARK_BODY = f"""
+    WITH wide AS (SELECT * FROM mh_wide),
     bands AS (
       SELECT doc_id, stack({_N_BANDS}, {_BANDS_STACK_SPARK}) AS (band, bsig) FROM wide
     )
     {_LSH_JOIN}
 """
+
+
+def _lsh_pairs_spark(spark, sf_dir: str):
+    _planted_minhash_views(spark, sf_dir)
+    return spark.sql(_LSH_PAIRS_SPARK_BODY)
+
 
 _LSH_PAIRS_DUCK = f"""
     {_minhash_wide(_SHINGLES_DUCK.format(src=_PLANTED))},
@@ -183,11 +213,10 @@ _LSH_PAIRS_DUCK = f"""
     {_LSH_JOIN}
 """
 
-_q(
-    "q_lsh_pairs",
-    _LSH_PAIRS_SPARK,
-    _LSH_PAIRS_DUCK,
-    "MinHash-LSH band-bucket join surfacing planted near-dup pairs",
+QUERIES["q_lsh_pairs"] = QuerySpec(
+    spark=_lsh_pairs_spark,
+    oracle=_LSH_PAIRS_DUCK,
+    description="MinHash-LSH band-bucket join surfacing planted near-dup pairs",
 )
 
 # ---------------------------------------------------------------------------
@@ -216,7 +245,7 @@ _MINHASH_EST_BODY = f"""
       JOIN wide wa ON wa.doc_id = c.a_id
       JOIN wide wb ON wb.doc_id = c.b_id
     ),
-    sizes AS (SELECT doc_id, count(*) AS n FROM d GROUP BY doc_id),
+    sizes AS (SELECT doc_id, n_shingles AS n FROM wide),
     inter AS (
       SELECT c.a_id, c.b_id, count(*) AS i
       FROM cand c
@@ -234,13 +263,20 @@ _MINHASH_EST_BODY = f"""
     LEFT JOIN inter i ON i.a_id = e.a_id AND i.b_id = e.b_id
 """
 
-_MINHASH_EST_SPARK = f"""
-    {_minhash_wide(_SHINGLES_SPARK.format(src=_PLANTED))},
+_MINHASH_EST_SPARK_BODY = f"""
+    WITH d AS (SELECT * FROM mh_shingles),
+    wide AS (SELECT * FROM mh_wide),
     bands AS (
       SELECT doc_id, stack({_N_BANDS}, {_BANDS_STACK_SPARK}) AS (band, bsig) FROM wide
     ),
     {_MINHASH_EST_BODY}
 """
+
+
+def _minhash_est_spark(spark, sf_dir: str):
+    _planted_minhash_views(spark, sf_dir)
+    return spark.sql(_MINHASH_EST_SPARK_BODY)
+
 
 _MINHASH_EST_DUCK = f"""
     {_minhash_wide(_SHINGLES_DUCK.format(src=_PLANTED))},
@@ -249,12 +285,11 @@ _MINHASH_EST_DUCK = f"""
     {_MINHASH_EST_BODY}
 """
 
-_q(
-    "q_minhash_est",
-    _MINHASH_EST_SPARK,
-    _MINHASH_EST_DUCK,
-    "MinHash estimator quality: signature-estimated vs exact Jaccard per "
-    "LSH candidate pair",
+QUERIES["q_minhash_est"] = QuerySpec(
+    spark=_minhash_est_spark,
+    oracle=_MINHASH_EST_DUCK,
+    description="MinHash estimator quality: signature-estimated vs exact "
+    "Jaccard per LSH candidate pair",
 )
 
 # ---------------------------------------------------------------------------
@@ -345,12 +380,21 @@ _EN_WORDS = ["the", "and", "of", "to", "in"]
 _DE_WORDS = ["der", "und", "die", "das", "ist"]
 
 
-def _hits(words: list[str]) -> str:
+def _hits(words: list[str], col: str = "lt") -> str:
+    """Stopword-presence sum over a PRE-LOWERED, space-padded column.
+
+    The padded lowercase text is projected ONCE in an inner subquery and
+    referenced by all ten LIKE probes — inlining ``lower(text)`` into each
+    probe makes Spark lowercase every document ten times per row
+    (CollapseProject refuses to merge the projection precisely because the
+    alias is non-cheap and multiply-referenced, which is the behavior we
+    want)."""
     return " + ".join(
-        f"(CASE WHEN concat(' ', lower(text), ' ') LIKE '% {w} %' THEN 1 ELSE 0 END)"
-        for w in words
+        f"(CASE WHEN {col} LIKE '% {w} %' THEN 1 ELSE 0 END)" for w in words
     )
 
+
+_LOWERED = "SELECT doc_id, concat(' ', lower(text), ' ') AS lt FROM documents"
 
 _LANG_ID_SQL = f"""
     SELECT doc_id, en_hits, de_hits,
@@ -358,7 +402,7 @@ _LANG_ID_SQL = f"""
                 WHEN de_hits > en_hits THEN 'de'
                 ELSE 'und' END AS lang_guess
     FROM (SELECT doc_id, {_hits(_EN_WORDS)} AS en_hits, {_hits(_DE_WORDS)} AS de_hits
-          FROM documents)
+          FROM ({_LOWERED}))
 """
 
 _q("q_lang_id", _LANG_ID_SQL, _LANG_ID_SQL,
@@ -397,17 +441,22 @@ _q(
 # ---------------------------------------------------------------------------
 
 _CURATION_TEMPLATE = """
-    WITH feat AS (
+    WITH base AS (
+      SELECT doc_id, text, length(text) AS n_chars,
+             concat(' ', lower(text), ' ') AS lt
+      FROM documents
+    ),
+    feat AS (
       SELECT doc_id,
-             length(text) AS n_chars,
+             n_chars,
              CAST(CASE WHEN length(trim(text)) = 0 THEN 0
                        ELSE {n_tokens} END AS BIGINT) AS n_tokens,
-             (length(text) - length({strip_punct})) * 1e0
-               / NULLIF(length(text), 0) AS punct_ratio,
+             (n_chars - length({strip_punct})) * 1e0
+               / NULLIF(n_chars, 0) AS punct_ratio,
              {en_hits} AS en_hits,
              {de_hits} AS de_hits,
              min(doc_id) OVER (PARTITION BY md5(text)) AS keeper
-      FROM documents
+      FROM base
     ),
     kept AS (
       SELECT doc_id, n_tokens FROM feat
