@@ -243,3 +243,67 @@ _q(
     _SEGMENT_REVENUE_DUCK,
     "segment revenue top-k (TPC-H Q3 shape): broadcast dims, one fact shuffle",
 )
+
+# ---------------------------------------------------------------------------
+# AS-OF join — an operator Spark lacks natively (DuckDB ships ASOF JOIN;
+# kdb/Flink/Pandas call it asof/merge_asof).  For every 'click' event, the
+# latest 'purchase' value for the same user at-or-before the click.
+#
+# Spark-first formulation: NO join at all.  Union both streams tagged,
+# one window pass per user ordered by (time, rate-rows-first), and
+# last(rate) IGNORE NULLS fills each click with the most recent rate.
+# This is the scale-correct shape: a naive range join explodes to
+# O(clicks x rates-per-user); the union+window is one shuffle on user_id
+# and a linear scan within each partition — the same single-sort plan
+# sessionization uses, so at 100 TB the two operators share partitioning.
+# Rate rows are pre-aggregated per (user, ts) so at-same-instant
+# duplicates are deterministic in both engines.
+# ---------------------------------------------------------------------------
+
+_ASOF_SPARK = f"""
+    WITH clicks AS (
+      SELECT event_id, user_id, {_SPARK_EPOCH_US.format(c='ts')} AS us
+      FROM events WHERE event_type = 'click'
+    ),
+    rates AS (
+      SELECT user_id, {_SPARK_EPOCH_US.format(c='ts')} AS us, max(value) AS rate
+      FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+    ),
+    merged AS (
+      SELECT user_id, us, 1 AS is_rate, CAST(NULL AS BIGINT) AS event_id, rate
+      FROM rates
+      UNION ALL
+      SELECT user_id, us, 0 AS is_rate, event_id, CAST(NULL AS DOUBLE) AS rate
+      FROM clicks
+    ),
+    filled AS (
+      SELECT user_id, us, is_rate, event_id,
+             last(rate) IGNORE NULLS OVER (
+               PARTITION BY user_id ORDER BY us, is_rate DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rate
+      FROM merged
+    )
+    SELECT event_id, user_id, us, rate FROM filled WHERE is_rate = 0
+"""
+
+_ASOF_DUCK = """
+    WITH clicks AS (
+      SELECT event_id, user_id, epoch_us(ts) AS us
+      FROM events WHERE event_type = 'click'
+    ),
+    rates AS (
+      SELECT user_id, epoch_us(ts) AS us, max(value) AS rate
+      FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+    )
+    SELECT c.event_id, c.user_id, c.us, r.rate
+    FROM clicks c
+    ASOF LEFT JOIN rates r ON c.user_id = r.user_id AND c.us >= r.us
+"""
+
+_q(
+    "q_asof_join",
+    sql_query(_ASOF_SPARK),
+    _ASOF_DUCK,
+    "as-of join (latest purchase value at-or-before each click) as a "
+    "single union+window pass per user — no range-join explosion",
+)

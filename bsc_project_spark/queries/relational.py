@@ -359,8 +359,57 @@ _q("q_train_test_split", sql_query(_SPLIT_SQL), _SPLIT_SQL,
 _SORT_RANK_SQL = """
     SELECT doc_id, row_number() OVER (ORDER BY source, doc_id) AS rnk FROM documents
 """
-_q("q_sort_rank", sql_query(_SORT_RANK_SQL), _SORT_RANK_SQL,
-   "deterministic global sort order (reference dataset.py:66-67)")
+
+
+def _sort_rank_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global rank WITHOUT the single-partition window.
+
+    ``row_number() OVER (ORDER BY ...)`` moves the whole table to one task
+    (Spark warns exactly that) — a scale wall the oracle SQL is allowed to
+    hit but the engine is not.  Standard two-phase global rank instead:
+
+      1. range-partition on the sort key (contiguous key ranges per
+         partition — Spark samples boundaries),
+      2. row_number within each range partition (parallel),
+      3. per-partition counts -> driver prefix sum (P integers) -> offset
+         joined back via broadcast.
+
+    Global rank = partition offset + local rank.  Only skinny columns
+    shuffle, and every stage is parallel over P; at 10^12 rows the driver
+    still folds just P counters.
+    """
+    register_views(spark, sf_dir)
+    df = spark.table("documents").select("doc_id", "source")
+    n_parts = max(spark.sparkContext.defaultParallelism, 8)
+    # persisted so the counts job and the rank job see the SAME sampled
+    # range boundaries (each action would otherwise re-plan the range
+    # exchange; skinny columns, so the cache is cheap at any scale)
+    ranged = (
+        df.repartitionByRange(n_parts, F.col("source"), F.col("doc_id"))
+        .withColumn("pid", F.spark_partition_id())
+        .persist()
+    )
+    local = ranged.withColumn(
+        "lrnk", F.row_number().over(Window.partitionBy("pid").orderBy("source", "doc_id"))
+    )
+    counts = sorted(
+        (r.pid, r.cnt)
+        for r in ranged.groupBy("pid").agg(F.count("*").alias("cnt")).collect()
+    )
+    offsets, acc = [], 0
+    for pid, cnt in counts:
+        offsets.append((pid, acc))
+        acc += cnt
+    off_df = local.sparkSession.createDataFrame(offsets, "pid int, off long")
+    return (
+        local.join(F.broadcast(off_df), "pid")
+        .select("doc_id", (F.col("off") + F.col("lrnk")).cast("int").alias("rnk"))
+    )
+
+
+_q("q_sort_rank", _sort_rank_spark, _SORT_RANK_SQL,
+   "deterministic global sort order via two-phase parallel rank "
+   "(reference dataset.py:66-67)")
 
 # ---------------------------------------------------------------------------
 # M1-M4 segmentation metrics from a derived pred/truth labeling

@@ -293,6 +293,122 @@ QUERIES["q_minhash_est"] = QuerySpec(
 )
 
 # ---------------------------------------------------------------------------
+# Transitive dedup clusters: connected components over the LSH candidate
+# graph.  LSH pairs are only EDGES; a dedup pipeline must group A~B, B~C
+# into one cluster {A,B,C} with one survivor, which is graph connectivity —
+# not expressible as a fixed-depth join.  Spark side: iterative min-label
+# propagation (each round: edges ⋈ labels, groupBy(min), converge when no
+# label changes — O(component diameter) rounds, and dedup components are
+# near-cliques so the diameter is tiny; the general-graph scale path is
+# the large-star/small-star algorithm, same per-round plan).  Oracle:
+# DuckDB WITH RECURSIVE reachability — the declarative spec of the same
+# fixpoint.
+# ---------------------------------------------------------------------------
+
+_CC_MAX_ROUNDS = 20
+
+_CC_CAND_SPARK = f"""
+    WITH wide AS (SELECT * FROM mh_wide),
+    bands AS (
+      SELECT doc_id, stack({_N_BANDS}, {_BANDS_STACK_SPARK}) AS (band, bsig) FROM wide
+    )
+    SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+    FROM bands a
+    JOIN bands b ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id
+"""
+
+
+def connected_components(pairs, max_rounds: int = _CC_MAX_ROUNDS):
+    """Connected components of an undirected (a_id, b_id) edge frame.
+
+    Returns (node, label) where label = min node id of the component —
+    min-label propagation to a fixpoint.  Each round: edges ⋈ labels,
+    groupBy(min), converge when no label changes; O(component diameter)
+    rounds, so near-clique dedup components finish in 2-3.  The general-
+    graph scale path is large-star/small-star (O(log n) rounds, same
+    per-round plan shape).
+
+    localCheckpoint (NOT persist) each round: the frame must TRUNCATE
+    lineage, or round k's logical plan nests all k-1 predecessors and
+    Catalyst re-optimizes an exponentially growing tree — measured 4 s/
+    round growing to 20 s by round 3 on a 140-node graph.  With eager
+    checkpoints each round plans against a leaf, so round cost tracks
+    DATA size, which is what an iterative engine needs at scale.
+    """
+    from pyspark.sql import functions as F
+
+    edges = (
+        pairs.selectExpr("a_id AS u", "b_id AS v")
+        .union(pairs.selectExpr("b_id AS u", "a_id AS v"))
+        .localCheckpoint()
+    )
+    labels = edges.selectExpr("u AS node").distinct().selectExpr("node", "node AS label")
+    for _ in range(max_rounds):
+        incoming = (
+            edges.join(labels.withColumnRenamed("node", "u"), "u")
+            .groupBy("v")
+            .agg(F.min("label").alias("in_label"))
+            .withColumnRenamed("v", "node")
+        )
+        merged = (
+            labels.join(incoming, "node", "left")
+            .selectExpr(
+                "node",
+                "label AS old_label",
+                "least(label, coalesce(in_label, label)) AS new_label",
+            )
+            .localCheckpoint()
+        )
+        changed = merged.where("new_label <> old_label").count()
+        labels = merged.selectExpr("node", "new_label AS label")
+        if changed == 0:
+            break
+    return labels
+
+
+def _dup_clusters_spark(spark, sf_dir: str):
+    _planted_minhash_views(spark, sf_dir)
+    pairs = spark.sql(_CC_CAND_SPARK)
+    return connected_components(pairs).selectExpr(
+        "node AS doc_id", "label AS cluster_id"
+    )
+
+
+_CC_DUCK = (
+    _minhash_wide(_SHINGLES_DUCK.format(src=_PLANTED)).replace(
+        "WITH d AS", "WITH RECURSIVE d AS", 1
+    )
+    + f""",
+    wideb AS (SELECT doc_id, {_BANDS_WIDE_DUCK} FROM wide),
+    bands AS (UNPIVOT wideb ON {_BANDS_UNPIVOT_DUCK} INTO NAME band VALUE bsig),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+      FROM bands a
+      JOIN bands b ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id
+    ),
+    edges AS (
+      SELECT a_id AS u, b_id AS v FROM pairs
+      UNION
+      SELECT b_id AS u, a_id AS v FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT u AS node FROM edges),
+    walk(node, label) AS (
+      SELECT node, node AS label FROM nodes
+      UNION
+      SELECT e.v AS node, w.label FROM walk w JOIN edges e ON e.u = w.node
+    )
+    SELECT node AS doc_id, min(label) AS cluster_id FROM walk GROUP BY node
+"""
+)
+
+QUERIES["q_dup_clusters"] = QuerySpec(
+    spark=_dup_clusters_spark,
+    oracle=_CC_DUCK,
+    description="transitive dedup clusters: connected components over LSH "
+    "pairs (min-label propagation vs recursive-CTE oracle)",
+)
+
+# ---------------------------------------------------------------------------
 # SimHash (16-bit, from the first 4 hex chars of md5(shingle))
 # ---------------------------------------------------------------------------
 
@@ -422,6 +538,64 @@ _q(
     _FP_TEMPLATE.format(st="STRING"),
     _FP_TEMPLATE.format(st="VARCHAR"),
     "stable document fingerprint (length + head hash)",
+)
+
+# ---------------------------------------------------------------------------
+# TF-IDF top terms per document — the term-weighting pass a training-data
+# pipeline runs for keyword features / quality signals.  Two shuffles
+# (per-doc tf, per-token df) + a broadcast corpus count; the tf ⋈ df join
+# shuffles on token, where stopwords are the classic skew key — at 100 TB
+# the df side is vocabulary-sized, so broadcast it (or let AQE skew-split
+# the token shuffle).  idf is the LINEAR ratio n_docs/df: tf*n_docs/df is
+# integer-exact double math, identical across engines; log-idf is a
+# one-expression swap but ln() may differ in the last ulp between libm
+# implementations, which would break the cross-engine value hash.
+# ---------------------------------------------------------------------------
+
+_TFIDF_K = 3
+
+_TFIDF_BODY = """
+    tf AS (SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY 1, 2),
+    dfreq AS (SELECT token, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT doc_id, token,
+             round(tf * n_docs * 1e0 / df, 6) AS tfidf
+      FROM tf JOIN dfreq USING (token) CROSS JOIN n
+    )
+    SELECT doc_id, token, tfidf FROM (
+      SELECT scored.*, row_number() OVER (
+        PARTITION BY doc_id ORDER BY tfidf DESC, token) AS rn
+      FROM scored
+    ) t WHERE rn <= {k}
+"""
+
+_TFIDF_SPARK = f"""
+    WITH toks AS (
+      SELECT doc_id, token FROM (
+        SELECT doc_id, explode(split(lower(trim(text)), '\\\\s+')) AS token
+        FROM documents
+      ) WHERE token <> ''
+    ),
+    {_TFIDF_BODY.format(k=_TFIDF_K)}
+"""
+
+_TFIDF_DUCK = rf"""
+    WITH toks AS (
+      SELECT doc_id, token FROM (
+        SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS token
+        FROM documents
+      ) u WHERE token <> ''
+    ),
+    {_TFIDF_BODY.format(k=_TFIDF_K)}
+"""
+
+_q(
+    "q_tfidf_topk",
+    _TFIDF_SPARK,
+    _TFIDF_DUCK,
+    f"top-{_TFIDF_K} TF-IDF terms per document (linear idf for cross-engine "
+    "exactness)",
 )
 
 # ---------------------------------------------------------------------------
