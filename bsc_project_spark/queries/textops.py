@@ -100,19 +100,46 @@ _q("q_ngram_jaccard", *_shingle_query(_JACCARD_BODY),
 
 _N_SEEDS = 8
 
+# One md5 per shingle, then 8 integer permutations h_i(v) = (a_i*v + b_i)
+# mod P over the md5's leading 8 hex chars (v < 2^32; a_i < 2^20 keeps
+# a_i*v + b_i < 2^53, exact in int64 in BOTH engines).  Round 1 hashed
+# md5(concat(seed, ':', s)) per seed — 8 md5 passes over every shingle and
+# 32-char string mins; this is 1 md5 + 8 multiply-adds, the signatures
+# shrink to int64 (4x narrower shuffle rows), and min() compares integers.
+# The hex parse is the same instr() digit trick both engines share for
+# SimHash, so the oracle computes bit-identical values.
+_MH_P = 2_147_483_647
+_MH_A = [1_000_003 + 7_919 * i for i in range(_N_SEEDS)]
+_MH_B = [104_729 + 1_299_709 * i for i in range(_N_SEEDS)]
+
+_HEX8_FROM_H = " + ".join(
+    # CAST per digit: instr yields INT32 and digit*16^7 overflows it under
+    # Spark's default ANSI arithmetic
+    f"CAST(instr('0123456789abcdef', substring(h, {i + 1}, 1)) - 1 AS BIGINT)"
+    f" * {16 ** (7 - i)}"
+    for i in range(8)
+)
+
 _MINHASH_WIDE_AGGS = ", ".join(
-    f"min(md5(concat('{seed}:', s))) AS m{seed}" for seed in range(_N_SEEDS)
+    f"min(({_MH_A[seed]} * v + {_MH_B[seed]}) % {_MH_P}) AS m{seed}"
+    for seed in range(_N_SEEDS)
 ) + ", count(*) AS n_shingles"  # d is DISTINCT, so this IS the set size —
 # the estimator's Jaccard denominator comes free with the signature pass
 
 _MINHASH_WIDE = """
     WITH d AS ({shingles}),
-    wide AS (SELECT doc_id, {aggs} FROM d GROUP BY doc_id)
+    hv AS (
+      SELECT doc_id, CAST({hex8} AS BIGINT) AS v
+      FROM (SELECT doc_id, md5(s) AS h FROM d)
+    ),
+    wide AS (SELECT doc_id, {aggs} FROM hv GROUP BY doc_id)
 """
 
 
 def _minhash_wide(shingles: str) -> str:
-    return _MINHASH_WIDE.format(shingles=shingles, aggs=_MINHASH_WIDE_AGGS)
+    return _MINHASH_WIDE.format(
+        shingles=shingles, hex8=_HEX8_FROM_H, aggs=_MINHASH_WIDE_AGGS
+    )
 
 
 _SIG_STACK_SPARK = ", ".join(f"'m{seed}', m{seed}" for seed in range(_N_SEEDS))
@@ -154,8 +181,13 @@ _N_BANDS = _N_SEEDS // 2
 
 
 def _band_sig(b: int) -> str:
+    # explicit CAST: the minhashes are BIGINT now and concat's implicit
+    # numeric->string coercion differs across engines/ANSI modes
     lo, hi = 2 * b, 2 * b + 1
-    return f"concat(least(m{lo}, m{hi}), ':', greatest(m{lo}, m{hi}))"
+    return (
+        f"concat(CAST(least(m{lo}, m{hi}) AS STRING), ':', "
+        f"CAST(greatest(m{lo}, m{hi}) AS STRING))"
+    )
 
 
 _BANDS_STACK_SPARK = ", ".join(f"'s{b}', {_band_sig(b)}" for b in range(_N_BANDS))
@@ -187,7 +219,12 @@ def _planted_minhash_views(spark, sf_dir: str) -> None:
     d = spark.sql(_SHINGLES_SPARK.format(src=_PLANTED))
     d.createOrReplaceTempView("mh_shingles")
     wide = spark.sql(
-        f"SELECT doc_id, {_MINHASH_WIDE_AGGS} FROM mh_shingles GROUP BY doc_id"
+        f"""
+        SELECT doc_id, {_MINHASH_WIDE_AGGS}
+        FROM (SELECT doc_id, CAST({_HEX8_FROM_H} AS BIGINT) AS v
+              FROM (SELECT doc_id, md5(s) AS h FROM mh_shingles))
+        GROUP BY doc_id
+        """
     ).persist()
     wide.createOrReplaceTempView("mh_wide")
 
@@ -322,11 +359,14 @@ def connected_components(pairs, max_rounds: int = _CC_MAX_ROUNDS):
     """Connected components of an undirected (a_id, b_id) edge frame.
 
     Returns (node, label) where label = min node id of the component —
-    min-label propagation to a fixpoint.  Each round: edges ⋈ labels,
-    groupBy(min), converge when no label changes; O(component diameter)
-    rounds, so near-clique dedup components finish in 2-3.  The general-
-    graph scale path is large-star/small-star (O(log n) rounds, same
-    per-round plan shape).
+    min-label propagation PLUS pointer jumping to a fixpoint.  Each round:
+    (1) neighbor min (edges ⋈ labels, groupBy(min)) and (2) label ←
+    label(label) (labels self-join) — the jump doubles the propagation
+    radius per round, so convergence is O(log diameter) rounds instead of
+    O(diameter): the sf0.1 near-dup graph has diameter-16 chains that took
+    16 rounds with step (1) alone and take 5 with both.  Same round
+    structure as large-star/small-star, which is the fully-general scale
+    path.
 
     localCheckpoint (NOT persist) each round: the frame must TRUNCATE
     lineage, or round k's logical plan nests all k-1 predecessors and
@@ -350,12 +390,22 @@ def connected_components(pairs, max_rounds: int = _CC_MAX_ROUNDS):
             .agg(F.min("label").alias("in_label"))
             .withColumnRenamed("v", "node")
         )
+        stepped = labels.join(incoming, "node", "left").selectExpr(
+            "node",
+            "label AS old_label",
+            "least(label, coalesce(in_label, label)) AS label",
+        )
+        # pointer jump: label <- label(label).  Labels are always node ids
+        # (mins of node ids), and label(x) <= x, so the lookup never grows
+        # a label; the left join covers a label whose own row changed name.
         merged = (
-            labels.join(incoming, "node", "left")
+            stepped.join(
+                stepped.selectExpr("node AS lnode", "label AS llabel"),
+                F.col("label") == F.col("lnode"),
+                "left",
+            )
             .selectExpr(
-                "node",
-                "label AS old_label",
-                "least(label, coalesce(in_label, label)) AS new_label",
+                "node", "old_label", "least(label, coalesce(llabel, label)) AS new_label"
             )
             .localCheckpoint()
         )
