@@ -58,11 +58,12 @@ def sql_query(sql: str) -> Callable[[SparkSession, str], DataFrame]:
 
 
 def all_queries() -> dict[str, QuerySpec]:
-    from . import eventops, relational, similarity, textops
+    from . import eventops, relational, similarity, textops, webtext
 
     out: dict[str, QuerySpec] = {}
     out.update(relational.QUERIES)
     out.update(textops.QUERIES)
     out.update(similarity.QUERIES)
     out.update(eventops.QUERIES)
+    out.update(webtext.QUERIES)
     return out

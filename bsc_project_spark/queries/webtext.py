@@ -1,0 +1,411 @@
+"""Web-corpus curation operators (north-rule surface: main-content
+extraction / boilerplate strip, repetition quality signals, corpus-level
+paragraph dedup, SimHash near-dup discovery, PII scrubbing, interval range
+join).
+
+These are the HTML/DOM-heuristic half of the north rule ("main-content
+extraction pipeline (HTML boilerplate strip, ... DOM heuristics)") applied
+to the documents table: the fixture corpus carries no markup, so each
+query derives a deterministic HTML-ish wrapper (nav / h1 / p / aside /
+footer) from (doc_id, text) first — same rows both engines — and the
+operator under test is everything AFTER that synthesis.  Block
+classification follows the public text-density heuristic family
+(Arc90 readability / jusText / trafilatura): split on tag boundaries,
+score each block by tag prior + word count, keep dense content blocks.
+
+All six queries are pure native SQL in BOTH dialects (no UDFs): one scan,
+shuffles only on the analytical keys (doc_id / block hash / band value /
+time bucket), so the plans carry to a 1000-executor cluster unchanged.
+"""
+
+from __future__ import annotations
+
+from . import QuerySpec, sql_query
+from .textops import _PLANTED
+
+QUERIES: dict[str, QuerySpec] = {}
+
+
+def _q(name: str, spark_sql: str, duck_sql: str, description: str = "") -> None:
+    QUERIES[name] = QuerySpec(spark=sql_query(spark_sql), oracle=duck_sql, description=description)
+
+
+# ---------------------------------------------------------------------------
+# Shared deterministic HTML synthesis + block split.
+#
+# Spark explodes with posexplode (0-based pos includes the empty lead-in
+# block; it dies in the length(content) > 0 filter), DuckDB with
+# generate_series from index 2 (1-based, skipping the same empty block).
+# Positions differ by a constant offset but are only used for ORDER BY
+# inside each engine, so the reassembled text agrees.
+# ---------------------------------------------------------------------------
+
+_SYNTH_HTML = """
+    synth AS (
+      SELECT doc_id, concat(
+        '<nav>home about contact login search</nav>',
+        '<h1>doc ', CAST(doc_id AS {st}), '</h1>',
+        '<p>', text, '</p>',
+        CASE WHEN doc_id % 7 = 0
+             THEN '<aside>ad click buy now limited offer</aside>' ELSE '' END,
+        '<footer>copyright 2024 example corp all rights reserved</footer>'
+      ) AS html FROM documents
+    ),
+    arr AS (SELECT doc_id, {split_fn}(html, '<') AS a FROM synth)
+"""
+
+_BLOCKS_SPARK = (
+    _SYNTH_HTML.format(st="STRING", split_fn="split")
+    + """,
+    blocks_raw AS (
+      SELECT doc_id, pos, blk FROM arr LATERAL VIEW posexplode(a) t AS pos, blk
+    )"""
+)
+
+_BLOCKS_DUCK = (
+    _SYNTH_HTML.format(st="VARCHAR", split_fn="string_split")
+    + """,
+    blocks_raw AS (
+      SELECT doc_id, g.i AS pos, a[g.i] AS blk
+      FROM arr, LATERAL (SELECT unnest(generate_series(2, len(a))) AS i) g
+    )"""
+)
+
+# tag = chars before the first '>', content = chars after it (closing-tag
+# blocks have empty content and are dropped by the length filter)
+_BLOCK_PARSE = """
+    blocks AS (
+      SELECT doc_id, pos,
+             substring(blk, 1, instr(blk, '>') - 1) AS tag,
+             trim(substring(blk, instr(blk, '>') + 1)) AS content
+      FROM blocks_raw
+    )
+"""
+
+# ---------------------------------------------------------------------------
+# Main-content extraction (boilerplate strip).  jusText-lite block rule:
+# a block survives iff its tag is not nav/aside/footer chrome AND it holds
+# >= 5 words (text density).  The h1 title ('doc N', 2 words) and all
+# planted chrome are classified boilerplate; the p payload survives.
+# Reassembly is an ordered string agg per doc — one shuffle on doc_id.
+# ---------------------------------------------------------------------------
+
+_MAIN_BODY = """
+    scored AS (
+      SELECT doc_id, pos, content,
+             CASE WHEN tag IN ('nav', 'aside', 'footer') THEN 0
+                  WHEN {n_words} >= 5 THEN 1 ELSE 0 END AS keep
+      FROM blocks
+      WHERE length(content) > 0
+    )
+    SELECT doc_id,
+           coalesce({agg}, '') AS main_text,
+           CAST(SUM(keep) AS BIGINT) AS n_kept,
+           CAST(SUM(1 - keep) AS BIGINT) AS n_dropped
+    FROM scored GROUP BY doc_id
+"""
+
+_MAIN_CONTENT_SPARK = (
+    "WITH "
+    + _BLOCKS_SPARK
+    + ","
+    + _BLOCK_PARSE
+    + ","
+    + _MAIN_BODY.format(
+        n_words="size(split(content, '\\\\s+'))",
+        agg="listagg(CASE WHEN keep = 1 THEN content END, ' ') WITHIN GROUP (ORDER BY pos)",
+    )
+)
+
+_MAIN_CONTENT_DUCK = (
+    "WITH "
+    + _BLOCKS_DUCK
+    + ","
+    + _BLOCK_PARSE
+    + ","
+    + _MAIN_BODY.format(
+        n_words=r"len(string_split_regex(content, '\s+'))",
+        agg="string_agg(CASE WHEN keep = 1 THEN content END, ' ' ORDER BY pos)",
+    )
+)
+
+_q(
+    "q_main_content",
+    _MAIN_CONTENT_SPARK,
+    _MAIN_CONTENT_DUCK,
+    "DOM-heuristic boilerplate strip (jusText-lite tag prior + text "
+    "density), ordered block reassembly per doc",
+)
+
+# ---------------------------------------------------------------------------
+# Gopher-style repetition signals: top-word fraction, distinct-word
+# fraction, duplicate-bigram fraction + a composite keep flag.  Two grouped
+# passes over one exploded token stream (words, then adjacent bigrams from
+# the same array — no self-join, no window).
+# ---------------------------------------------------------------------------
+
+_REPETITION_BODY = """
+    arr AS (SELECT doc_id, {split_words} AS a FROM documents),
+    toks AS (
+      SELECT doc_id, i, {elem_i} AS token FROM arr {gen}
+    ),
+    ws AS (SELECT doc_id, token, count(*) AS c FROM toks GROUP BY 1, 2),
+    wstat AS (
+      SELECT doc_id, sum(c) AS n_words, max(c) AS top_c, count(*) AS n_distinct
+      FROM ws GROUP BY 1
+    ),
+    bs AS (
+      SELECT doc_id, concat(token, ' ', {elem_i1}) AS bigram, count(*) AS c
+      FROM toks JOIN arr USING (doc_id) WHERE i < {alen}
+      GROUP BY 1, 2
+    ),
+    bstat AS (SELECT doc_id, sum(c) AS n_bi, count(*) AS d_bi FROM bs GROUP BY 1)
+    SELECT w.doc_id,
+           CAST(w.n_words AS BIGINT) AS n_words,
+           round(w.top_c * 1e0 / w.n_words, 6) AS top_word_frac,
+           round(w.n_distinct * 1e0 / w.n_words, 6) AS distinct_word_frac,
+           round(1 - b.d_bi * 1e0 / b.n_bi, 6) AS dup_bigram_frac,
+           CASE WHEN w.top_c * 1e0 / w.n_words <= 0.2
+                     AND 1 - b.d_bi * 1e0 / b.n_bi <= 0.7
+                THEN 1 ELSE 0 END AS gopher_ok
+    FROM wstat w JOIN bstat b ON b.doc_id = w.doc_id
+"""
+
+_REPETITION_SPARK = "WITH " + _REPETITION_BODY.format(
+    split_words="split(lower(trim(text)), '\\\\s+')",
+    elem_i="element_at(a, i)",
+    elem_i1="element_at(a, i + 1)",
+    alen="size(a)",
+    gen="LATERAL VIEW explode(sequence(1, size(a))) g AS i",
+)
+
+_REPETITION_DUCK = "WITH " + _REPETITION_BODY.format(
+    split_words=r"string_split_regex(lower(trim(text)), '\s+')",
+    elem_i="a[i]",
+    elem_i1="a[i + 1]",
+    alen="len(a)",
+    gen=", LATERAL (SELECT unnest(generate_series(1, len(a))) AS i) g",
+)
+
+_q(
+    "q_repetition_filter",
+    _REPETITION_SPARK,
+    _REPETITION_DUCK,
+    "Gopher-style repetition quality: top-word / distinct-word / "
+    "dup-bigram fractions + composite keep flag",
+)
+
+# ---------------------------------------------------------------------------
+# Corpus-level paragraph dedup (C4 / RefinedWeb line dedup): split each
+# doc into paragraphs, keep only the GLOBAL first occurrence of each
+# paragraph hash (first by (doc_id, position)), reassemble the surviving
+# text per doc.  Runs over the planted corpus (exact clones every 50th
+# doc) so clone docs demonstrably lose all their paragraphs.  One shuffle
+# on md5(paragraph) for the survivor window, one on doc_id to reassemble.
+# ---------------------------------------------------------------------------
+
+_PARA_DEDUP_BODY = """
+    p AS (
+      SELECT doc_id, i AS pos, {elem_i} AS para
+      FROM (SELECT doc_id, {split_para} AS a FROM {src} t) {gen}
+    ),
+    ranked AS (
+      SELECT doc_id, pos, para,
+             row_number() OVER (PARTITION BY md5(para) ORDER BY doc_id, pos) AS rn
+      FROM p WHERE length(trim(para)) > 0
+    )
+    SELECT doc_id,
+           coalesce({agg}, '') AS clean_text,
+           CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
+    FROM ranked GROUP BY doc_id
+"""
+
+_PARA_DEDUP_SPARK = "WITH " + _PARA_DEDUP_BODY.format(
+    split_para="split(text, ' the ')",
+    elem_i="element_at(a, i)",
+    gen="LATERAL VIEW explode(sequence(1, size(a))) g AS i",
+    src=_PLANTED,
+    agg="listagg(CASE WHEN rn = 1 THEN para END, ' | ') WITHIN GROUP (ORDER BY pos)",
+)
+
+_PARA_DEDUP_DUCK = "WITH " + _PARA_DEDUP_BODY.format(
+    split_para="string_split(text, ' the ')",
+    elem_i="a[i]",
+    gen=", LATERAL (SELECT unnest(generate_series(1, len(a))) AS i) g",
+    src=_PLANTED,
+    agg="string_agg(CASE WHEN rn = 1 THEN para END, ' | ' ORDER BY pos)",
+)
+
+_q(
+    "q_paragraph_dedup",
+    _PARA_DEDUP_SPARK,
+    _PARA_DEDUP_DUCK,
+    "corpus-level paragraph dedup (global first-occurrence survivor, "
+    "planted clone docs stripped), ordered reassembly",
+)
+
+# ---------------------------------------------------------------------------
+# SimHash Hamming near-dup pairs: 16-bit SimHash per doc (same bit-vote
+# body as q_simhash, over the planted corpus), banded into 2 x 8-bit band
+# values (a Hamming-<=1 pair ALWAYS shares a band; Hamming-2 pairs are
+# caught unless both flips land in one band — the standard LSH recall
+# tradeoff), candidate pairs via band equi-join, exact Hamming verify via
+# bit_count(xor).  The production config is 64-bit SimHash with 4 x 16-bit
+# bands — identical plan, 65536-ary buckets; 16/8 keeps the oracle's
+# integer widths comfortable in both engines.
+# ---------------------------------------------------------------------------
+
+from .textops import _SHINGLES_DUCK, _SHINGLES_SPARK, _SIMHASH_BODY  # noqa: E402
+
+_SIMHASH_PAIRS_BODY = """
+    bands AS (
+      SELECT doc_id, simhash, 0 AS band,
+             CAST(floor(simhash / 256) AS BIGINT) AS bval FROM sim
+      UNION ALL
+      SELECT doc_id, simhash, 1 AS band, simhash % 256 AS bval FROM sim
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+             a.simhash AS sa, b.simhash AS sb
+      FROM bands a
+      JOIN bands b ON a.band = b.band AND a.bval = b.bval AND a.doc_id < b.doc_id
+    )
+    SELECT a_id, b_id, CAST({ham} AS INT) AS hamming
+    FROM cand WHERE {ham} <= 2
+"""
+
+
+def _simhash_pairs_sql(shingles: str, ham: str) -> str:
+    sim_inner = _SIMHASH_BODY.format(shingles=shingles)
+    # _SIMHASH_BODY is a full WITH ... SELECT; nest it as the `sim` CTE
+    return "WITH sim AS (" + sim_inner + "), " + _SIMHASH_PAIRS_BODY.format(ham=ham)
+
+
+_q(
+    "q_simhash_pairs",
+    _simhash_pairs_sql(_SHINGLES_SPARK.format(src=_PLANTED), "bit_count(sa ^ sb)"),
+    _simhash_pairs_sql(_SHINGLES_DUCK.format(src=_PLANTED), "bit_count(xor(sa, sb))"),
+    "SimHash near-dup pairs: 2x8-bit banded candidates, exact Hamming "
+    "verify via bit_count(xor), planted clones at Hamming 0",
+)
+
+# ---------------------------------------------------------------------------
+# PII scrubbing: deterministic contact lines appended per doc, then email
+# and phone patterns redacted with native regexp_replace and counted with
+# regexp_extract_all — the standard pre-training scrub pass, zero UDFs.
+# ---------------------------------------------------------------------------
+
+_PII_BODY = """
+    synth AS (
+      SELECT doc_id,
+             concat(substring(text, 1, 80),
+                    ' contact user', CAST(doc_id AS {st}),
+                    '@example.com or call +1-555-',
+                    lpad(CAST(doc_id % 10000 AS {st}), 4, '0'), ' now') AS raw
+      FROM documents
+    )
+    SELECT doc_id,
+           {scrub} AS clean_text,
+           CAST({n_email} AS INT) AS n_emails,
+           CAST({n_phone} AS INT) AS n_phones
+    FROM synth
+"""
+
+_EMAIL_RE = "[a-z0-9]+@[a-z][a-z.]+"
+
+_PII_SPARK = "WITH " + _PII_BODY.format(
+    st="STRING",
+    scrub=(
+        "regexp_replace(regexp_replace(raw, '" + _EMAIL_RE + "', '<EMAIL>'), "
+        "'\\\\+1-555-[0-9]{4}', '<PHONE>')"
+    ),
+    n_email="size(regexp_extract_all(raw, '" + _EMAIL_RE + "', 0))",
+    n_phone="size(regexp_extract_all(raw, '\\\\+1-555-[0-9]{4}', 0))",
+)
+
+_PII_DUCK = "WITH " + _PII_BODY.format(
+    st="VARCHAR",
+    scrub=(
+        "regexp_replace(regexp_replace(raw, '" + _EMAIL_RE + "', '<EMAIL>', 'g'), "
+        r"'\+1-555-[0-9]{4}', '<PHONE>', 'g')"
+    ),
+    n_email="len(regexp_extract_all(raw, '" + _EMAIL_RE + "'))",
+    n_phone=r"len(regexp_extract_all(raw, '\+1-555-[0-9]{4}'))",
+)
+
+_q(
+    "q_pii_scrub",
+    _PII_SPARK,
+    _PII_DUCK,
+    "PII scrub: email/phone redaction + match counts, native regexp only",
+)
+
+# ---------------------------------------------------------------------------
+# Interval range join, bucketed.  144 fixed 3-hour windows at a 5-hour
+# stride (deliberately NOT aligned to the bucket grid) are joined to
+# events by time containment.  The Spark side uses the scale-correct
+# shape: both sides key on a 6-hour epoch bucket (a window spans 1-2
+# buckets -> explode), equi-join on the bucket, THEN the exact us-range
+# filter — shuffle is hash(bucket), never a quadratic nested loop, and
+# AQE sees an ordinary equi-join.  The DuckDB oracle is the declarative
+# inequality join (its IEJoin evaluates it directly) — same semantics,
+# which is exactly what the cross-check proves.  Integer `div` keeps
+# bucket math exact in int64 in both engines.
+# ---------------------------------------------------------------------------
+
+_T0_US = 1_704_067_200_000_000  # 2024-01-01 00:00:00 UTC in epoch-us
+_WIN_STRIDE_US = 5 * 3600 * 1_000_000
+_WIN_LEN_US = 3 * 3600 * 1_000_000
+_BUCKET_US = 6 * 3600 * 1_000_000
+_N_WINS = 144
+
+_SPARK_EPOCH_US = "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+
+_RANGE_JOIN_SPARK = f"""
+    WITH w AS (
+      SELECT CAST(k AS BIGINT) AS win_id,
+             {_T0_US} + CAST(k AS BIGINT) * {_WIN_STRIDE_US} AS start_us
+      FROM (SELECT explode(sequence(0, {_N_WINS - 1})) AS k)
+    ),
+    wb AS (
+      SELECT win_id, start_us,
+             explode(sequence(start_us DIV {_BUCKET_US},
+                              (start_us + {_WIN_LEN_US} - 1) DIV {_BUCKET_US})) AS bucket
+      FROM w
+    ),
+    e AS (
+      SELECT value, {_SPARK_EPOCH_US} AS us FROM events
+    ),
+    eb AS (SELECT value, us, us DIV {_BUCKET_US} AS bucket FROM e)
+    SELECT w.win_id, w.start_us,
+           count(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+    FROM wb w
+    JOIN eb e ON e.bucket = w.bucket
+            AND e.us >= w.start_us AND e.us < w.start_us + {_WIN_LEN_US}
+    GROUP BY 1, 2
+"""
+
+_RANGE_JOIN_DUCK = f"""
+    WITH w AS (
+      SELECT CAST(k AS BIGINT) AS win_id,
+             {_T0_US} + CAST(k AS BIGINT) * {_WIN_STRIDE_US} AS start_us
+      FROM (SELECT unnest(generate_series(0, {_N_WINS - 1})) AS k) g
+    ),
+    e AS (SELECT value, epoch_us(ts) AS us FROM events)
+    SELECT w.win_id, w.start_us,
+           count(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+    FROM w
+    JOIN e ON e.us >= w.start_us AND e.us < w.start_us + {_WIN_LEN_US}
+    GROUP BY 1, 2
+"""
+
+_q(
+    "q_range_join",
+    _RANGE_JOIN_SPARK,
+    _RANGE_JOIN_DUCK,
+    "interval range join: 6h-bucket equi-join + exact us-range filter "
+    "(Spark) vs declarative IEJoin (oracle)",
+)
