@@ -400,7 +400,13 @@ def _sort_rank_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     for pid, cnt in counts:
         offsets.append((pid, acc))
         acc += cnt
-    off_df = local.sparkSession.createDataFrame(offsets, "pid int, off long")
+    # inline VALUES, not createDataFrame: a Python-list createDataFrame
+    # plans as a pickled-RDD scan that schedules defaultParallelism tasks
+    # and cold-starts Python workers for a P-row frame (measured 2 s for
+    # 2 rows); a VALUES literal is a LocalRelation — zero tasks, and
+    # Catalyst folds it straight into the broadcast
+    values = ", ".join(f"({pid}, {off}L)" for pid, off in offsets)
+    off_df = local.sparkSession.sql(f"SELECT * FROM VALUES {values} AS t(pid, off)")
     return (
         local.join(F.broadcast(off_df), "pid")
         .select("doc_id", (F.col("off") + F.col("lrnk")).cast("int").alias("rnk"))

@@ -355,18 +355,73 @@ _CC_CAND_SPARK = f"""
 """
 
 
-def connected_components(pairs, max_rounds: int = _CC_MAX_ROUNDS):
+_CC_DRIVER_EDGE_BUDGET = 2_000_000
+
+
+def _cc_driver(spark, pairs_pdf):
+    """Single-pass union-find over a BOUNDED, already-collected edge list.
+
+    Invariant: every union links the larger root under the smaller root,
+    so each tree's root is the minimum node id of its component — the same
+    label the distributed fixpoint converges to.  Path compression makes
+    the whole pass near-linear; 10^6 edges take well under a second.
+    """
+    import pandas as pd
+
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != x:
+            parent[x], x = root, parent[x]
+        return root
+
+    a_ids = pairs_pdf["a_id"].astype("int64")
+    b_ids = pairs_pdf["b_id"].astype("int64")
+    for a, b in zip(a_ids, b_ids):
+        ra, rb = find(int(a)), find(int(b))
+        if ra != rb:
+            if rb < ra:
+                ra, rb = rb, ra
+            parent[rb] = ra
+    nodes = sorted(set(a_ids) | set(b_ids))
+    out = pd.DataFrame(
+        {"node": nodes, "label": [find(int(n)) for n in nodes]},
+        dtype="int64",
+    )
+    # Arrow path: driver-side conversion to a LocalRelation-backed frame,
+    # no Python-worker tasks (the pickled-RDD fallback schedules
+    # defaultParallelism cold Python workers for this skinny frame)
+    spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
+    return spark.createDataFrame(out, "node bigint, label bigint")
+
+
+def connected_components(
+    pairs,
+    max_rounds: int = _CC_MAX_ROUNDS,
+    driver_edge_budget: int = _CC_DRIVER_EDGE_BUDGET,
+):
     """Connected components of an undirected (a_id, b_id) edge frame.
 
-    Returns (node, label) where label = min node id of the component —
-    min-label propagation PLUS pointer jumping to a fixpoint.  Each round:
-    (1) neighbor min (edges ⋈ labels, groupBy(min)) and (2) label ←
-    label(label) (labels self-join) — the jump doubles the propagation
-    radius per round, so convergence is O(log diameter) rounds instead of
-    O(diameter): the sf0.1 near-dup graph has diameter-16 chains that took
-    16 rounds with step (1) alone and take 5 with both.  Same round
-    structure as large-star/small-star, which is the fully-general scale
-    path.
+    Returns (node, label) where label = min node id of the component.
+    Size-adaptive, the same way AQE picks physical strategies at runtime:
+
+    - edge count <= ``driver_edge_budget``: one-pass union-find on the
+      driver (``_cc_driver``).  After LSH banding the candidate graph is
+      orders of magnitude smaller than the corpus; when it fits the
+      budget, a bounded toPandas + O(E α(E)) scan beats any multi-round
+      shuffle plan by ~10x (the collect is provably bounded — the count
+      that gates it is computed first from a checkpointed frame).
+    - larger graphs: distributed min-label propagation PLUS pointer
+      jumping to a fixpoint.  Each round: (1) neighbor min (edges ⋈
+      labels, groupBy(min)) and (2) label ← label(label) (labels
+      self-join) — the jump doubles the propagation radius per round, so
+      convergence is O(log diameter) rounds instead of O(diameter): the
+      sf0.1 near-dup graph has diameter-16 chains that took 16 rounds
+      with step (1) alone and take 5 with both.  Same round structure as
+      large-star/small-star, which is the fully-general scale path.
 
     localCheckpoint (NOT persist) each round: the frame must TRUNCATE
     lineage, or round k's logical plan nests all k-1 predecessors and
@@ -377,9 +432,27 @@ def connected_components(pairs, max_rounds: int = _CC_MAX_ROUNDS):
     """
     from pyspark.sql import functions as F
 
+    # checkpoint the candidate edges ONCE: the count below plus both
+    # branches of the undirected union would otherwise re-run the
+    # upstream band self-join three times
+    pairs = pairs.localCheckpoint()
+    n_pairs = pairs.count()
+    if n_pairs <= driver_edge_budget:
+        spark = pairs.sparkSession
+        spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
+        return _cc_driver(spark, pairs.toPandas())
+
+    # Partition count sized from the edge count (~2M edge rows per task),
+    # floor 8: the fixpoint frames are SKINNY (two int64s), and running
+    # each round at the session's global shuffle width costs a fixed
+    # per-task overhead x rounds x stages that dwarfs the data at bench
+    # scale.  edges is hash-partitioned on the join key u once, so every
+    # round's neighbor-min join only shuffles the (small) labels side.
+    n_parts = max(8, (2 * n_pairs) // 2_000_000 + 1)
     edges = (
         pairs.selectExpr("a_id AS u", "b_id AS v")
         .union(pairs.selectExpr("b_id AS u", "a_id AS v"))
+        .repartition(n_parts, "u")
         .localCheckpoint()
     )
     labels = edges.selectExpr("u AS node").distinct().selectExpr("node", "node AS label")
@@ -390,10 +463,17 @@ def connected_components(pairs, max_rounds: int = _CC_MAX_ROUNDS):
             .agg(F.min("label").alias("in_label"))
             .withColumnRenamed("v", "node")
         )
-        stepped = labels.join(incoming, "node", "left").selectExpr(
-            "node",
-            "label AS old_label",
-            "least(label, coalesce(in_label, label)) AS label",
+        # checkpoint BEFORE the jump: the jump self-joins stepped, and an
+        # unmaterialized stepped would execute its join+groupBy pipeline
+        # twice inside one job (once per self-join side)
+        stepped = (
+            labels.join(incoming, "node", "left")
+            .selectExpr(
+                "node",
+                "label AS old_label",
+                "least(label, coalesce(in_label, label)) AS label",
+            )
+            .localCheckpoint()
         )
         # pointer jump: label <- label(label).  Labels are always node ids
         # (mins of node ids), and label(x) <= x, so the lookup never grows

@@ -282,12 +282,36 @@ def _simhash_pairs_sql(shingles: str, ham: str) -> str:
     return "WITH sim AS (" + sim_inner + "), " + _SIMHASH_PAIRS_BODY.format(ham=ham)
 
 
-_q(
-    "q_simhash_pairs",
-    _simhash_pairs_sql(_SHINGLES_SPARK.format(src=_PLANTED), "bit_count(sa ^ sb)"),
-    _simhash_pairs_sql(_SHINGLES_DUCK.format(src=_PLANTED), "bit_count(xor(sa, sb))"),
-    "SimHash near-dup pairs: 2x8-bit banded candidates, exact Hamming "
-    "verify via bit_count(xor), planted clones at Hamming 0",
+def _simhash_pairs_spark(spark, sf_dir: str):
+    """Materialize the per-doc SimHash frame ONCE (localCheckpoint), then
+    band + self-join against the skinny (doc_id, simhash) leaf.
+
+    Inlined as a CTE, ``sim`` is referenced 4x in the final plan (two band
+    branches x two self-join sides) and Spark re-runs the shingle explode
+    + md5 + 16-bit-vote groupBy for each — the whole expensive subtree
+    times four.  The checkpoint turns every reference into a scan of ~1
+    row/doc; this is the signature-table materialization a production
+    SimHash dedup keeps anyway."""
+    from . import register_views
+
+    register_views(spark, sf_dir)
+    sim = spark.sql(
+        _SIMHASH_BODY.format(shingles=_SHINGLES_SPARK.format(src=_PLANTED))
+    ).localCheckpoint()
+    sim.createOrReplaceTempView("simhash_sim")
+    return spark.sql(
+        "WITH sim AS (SELECT * FROM simhash_sim), "
+        + _SIMHASH_PAIRS_BODY.format(ham="bit_count(sa ^ sb)")
+    )
+
+
+QUERIES["q_simhash_pairs"] = QuerySpec(
+    spark=_simhash_pairs_spark,
+    oracle=_simhash_pairs_sql(
+        _SHINGLES_DUCK.format(src=_PLANTED), "bit_count(xor(sa, sb))"
+    ),
+    description="SimHash near-dup pairs: 2x8-bit banded candidates, exact "
+    "Hamming verify via bit_count(xor), planted clones at Hamming 0",
 )
 
 # ---------------------------------------------------------------------------

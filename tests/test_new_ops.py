@@ -43,16 +43,31 @@ def test_asof_boundary_semantics(spark):
     assert got == {10: None, 11: 2.0, 12: 2.0, 13: 3.0, 14: 3.0, 20: None}
 
 
-def test_connected_components_transitive_chain(spark):
+_CC_EXPECTED = {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+
+
+def _cc_pairs(spark):
     # chain 1-2-3-4 (diameter 3, needs >1 round), pair 10-11, and an
     # isolated-from-the-chain triangle 20-21-22
-    pairs = spark.createDataFrame(
+    return spark.createDataFrame(
         [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22), (20, 22)],
         "a_id long, b_id long",
     )
-    out = connected_components(pairs).toPandas()
+
+
+def test_connected_components_transitive_chain(spark):
+    # default path: edge count under the driver budget -> union-find
+    out = connected_components(_cc_pairs(spark)).toPandas()
     labels = dict(zip(out["node"], out["label"]))
-    assert labels == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+    assert labels == _CC_EXPECTED
+
+
+def test_connected_components_distributed_path_agrees(spark):
+    # budget 0 forces the distributed pointer-jump fixpoint; both
+    # strategies must label identically
+    out = connected_components(_cc_pairs(spark), driver_edge_budget=0).toPandas()
+    labels = dict(zip(out["node"], out["label"]))
+    assert labels == _CC_EXPECTED
 
 
 def test_two_phase_rank_is_dense_and_ordered(spark, tmp_path):
