@@ -190,6 +190,61 @@ def enrich_with_dim(
     )
 
 
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    lag_seconds: int = 600,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Stream-stream event-time interval join: pair each left event with
+    every right event of the same user that lands within
+    ``[l_ts, l_ts + lag_seconds]`` (click -> purchase attribution).
+
+    This is the both-sides-stateful streaming surface: each side buffers
+    rows in state, and the event-time range condition in the join predicate
+    is what lets Spark EVICT — a left row older than
+    ``watermark + lag_seconds`` can never match a future right row, so its
+    state is dropped instead of growing unboundedly.  Without the time
+    bound the join would be rejected on streams (unbounded state).  On
+    batch frames the same code is a plain equi+range join, so the batch
+    run IS the oracle for the streamed run.
+    """
+    l = (
+        left.withColumn("ts", F.col("ts").cast("timestamp"))
+        .select(
+            F.col("event_id").alias("l_event_id"),
+            F.col("ts").alias("l_ts"),
+            "user_id",
+        )
+    )
+    r = (
+        right.withColumn("ts", F.col("ts").cast("timestamp"))
+        .select(
+            F.col("event_id").alias("r_event_id"),
+            F.col("ts").alias("r_ts"),
+            F.col("user_id").alias("r_user_id"),
+            F.col("value").alias("r_value"),
+        )
+    )
+    if l.isStreaming:
+        l = l.withWatermark("l_ts", watermark)
+    if r.isStreaming:
+        r = r.withWatermark("r_ts", watermark)
+    cond = (
+        (F.col("user_id") == F.col("r_user_id"))
+        & (F.col("r_ts") >= F.col("l_ts"))
+        & (F.col("r_ts") <= F.col("l_ts") + F.expr(f"INTERVAL {lag_seconds} SECOND"))
+    )
+    return l.join(r, cond, "inner").select(
+        "user_id",
+        "l_event_id",
+        "r_event_id",
+        "l_ts",
+        "r_ts",
+        "r_value",
+    )
+
+
 def dedup_events(events: DataFrame, watermark: str = "10 minutes") -> DataFrame:
     """Streaming exact dedup by event_id — the continuous-ingest
     counterpart of q_dedup_exact.  On a stream, state is bounded by the

@@ -197,6 +197,27 @@ def test_enrich_with_dim_stream_equals_batch(spark):
     assert got.filter("segment IS NULL").count() > 0
 
 
+def test_interval_join_stream_equals_batch(spark):
+    """Stream-stream interval join (click -> purchase within 1h, per user)
+    drained with availableNow matches the identical join run as batch —
+    both sides keyed state, event-time range bound in the predicate."""
+    from bsc_project_spark.streaming.events import interval_join
+
+    def attrib(df):
+        return interval_join(
+            df.filter("event_type = 'click'"),
+            df.filter("event_type = 'purchase'"),
+            lag_seconds=3600,
+        )
+
+    got = run_stream_to_memory(spark, EVENTS, attrib, "attrib", output_mode="append")
+    batch_events = spark.read.parquet(EVENTS)
+    batch = attrib(batch_events)
+    assert got.count() > 0
+    assert got.exceptAll(batch).count() == 0
+    assert batch.exceptAll(got).count() == 0
+
+
 def test_streaming_checkpoint_restart_preserves_dedup_state(spark, tmp_path):
     """Stop a stateful streaming query, add more source files (including
     duplicates of already-processed events), restart with the SAME
