@@ -806,6 +806,124 @@ _q(
 # one shuffle on the stratum key, no driver involvement.
 # ---------------------------------------------------------------------------
 
+# ---------------------------------------------------------------------------
+# Benchmark decontamination: word-5-gram overlap between the training
+# corpus and a "benchmark" set (the GPT-3 / Dolma decontamination pass).
+# The benchmark is planted deterministically — a substring window of every
+# 37th document stands in for a leaked eval item — so the operator has a
+# guaranteed positive signal: docs whose id % 37 = 0 are contaminated by
+# construction, everything else sits near 0 overlap.
+#
+# Shape at scale: DISTINCT benchmark grams form a small relation
+# (benchmarks are KBs-to-MBs even when the corpus is 100 TB) -> the gram
+# join broadcasts the benchmark side; the per-doc gram explode is the
+# only wide shuffle and it carries (doc_id, gram) pairs straight into a
+# partial-agg count.  LEFT join keeps zero-overlap docs.
+# ---------------------------------------------------------------------------
+
+_CONTAM_BODY = """
+    WITH bench AS (
+      SELECT substring(text, 21, 160) AS text FROM documents WHERE doc_id % 37 = 0
+    ),
+    bgrams AS (
+      SELECT DISTINCT {gram} AS gram
+      FROM (SELECT {split} AS a FROM bench t) t2 {gen5}
+    ),
+    dgrams AS (
+      SELECT DISTINCT doc_id, {gram} AS gram
+      FROM (SELECT doc_id, {split} AS a FROM documents t) t2 {gen5}
+    ),
+    per_doc AS (SELECT doc_id, count(*) AS n_grams FROM dgrams GROUP BY doc_id),
+    hits AS (
+      SELECT d.doc_id, count(*) AS n_hit
+      FROM dgrams d JOIN bgrams b ON b.gram = d.gram
+      GROUP BY d.doc_id
+    )
+    SELECT p.doc_id,
+           CAST(p.n_grams AS BIGINT) AS n_grams,
+           CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_hit,
+           round(coalesce(h.n_hit, 0) * 1e0 / p.n_grams, 6) AS overlap_frac,
+           CASE WHEN coalesce(h.n_hit, 0) * 1e0 / p.n_grams > 0.2
+                THEN 1 ELSE 0 END AS contaminated
+    FROM per_doc p LEFT JOIN hits h ON h.doc_id = p.doc_id
+"""
+
+_q(
+    "q_contamination",
+    _CONTAM_BODY.format(
+        split="split(lower(trim(text)), '\\\\s+')",
+        gram="array_join(slice(a, i, 5), ' ')",
+        gen5="LATERAL VIEW explode(sequence(1, greatest(size(a) - 4, 1))) g AS i",
+    ),
+    _CONTAM_BODY.format(
+        split=r"string_split_regex(lower(trim(text)), '\s+')",
+        gram="array_to_string(a[i:i+4], ' ')",
+        gen5=", LATERAL (SELECT unnest(generate_series(1, greatest(len(a) - 4, 1))) AS i) g",
+    ),
+    "benchmark decontamination: word-5-gram overlap vs a planted leaked "
+    "benchmark set, contaminated flag at >20% overlap",
+)
+
+# ---------------------------------------------------------------------------
+# Training-sequence packing: concat-and-chunk document packing into
+# fixed-token-budget training sequences (bin id + token offset where each
+# doc starts).  The ORDER BY doc_id prefix sum is the semantic spec; the
+# 100 TB plan is the same two-phase prefix sum documented for
+# q_corpus_curation (per-range subtotals -> driver prefix -> per-range
+# offset), since bin assignment only needs each doc's global cumulative
+# token start.
+# ---------------------------------------------------------------------------
+
+_PACK_BUDGET = 2048
+
+_PACK_TEMPLATE = f"""
+    WITH t AS (
+      SELECT doc_id, CAST({{n_tokens}} AS BIGINT) AS n_tokens
+      FROM documents WHERE length(trim(text)) > 0
+    ),
+    c AS (
+      SELECT doc_id, n_tokens,
+             CAST(sum(n_tokens) OVER (
+               ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               - n_tokens AS start_tok
+      FROM t
+    )
+    SELECT doc_id, n_tokens,
+           start_tok {{div}} {_PACK_BUDGET} AS bin_id,
+           start_tok % {_PACK_BUDGET} AS bin_offset
+    FROM c
+"""
+
+_q(
+    "q_sequence_pack",
+    _PACK_TEMPLATE.format(n_tokens="size(split(trim(text), '\\\\s+'))", div="DIV"),
+    _PACK_TEMPLATE.format(n_tokens=r"len(string_split_regex(trim(text), '\s+'))", div="//"),
+    f"concat-and-chunk sequence packing into {_PACK_BUDGET}-token training "
+    "bins (bin id + start offset per doc)",
+)
+
+# ---------------------------------------------------------------------------
+# Per-source corpus stats: the per-domain curation dashboard (CCNet-style
+# shard stats) — doc count, volume, language spread, exact-dup fraction.
+# One groupBy(source); count(DISTINCT md5(text)) is the only expensive
+# agg and it partial-aggregates per source.
+# ---------------------------------------------------------------------------
+
+_DOMAIN_STATS_SQL = """
+    SELECT source,
+           count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           round(avg(n_chars), 6) AS avg_chars,
+           count(DISTINCT lang) AS n_langs,
+           round(1 - count(DISTINCT md5(text)) * 1e0 / count(*), 6) AS dup_frac
+    FROM documents GROUP BY source
+"""
+
+_q("q_domain_stats", _DOMAIN_STATS_SQL, _DOMAIN_STATS_SQL,
+   "per-source corpus stats: volume, language spread, exact-dup fraction")
+
+
 _STRATIFIED_TEMPLATE = """
     SELECT lang, doc_id FROM (
       SELECT lang, doc_id,
