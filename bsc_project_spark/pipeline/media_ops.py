@@ -130,6 +130,94 @@ def white_row_probe(
     return media.select("media_ref", "content").mapInPandas(run, WHITE_ROW_PROBE_SCHEMA)
 
 
+PHASH_SCHEMA = "media_ref string, phash long"
+
+
+def _dct_mat(n: int) -> np.ndarray:
+    """Orthonormal-free DCT-II basis matrix (rows = frequencies); the
+    perceptual hash only compares coefficients to their median, so the
+    scale factors cancel and a plain cosine matrix suffices."""
+    k = np.arange(n)
+    return np.cos(np.pi * (2.0 * k[None, :] + 1.0) * k[:, None] / (2.0 * n))
+
+
+def image_phash(media: DataFrame, hash_size: int = 8, highfreq_factor: int = 4) -> DataFrame:
+    """64-bit perceptual hash per image (pHash family): area-resize to
+    32x32, 2D DCT via two matrix multiplies, keep the top-left
+    ``hash_size``² low-frequency block, threshold each coefficient against
+    the block median -> bit vector packed into one int64.
+
+    Near-identical images (small noise, light recompression) agree on
+    almost every bit, so visual dedup becomes integer Hamming distance —
+    computed NATIVELY downstream (``phash_near_dup_pairs``), the
+    multimodal twin of the SimHash text path.  The DCT is pure numpy
+    (no scipy/cv2 in this container); one basis matrix per Arrow batch
+    iterator, reused across rows.
+    """
+    n = hash_size * highfreq_factor
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        basis = _dct_mat(n)
+        for pdf in batches:
+            rows = []
+            for ref, content in zip(pdf["media_ref"], pdf["content"]):
+                img = decode_gray(bytes(content))
+                h, w = img.shape
+                sh, sw = max(1, h // n), max(1, w // n)
+                small = resize_area(img[: sh * n, : sw * n], n, n).astype(np.float64)
+                dct = basis @ small @ basis.T
+                block = dct[:hash_size, :hash_size].ravel()
+                bits = block > np.median(block)
+                packed = np.uint64(0)
+                for b in bits:
+                    packed = (packed << np.uint64(1)) | np.uint64(bool(b))
+                rows.append((ref, int(packed.astype(np.int64))))
+            yield pd.DataFrame(rows, columns=["media_ref", "phash"])
+
+    return media.select("media_ref", "content").mapInPandas(run, PHASH_SCHEMA)
+
+
+def phash_near_dup_pairs(phashes: DataFrame, max_hamming: int = 6) -> DataFrame:
+    """Visual near-dup pairs from pHashes, all native SQL: band the 64-bit
+    hash into 4 x 16-bit values (a Hamming<=3 pair always shares a band;
+    the standard LSH recall tradeoff beyond that), equi-join on
+    (band, bval) — never an all-pairs product — then verify candidates
+    exactly with bit_count(xor).  The same banded shape as the text
+    SimHash path, so the plan carries to any corpus size."""
+    from pyspark.sql import functions as F
+
+    bands = phashes.selectExpr(
+        "media_ref",
+        "phash",
+        "stack(4, "
+        "0, shiftright(phash, 48) & 65535, "
+        "1, shiftright(phash, 32) & 65535, "
+        "2, shiftright(phash, 16) & 65535, "
+        "3, phash & 65535) AS (band, bval)",
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bval") == F.col("b.bval"))
+            & (F.col("a.media_ref") < F.col("b.media_ref")),
+        )
+        .select(
+            F.col("a.media_ref").alias("ref_a"),
+            F.col("b.media_ref").alias("ref_b"),
+            F.col("a.phash").alias("ha"),
+            F.col("b.phash").alias("hb"),
+        )
+        .distinct()
+    )
+    return cand.select(
+        "ref_a",
+        "ref_b",
+        F.expr("CAST(bit_count(ha ^ hb) AS INT)").alias("hamming"),
+    ).where(F.col("hamming") <= max_hamming)
+
+
 def _fake_signal(ref: str, content: bytes, n: int) -> np.ndarray:
     """Deterministic pseudo-signal derived from the media bytes (stub body
     for environments without audio/video codecs)."""

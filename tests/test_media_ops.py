@@ -56,6 +56,58 @@ def test_white_row_probe_routes_on_probe_row(spark):
     assert out["p3-b"].is_train and out["p3-b"].probe_row == 44
 
 
+def test_phash_near_dup_detects_noisy_clone(spark):
+    """A lightly-noised copy of an image must pair with its original at
+    small Hamming distance; structurally different images must not pair
+    at the default threshold."""
+    from bsc_project_spark.io.png import encode_gray
+
+    rng = np.random.default_rng(7)
+    base = np.full((128, 96), 255, np.uint8)
+    base[20:40, 10:80] = 0
+    base[70:75, :] = 30
+    noisy = base.copy()
+    flip = rng.random(base.shape) < 0.002  # sparse salt noise
+    noisy[flip] = 255 - noisy[flip]
+    other = np.full((128, 96), 255, np.uint8)
+    other[:, 40:50] = 0
+    other[100:110, :] = 0
+    rows = [
+        ("orig", bytearray(encode_gray(base))),
+        ("noisy", bytearray(encode_gray(noisy))),
+        ("other", bytearray(encode_gray(other))),
+    ]
+    df = spark.createDataFrame(rows, "media_ref string, content binary")
+    hashes = media_ops.image_phash(df)
+    pairs = {
+        (r.ref_a, r.ref_b): r.hamming
+        for r in media_ops.phash_near_dup_pairs(hashes).collect()
+    }
+    assert ("noisy", "orig") in pairs
+    assert pairs[("noisy", "orig")] <= 6
+    assert all({"orig", "noisy"} >= set(k) for k in pairs), pairs
+
+
+def test_phash_deterministic_and_plan_banded(spark):
+    """Same bytes -> same hash across invocations; the pair plan contains
+    no cartesian/nested-loop join (banded equi-join only)."""
+    from bsc_project_spark.io.png import encode_gray
+
+    img = np.arange(64 * 48, dtype=np.uint64).reshape(64, 48)
+    img = (img % 251).astype(np.uint8)
+    df = spark.createDataFrame(
+        [("x", bytearray(encode_gray(img)))], "media_ref string, content binary"
+    )
+    h1 = media_ops.image_phash(df).collect()[0].phash
+    h2 = media_ops.image_phash(df).collect()[0].phash
+    assert h1 == h2
+    plan = media_ops.phash_near_dup_pairs(
+        media_ops.image_phash(df)
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_audio_stub_raises_and_fake_works(spark, media):
     one = media.limit(1)
     with pytest.raises(Exception, match="NotImplementedError|audio decoding"):
