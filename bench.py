@@ -134,6 +134,16 @@ def main() -> None:
         "total_sec": total,
         "master": spark.sparkContext.master,
     }
+    # North-rule scaling evidence (N vs 4N cores), measured separately by
+    # scripts/bench_scaling.py (fresh JVM per level, back-to-back pairs) —
+    # surfaced here so the recorded bench artifact carries it alongside
+    # the per-query walls.  See BENCH/BASELINE.md for the full table.
+    scaling_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH", "scaling_summary.json"
+    )
+    if os.path.exists(scaling_path):
+        with open(scaling_path) as f:
+            out["scaling_evidence"] = json.load(f)
     spark.stop()
     print(json.dumps(out))
 

@@ -378,6 +378,71 @@ _q(
 # bucket math exact in int64 in both engines.
 # ---------------------------------------------------------------------------
 
+# ---------------------------------------------------------------------------
+# Composed web pipeline: the whole curation chain in ONE declarative plan —
+# boilerplate strip (main-content extraction) -> exact-dedup survivorship
+# over the EXTRACTED text (post-strip dedup is the production order: chrome
+# differences must not hide identical payloads) -> word-count quality gate
+# -> PII scrub of the survivors.  A deterministic contact line is appended
+# before the scrub so every surviving doc proves the redaction ran
+# (n_emails_scrubbed = 1).  Catalyst fuses the gates: one block explode,
+# one shuffle per analytic key (doc_id reassembly, md5 survivor window);
+# the scrub is a pure projection on the surviving rows only.
+# ---------------------------------------------------------------------------
+
+_WEB_PIPELINE_TEMPLATE = """
+    WITH mc AS (SELECT * FROM ({main_content}) m),
+    g AS (
+      SELECT doc_id, main_text, n_kept,
+             {n_words} AS n_words,
+             min(doc_id) OVER (PARTITION BY md5(main_text)) AS keeper
+      FROM mc
+    ),
+    kept AS (
+      SELECT doc_id,
+             concat(main_text, ' contact user', CAST(doc_id AS {st}),
+                    '@example.com') AS raw,
+             n_kept, n_words
+      FROM g WHERE doc_id = keeper AND n_words BETWEEN 5 AND 20000
+    )
+    SELECT doc_id,
+           {scrub} AS clean_text,
+           CAST(n_kept AS BIGINT) AS n_content_blocks,
+           CAST(n_words AS BIGINT) AS n_words,
+           CAST({n_email} AS INT) AS n_emails_scrubbed
+    FROM kept
+"""
+
+# Runs over the PLANTED corpus (clone docs at doc_id + 1000000): the
+# clones' synthesized chrome differs (the h1 carries the doc_id) but the
+# extracted payload is identical, so post-strip dedup demonstrably removes
+# every clone — exactly the failure mode that motivates stripping BEFORE
+# dedup.
+_q(
+    "q_web_pipeline",
+    _WEB_PIPELINE_TEMPLATE.format(
+        main_content=_MAIN_CONTENT_SPARK.replace(
+            "FROM documents", f"FROM {_PLANTED} tt"
+        ),
+        n_words="size(split(main_text, '\\\\s+'))",
+        st="STRING",
+        scrub="regexp_replace(raw, '" + _EMAIL_RE + "', '<EMAIL>')",
+        n_email="size(regexp_extract_all(raw, '" + _EMAIL_RE + "', 0))",
+    ),
+    _WEB_PIPELINE_TEMPLATE.format(
+        main_content=_MAIN_CONTENT_DUCK.replace(
+            "FROM documents", f"FROM {_PLANTED} tt"
+        ),
+        n_words=r"len(string_split_regex(main_text, '\s+'))",
+        st="VARCHAR",
+        scrub="regexp_replace(raw, '" + _EMAIL_RE + "', '<EMAIL>', 'g')",
+        n_email="len(regexp_extract_all(raw, '" + _EMAIL_RE + "'))",
+    ),
+    "composed web curation: boilerplate strip -> post-strip exact-dedup "
+    "survivorship -> quality gate -> PII scrub, one declarative plan "
+    "(planted clones eliminated by post-strip dedup)",
+)
+
 _T0_US = 1_704_067_200_000_000  # 2024-01-01 00:00:00 UTC in epoch-us
 _WIN_STRIDE_US = 5 * 3600 * 1_000_000
 _WIN_LEN_US = 3 * 3600 * 1_000_000

@@ -118,6 +118,8 @@ def main() -> None:
         "pass": max(eff_2_8, eff_4_16) >= 0.8,
     }
     print(json.dumps(summary, indent=2))
+    with open(os.path.join(REPO, "BENCH", "scaling_summary.json"), "w") as f:
+        json.dump(summary, f, indent=2)
 
     rows = "\n".join(
         f"| local[{c}] | {r['wall']:.2f} | {r['docs']/r['wall']:.2f} | {r['chars']/r['wall']:.0f} |"
