@@ -314,6 +314,7 @@ def run_incremental_update(
     media: DataFrame,
     cfg: ExtractConfig,
     out_dir: str,
+    idempotency_key: str | None = None,
 ) -> dict:
     """Extract a batch of NEWLY-ARRIVED documents into an already-committed
     table (the continuous-ingest path; the reference's analogue is
@@ -335,10 +336,19 @@ def run_incremental_update(
 
     Callers own doc-id disjointness (append-only ingest): re-submitting an
     already-committed document duplicates it, exactly like appending the
-    same rows to any table twice.
+    same rows to any table twice.  EXCEPTION: pass ``idempotency_key`` (a
+    caller-chosen tag, e.g. a streaming batch id) and a re-delivery of an
+    already-committed key is a NO-OP — the tag rides the same atomic
+    manifest commit as the data, so "committed" and "tag recorded" cannot
+    diverge.  This is what makes ``foreachBatch`` ingest exactly-once:
+    Structured Streaming replays a batch after a crash, the replay finds
+    its key in the ledger and skips.
     """
     spark = new_documents.sparkSession
     manifest = read_manifest(out_dir)
+    update_tags: dict[str, int] = dict(manifest.get("update_tags", {}))
+    if idempotency_key is not None and idempotency_key in update_tags:
+        return manifest
     if manifest["run_id"] is None or len(manifest["committed_buckets"]) < (
         manifest["n_buckets"] or 0
     ):
@@ -421,6 +431,8 @@ def run_incremental_update(
     )
 
     # single atomic commit makes the whole update visible
+    if idempotency_key is not None:
+        update_tags[idempotency_key] = uid
     state = {
         "run_id": manifest["run_id"],
         "committed_buckets": manifest["committed_buckets"],
@@ -428,6 +440,7 @@ def run_incremental_update(
         "n_buckets": manifest["n_buckets"],
         "n_page_buckets": manifest["n_page_buckets"],
         "committed_updates": [*committed_updates, uid],
+        "update_tags": update_tags,
     }
     if manifest.get("compaction"):
         state["compaction"] = manifest["compaction"]
@@ -494,6 +507,10 @@ def compact(spark: SparkSession, out_dir: str, target_partitions: int = 1) -> di
             "committed_updates",
         )
     }
+    # the idempotency ledger must survive compaction, or a stream batch
+    # replayed after a compact would re-commit its delta
+    if manifest.get("update_tags"):
+        state["update_tags"] = manifest["update_tags"]
     state["compaction"] = {
         "id": cid,
         "buckets": manifest["committed_buckets"],

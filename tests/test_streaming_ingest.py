@@ -1,0 +1,109 @@
+"""Streaming ingest into the snapshot table: each micro-batch commits one
+snapshot through run_incremental_update; replayed batches (same batch id)
+are exactly-once no-ops via the manifest's idempotency ledger."""
+
+import os
+
+from pyspark.sql import functions as F
+
+from bsc_project_spark.fixtures import spark_io
+from bsc_project_spark.fixtures.corpus import FIXTURE_CONFIG
+from bsc_project_spark.pipeline.checkpoint import (
+    list_snapshots,
+    read_extracted,
+    read_manifest,
+    run_extraction_job,
+)
+from bsc_project_spark.streaming.ingest import ingest_sink, stream_ingest_documents
+
+
+def _setup_base(spark, corpus, tmp_path):
+    docs = spark_io.documents_df(spark, corpus)
+    media = spark_io.media_df(spark, corpus)
+    ids = sorted(r.doc_id for r in docs.select("doc_id").collect())
+    base_ids = set(ids[: len(ids) // 2])
+    delta_ids = [i for i in ids if i not in base_ids]
+    out_dir = str(tmp_path / "stream_table")
+    run_extraction_job(
+        docs.filter(F.col("doc_id").isin(base_ids)), media, FIXTURE_CONFIG,
+        out_dir, n_buckets=2,
+    )
+    return docs, media, delta_ids, out_dir
+
+
+def test_stream_ingest_commits_per_batch_and_replays_are_noops(
+    spark, corpus, tmp_path
+):
+    docs, media, delta_ids, out_dir = _setup_base(spark, corpus, tmp_path)
+    src = str(tmp_path / "arrivals")
+    # two arrival files -> with maxFilesPerTrigger=1, two micro-batches
+    half = len(delta_ids) // 2
+    for i, chunk in enumerate([delta_ids[:half], delta_ids[half:]]):
+        docs.filter(F.col("doc_id").isin(set(chunk))).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+    snaps_before = len(list_snapshots(out_dir))
+
+    stream_ingest_documents(
+        spark, src, media, FIXTURE_CONFIG, out_dir,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        max_files_per_trigger=1,
+    )
+
+    manifest = read_manifest(out_dir)
+    assert len(manifest["committed_updates"]) >= 2  # one commit per batch
+    assert len(manifest["update_tags"]) == len(manifest["committed_updates"])
+    assert len(list_snapshots(out_dir)) == snaps_before + len(
+        manifest["committed_updates"]
+    )
+    # every document (base + streamed) extracted exactly once
+    got_ids = {
+        r.doc_id
+        for r in read_extracted(spark, out_dir).select("doc_id").distinct().collect()
+    }
+    assert got_ids == {r.doc_id for r in docs.select("doc_id").collect()}
+
+    # crash-replay: re-deliver batch 0 (same id, same rows) straight into
+    # the sink -- the ledger makes it a no-op (no new snapshot, no rows)
+    n_rows = read_extracted(spark, out_dir).count()
+    sink = ingest_sink(media, FIXTURE_CONFIG, out_dir)
+    replay = spark.read.parquet(src).filter(
+        F.col("doc_id").isin(set(delta_ids[:half]))
+    )
+    sink(replay, 0)
+    assert len(list_snapshots(out_dir)) == snaps_before + len(
+        manifest["committed_updates"]
+    )
+    assert read_extracted(spark, out_dir).count() == n_rows
+
+    # a NEW batch id still commits
+    extra = docs.filter(F.col("doc_id").isin(set(delta_ids[:1]))).withColumn(
+        "doc_id", F.concat(F.lit("re-"), F.col("doc_id"))
+    )
+    sink(extra, 99)
+    m2 = read_manifest(out_dir)
+    assert "doc_ingest:batch=99" in m2["update_tags"]
+    assert read_extracted(spark, out_dir).count() > n_rows
+
+
+def test_fresh_checkpoint_rerun_is_fully_idempotent(spark, corpus, tmp_path):
+    """Losing the STREAM checkpoint (worst case: every batch replays from
+    scratch) still commits nothing twice, because the table's own ledger
+    is the source of truth."""
+    docs, media, delta_ids, out_dir = _setup_base(spark, corpus, tmp_path)
+    src = str(tmp_path / "arrivals")
+    docs.filter(F.col("doc_id").isin(set(delta_ids))).coalesce(1).write.parquet(src)
+
+    stream_ingest_documents(
+        spark, src, media, FIXTURE_CONFIG, out_dir,
+        checkpoint_dir=str(tmp_path / "ckpt1"),
+    )
+    snaps = len(list_snapshots(out_dir))
+    n_rows = read_extracted(spark, out_dir).count()
+
+    stream_ingest_documents(
+        spark, src, media, FIXTURE_CONFIG, out_dir,
+        checkpoint_dir=str(tmp_path / "ckpt2"),  # fresh -> full replay
+    )
+    assert len(list_snapshots(out_dir)) == snaps
+    assert read_extracted(spark, out_dir).count() == n_rows
