@@ -496,6 +496,88 @@ def connected_components(
     return labels
 
 
+def connected_components_star(pairs, max_rounds: int = 50):
+    """Connected components via alternating large-star / small-star rounds
+    (Kiveris et al., "Connected Components in MapReduce and Beyond") — the
+    fully-general distributed path the pointer-jump fixpoint's docstring
+    points at.  Unlike min-label propagation, each round REWIRES the edge
+    set itself toward star graphs, so high-degree skew self-heals: a hub
+    node's neighborhood shrinks every round instead of funneling its whole
+    component through one reducer key.
+
+    Per round (2 shuffle ops each for large + small):
+      large-star: per node u with neighborhood mins m = min(N(u) ∪ {u}),
+        re-point every LARGER neighbor v > u at m;
+      small-star: re-point every neighbor v <= u (and u itself) at m.
+    Fixpoint = the edge set stops changing (order-insensitive checksum);
+    converged edges are stars whose centers are the component minima.
+
+    Returns (node, label) with label = component min — identical contract
+    to ``connected_components`` (property-pinned in tests against a
+    union-find oracle on random graphs).
+    """
+    from pyspark.sql import functions as F
+
+    edges = (
+        pairs.selectExpr("a_id AS u", "b_id AS v")
+        .where("u <> v")
+        .selectExpr("least(u, v) AS u", "greatest(u, v) AS v")
+        .distinct()
+        .localCheckpoint()
+    )
+    nodes = (
+        edges.selectExpr("u AS node")
+        .union(edges.selectExpr("v AS node"))
+        .distinct()
+        .localCheckpoint()
+    )
+
+    def _star(e, keep_larger: bool):
+        sym = e.union(e.selectExpr("v AS u", "u AS v"))
+        nm = sym.groupBy("u").agg(F.min("v").alias("mv"))
+        joined = sym.join(nm, "u").selectExpr(
+            "u", "v", "least(mv, u) AS m"
+        )
+        if keep_larger:  # large-star: re-point strictly larger neighbors
+            out = joined.where("v > u").selectExpr("v AS a", "m AS b")
+        else:  # small-star: re-point <= neighbors and u itself
+            out = joined.where("v <= u").selectExpr("v AS a", "m AS b").union(
+                joined.selectExpr("u AS a", "m AS b")
+            )
+        return (
+            out.where("a <> b")
+            .selectExpr("least(a, b) AS u", "greatest(a, b) AS v")
+            .distinct()
+            .localCheckpoint()
+        )
+
+    def _sig(e):
+        # order-insensitive edge-set checksum; bit_xor cannot overflow
+        # (ANSI mode makes a sum of raw hashes throw on long overflow)
+        row = e.agg(
+            F.count("*").alias("n"),
+            F.expr("bit_xor(xxhash64(u, v))").alias("h"),
+        ).collect()[0]
+        return (row.n, row.h)
+
+    prev = _sig(edges)
+    for _ in range(max_rounds):
+        edges = _star(_star(edges, keep_larger=True), keep_larger=False)
+        sig = _sig(edges)
+        if sig == prev:
+            break
+        prev = sig
+    # converged stars: every non-center node has its center as min
+    # neighbor; centers (and isolated-after-dedup nodes) label themselves
+    centers = edges.groupBy(F.col("v").alias("node")).agg(
+        F.min("u").alias("label")
+    )
+    return (
+        nodes.join(centers, "node", "left")
+        .selectExpr("node", "coalesce(label, node) AS label")
+    )
+
+
 def _dup_clusters_spark(spark, sf_dir: str):
     _planted_minhash_views(spark, sf_dir)
     pairs = spark.sql(_CC_CAND_SPARK)

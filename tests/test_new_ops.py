@@ -5,6 +5,7 @@ tests/test_queries_oracle.py; these pin the semantics the oracle data may
 not exercise.)"""
 
 import pandas as pd
+import pytest
 
 from bsc_project_spark.queries.eventops import _ASOF_SPARK
 from bsc_project_spark.queries.textops import connected_components
@@ -68,6 +69,62 @@ def test_connected_components_distributed_path_agrees(spark):
     out = connected_components(_cc_pairs(spark), driver_edge_budget=0).toPandas()
     labels = dict(zip(out["node"], out["label"]))
     assert labels == _CC_EXPECTED
+
+
+def test_connected_components_star_agrees(spark):
+    from bsc_project_spark.queries.textops import connected_components_star
+
+    out = connected_components_star(_cc_pairs(spark)).toPandas()
+    labels = dict(zip(out["node"], out["label"]))
+    assert labels == _CC_EXPECTED
+
+
+def _uf_oracle(edge_list):
+    parent = {}
+
+    def find(x):
+        while parent.get(x, x) != x:
+            parent[x] = parent.get(parent[x], parent[x])
+            x = parent[x]
+        return x
+
+    for a, b in edge_list:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            if rb < ra:
+                ra, rb = rb, ra
+            parent[rb] = ra
+    nodes = {n for e in edge_list for n in e}
+    return {n: find(n) for n in nodes}
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_all_cc_strategies_match_union_find_on_random_graphs(spark, seed):
+    """Random graphs (chains, hubs, isolated pairs arise naturally):
+    driver union-find, pointer-jump fixpoint, and large-star/small-star
+    must produce identical (node -> component-min) labelings."""
+    import random
+
+    from bsc_project_spark.queries.textops import connected_components_star
+
+    rng = random.Random(seed)
+    n_nodes = rng.randint(8, 30)
+    edge_list = sorted(
+        {
+            tuple(sorted(rng.sample(range(n_nodes), 2)))
+            for _ in range(rng.randint(4, 40))
+        }
+    )
+    expected = _uf_oracle(edge_list)
+    pairs = spark.createDataFrame(edge_list, "a_id long, b_id long")
+    for got_df in (
+        connected_components(pairs),
+        connected_components(pairs, driver_edge_budget=0),
+        connected_components_star(pairs),
+    ):
+        out = got_df.toPandas()
+        got = dict(zip(out["node"].astype(int), out["label"].astype(int)))
+        assert got == expected
 
 
 def test_two_phase_rank_is_dense_and_ordered(spark, tmp_path):
