@@ -986,6 +986,51 @@ _q(
 )
 
 # ---------------------------------------------------------------------------
+# Corpus-statistics LM quality score (CCNet-style, two-pass): pass 1
+# aggregates corpus-wide character-bigram counts (bounded vocabulary —
+# broadcastable at any corpus size); pass 2 joins them back and scores
+# each doc by the average corpus frequency of its bigrams, in ppm.  Docs
+# full of rare character sequences (garbled text, wrong charset) score
+# low — the frequency-model analogue of a perplexity filter.
+#
+# Exactness discipline: every aggregate is INTEGER (sum of int64 counts),
+# with ONE double division + round at the end, because a per-gram
+# floating avg would accumulate in engine-dependent order and flip the
+# cross-engine value hash in the last ulp.  Same reason q_tfidf_topk uses
+# linear idf instead of ln().
+# ---------------------------------------------------------------------------
+
+_CHAR_LM_BODY = """
+    WITH grams AS (
+      SELECT doc_id, substring(lt, i, 2) AS g
+      FROM (SELECT doc_id, lower(text) AS lt FROM documents t) t2 {gen}
+    ),
+    counts AS (SELECT g, count(*) AS c FROM grams GROUP BY g),
+    tot AS (SELECT sum(c) AS t FROM counts),
+    per_doc AS (
+      SELECT doc_id, count(*) AS n_grams, sum(c) AS sum_c
+      FROM grams JOIN counts USING (g)
+      GROUP BY doc_id
+    )
+    SELECT doc_id,
+           CAST(n_grams AS BIGINT) AS n_grams,
+           round(sum_c * 1e6 / (n_grams * t), 6) AS avg_gram_freq_ppm
+    FROM per_doc CROSS JOIN tot
+"""
+
+_q(
+    "q_char_lm_score",
+    _CHAR_LM_BODY.format(
+        gen="LATERAL VIEW explode(sequence(1, greatest(length(lt) - 1, 1))) g2 AS i"
+    ),
+    _CHAR_LM_BODY.format(
+        gen=", LATERAL (SELECT unnest(generate_series(1, greatest(length(lt) - 1, 1))) AS i) g2"
+    ),
+    "corpus-statistics LM quality score: avg corpus frequency (ppm) of "
+    "each doc's char bigrams, integer-exact aggregation",
+)
+
+# ---------------------------------------------------------------------------
 # Per-source corpus stats: the per-domain curation dashboard (CCNet-style
 # shard stats) — doc count, volume, language spread, exact-dup fraction.
 # One groupBy(source); count(DISTINCT md5(text)) is the only expensive
