@@ -1051,6 +1051,104 @@ _q("q_domain_stats", _DOMAIN_STATS_SQL, _DOMAIN_STATS_SQL,
    "per-source corpus stats: volume, language spread, exact-dup fraction")
 
 
+# ---------------------------------------------------------------------------
+# KMV (bottom-k / theta-family) distinct sketch, per source.  The sketch
+# keeps the k smallest md5 values of the attribute; distinct-count
+# estimate = (k-1) / kth-smallest-normalized-hash.  Unlike engine-native
+# HLL (approx_count_distinct), the md5-keyed KMV is DETERMINISTIC and
+# identical across engines, so the driver can hash-compare the sketch
+# output itself — and the query carries the exact count alongside, so the
+# result doubles as an accuracy measurement.  Scale shape: the bottom-k
+# is one shuffle on the group key; sketches merge by union+truncate
+# (the k smallest of the union), which is what makes this the standard
+# distributed-distinct structure.
+# ---------------------------------------------------------------------------
+
+_KMV_K = 64
+
+_KMV_BODY = f"""
+    WITH h AS (SELECT DISTINCT source, md5(text) AS hv FROM documents),
+    ranked AS (
+      SELECT source, hv,
+             row_number() OVER (PARTITION BY source ORDER BY hv) AS rn
+      FROM h
+    ),
+    agg AS (
+      SELECT source,
+             count(*) AS n_exact,
+             max(CASE WHEN rn = {_KMV_K} THEN hv END) AS kth_hash
+      FROM ranked GROUP BY source
+    )
+    SELECT source,
+           CAST(n_exact AS BIGINT) AS n_exact,
+           CASE WHEN n_exact < {_KMV_K} THEN CAST(n_exact AS DOUBLE)
+                ELSE round({_KMV_K - 1} * 4294967296.0
+                           / NULLIF(CAST({{hex8_kth}} AS BIGINT), 0), 6)
+           END AS kmv_estimate
+    FROM agg
+"""
+
+_HEX8_KTH = " + ".join(
+    f"CAST(instr('0123456789abcdef', substring(kth_hash, {i + 1}, 1)) - 1 AS BIGINT)"
+    f" * {16 ** (7 - i)}"
+    for i in range(8)
+)
+
+_KMV_SQL = _KMV_BODY.format(hex8_kth=_HEX8_KTH)
+_q("q_kmv_sketch", _KMV_SQL, _KMV_SQL,
+   f"deterministic KMV (bottom-{_KMV_K}) distinct sketch per source, "
+   "estimate next to the exact count")
+
+# ---------------------------------------------------------------------------
+# Deterministic training-mix sampling: per-source mixing weights (the
+# data-mixture knob every pretraining run tunes) applied as a content-
+# keyed Bernoulli gate — keep a doc iff its md5-derived uniform < the
+# source's rate.  No engine RNG anywhere, so the sample is reproducible
+# bit-for-bit and identical across engines; at scale this is a pure
+# map-side filter (no shuffle until the audit groupBy).
+# ---------------------------------------------------------------------------
+
+
+def _hex8_of(expr: str) -> str:
+    return " + ".join(
+        f"CAST(instr('0123456789abcdef', substring({expr}, {i + 1}, 1)) - 1 AS BIGINT)"
+        f" * {16 ** (7 - i)}"
+        for i in range(8)
+    )
+
+
+_MIX_TEMPLATE = """
+    WITH rated AS (
+      SELECT doc_id, source,
+             (50 + ({hex_src}) % 50) / 1e2 AS rate,
+             ({hex_doc}) / 4294967296.0 AS u
+      FROM documents
+    )
+    SELECT source,
+           round(min(rate), 6) AS rate,
+           count(*) AS n_total,
+           CAST(SUM(CASE WHEN u < rate THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+    FROM rated GROUP BY source
+"""
+
+_MIX_SQL_SPARK = _MIX_TEMPLATE.format(
+    hex_src=_hex8_of("md5(source)"),
+    hex_doc=_hex8_of("md5(concat('mix:', CAST(doc_id AS STRING)))"),
+)
+_MIX_SQL_DUCK = _MIX_TEMPLATE.format(
+    hex_src=_hex8_of("md5(source)"),
+    hex_doc=_hex8_of("md5(concat('mix:', CAST(doc_id AS VARCHAR)))"),
+)
+
+_q(
+    "q_training_mix",
+    _MIX_SQL_SPARK,
+    _MIX_SQL_DUCK,
+    "deterministic per-source training-mix sampling: md5-keyed Bernoulli "
+    "gate at source-derived rates, per-source audit counts",
+)
+
+
 _STRATIFIED_TEMPLATE = """
     SELECT lang, doc_id FROM (
       SELECT lang, doc_id,
