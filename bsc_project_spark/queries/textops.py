@@ -1000,34 +1000,73 @@ _q(
 # linear idf instead of ln().
 # ---------------------------------------------------------------------------
 
-_CHAR_LM_BODY = """
-    WITH grams AS (
+# The (doc, gram) multiplicity table is aggregated FIRST (map-side
+# combinable, shrinks every later stage), then corpus counts derive from
+# it and broadcast back.  Every integer aggregate is cast to BIGINT in
+# BOTH dialects (DuckDB sum(bigint) -> HUGEINT is the q_row_cluster hash
+# trap); the remaining double multiply/divide are single IEEE ops,
+# deterministic across engines even where inexact.
+_CHAR_LM_DG = """
+    SELECT doc_id, g, CAST(count(*) AS BIGINT) AS dc FROM (
       SELECT doc_id, substring(lt, i, 2) AS g
-      FROM (SELECT doc_id, lower(text) AS lt FROM documents t) t2 {gen}
-    ),
-    counts AS (SELECT g, count(*) AS c FROM grams GROUP BY g),
-    tot AS (SELECT sum(c) AS t FROM counts),
+      FROM (SELECT doc_id, lower(text) AS lt FROM {src} t) t2 {gen}
+    ) t3 GROUP BY doc_id, g
+"""
+
+_CHAR_LM_FINAL = """
+    WITH dg AS ({dg}),
+    counts AS (SELECT g, CAST(sum(dc) AS BIGINT) AS c FROM dg GROUP BY g),
+    tot AS (SELECT CAST(sum(c) AS BIGINT) AS t FROM counts),
     per_doc AS (
-      SELECT doc_id, count(*) AS n_grams, sum(c) AS sum_c
-      FROM grams JOIN counts USING (g)
+      SELECT doc_id,
+             CAST(sum(dc) AS BIGINT) AS n_grams,
+             CAST(sum(dc * c) AS BIGINT) AS sum_c
+      FROM dg JOIN counts USING (g)
       GROUP BY doc_id
     )
-    SELECT doc_id,
-           CAST(n_grams AS BIGINT) AS n_grams,
+    SELECT doc_id, n_grams,
            round(sum_c * 1e6 / (n_grams * t), 6) AS avg_gram_freq_ppm
     FROM per_doc CROSS JOIN tot
 """
 
-_q(
-    "q_char_lm_score",
-    _CHAR_LM_BODY.format(
-        gen="LATERAL VIEW explode(sequence(1, greatest(length(lt) - 1, 1))) g2 AS i"
+_CHAR_LM_GEN_SPARK = (
+    "LATERAL VIEW explode(sequence(1, greatest(length(lt) - 1, 1))) g2 AS i"
+)
+_CHAR_LM_GEN_DUCK = (
+    ", LATERAL (SELECT unnest(generate_series(1, greatest(length(lt) - 1, 1)))"
+    " AS i) g2"
+)
+
+
+def _char_lm_spark(spark, sf_dir: str):
+    """Two scale fixes a plain CTE can't express:
+
+    - the documents scan is 2 parquet splits at bench SF, so the heavy
+      explode + partial-agg would run 2-wide; repartitioning the SKINNY
+      doc rows first (5k rows) spreads the gram work across the cluster
+      (at 100 TB the scan is already wide and this repartition is a
+      no-op knob);
+    - ``dg`` is referenced twice (corpus counts + the per-doc join), so
+      it is checkpointed once instead of re-running the explode per
+      reference.
+    """
+    register_views(spark, sf_dir)
+    n = spark.sparkContext.defaultParallelism
+    spark.table("documents").repartition(n).createOrReplaceTempView("char_lm_docs")
+    dg = spark.sql(
+        _CHAR_LM_DG.format(src="char_lm_docs", gen=_CHAR_LM_GEN_SPARK)
+    ).localCheckpoint()
+    dg.createOrReplaceTempView("char_lm_dg")
+    return spark.sql(_CHAR_LM_FINAL.format(dg="SELECT * FROM char_lm_dg"))
+
+
+QUERIES["q_char_lm_score"] = QuerySpec(
+    spark=_char_lm_spark,
+    oracle=_CHAR_LM_FINAL.format(
+        dg=_CHAR_LM_DG.format(src="documents", gen=_CHAR_LM_GEN_DUCK)
     ),
-    _CHAR_LM_BODY.format(
-        gen=", LATERAL (SELECT unnest(generate_series(1, greatest(length(lt) - 1, 1))) AS i) g2"
-    ),
-    "corpus-statistics LM quality score: avg corpus frequency (ppm) of "
-    "each doc's char bigrams, integer-exact aggregation",
+    description="corpus-statistics LM quality score: avg corpus frequency "
+    "(ppm) of each doc's char bigrams, integer-exact aggregation",
 )
 
 # ---------------------------------------------------------------------------
