@@ -64,6 +64,10 @@ DOC_LINEAGE_SCHEMA = (
     "wall_time_ms long"
 )
 
+# idempotency-ledger cap: far beyond any realistic replay horizon (the
+# stream engine replays at most its last unacknowledged batches)
+_MAX_UPDATE_TAGS = 1024
+
 
 def _manifest_path(out_dir: str) -> str:
     return os.path.join(out_dir, "_manifest.json")
@@ -433,6 +437,13 @@ def run_incremental_update(
     # single atomic commit makes the whole update visible
     if idempotency_key is not None:
         update_tags[idempotency_key] = uid
+        # bound the ledger: the stream engine only ever replays its most
+        # recent unacknowledged batches, so a long-lived continuous ingest
+        # must not grow (and rewrite) one tag per batch forever
+        if len(update_tags) > _MAX_UPDATE_TAGS:
+            keep = sorted(update_tags.values())[-_MAX_UPDATE_TAGS:]
+            floor = keep[0]
+            update_tags = {k: v for k, v in update_tags.items() if v >= floor}
     state = {
         "run_id": manifest["run_id"],
         "committed_buckets": manifest["committed_buckets"],

@@ -168,22 +168,28 @@ def image_phash(media: DataFrame, hash_size: int = 8, highfreq_factor: int = 4) 
                 dct = basis @ small @ basis.T
                 block = dct[:hash_size, :hash_size].ravel()
                 bits = block > np.median(block)
-                packed = np.uint64(0)
-                for b in bits:
-                    packed = (packed << np.uint64(1)) | np.uint64(bool(b))
+                # first bit -> MSB; packbits+big-endian view packs all 64
+                # in one vectorized call (a 64-step scalar loop per image
+                # is needless Python dispatch inside the batch stage)
+                packed = np.packbits(bits).view(">u8")[0]
                 rows.append((ref, int(packed.astype(np.int64))))
             yield pd.DataFrame(rows, columns=["media_ref", "phash"])
 
     return media.select("media_ref", "content").mapInPandas(run, PHASH_SCHEMA)
 
 
-def phash_near_dup_pairs(phashes: DataFrame, max_hamming: int = 6) -> DataFrame:
+def phash_near_dup_pairs(phashes: DataFrame, max_hamming: int = 3) -> DataFrame:
     """Visual near-dup pairs from pHashes, all native SQL: band the 64-bit
-    hash into 4 x 16-bit values (a Hamming<=3 pair always shares a band;
-    the standard LSH recall tradeoff beyond that), equi-join on
-    (band, bval) — never an all-pairs product — then verify candidates
-    exactly with bit_count(xor).  The same banded shape as the text
-    SimHash path, so the plan carries to any corpus size."""
+    hash into 4 x 16-bit values, equi-join on (band, bval) — never an
+    all-pairs product — then verify candidates exactly with
+    bit_count(xor).  The same banded shape as the text SimHash path, so
+    the plan carries to any corpus size.
+
+    ``max_hamming`` defaults to 3, the banding's GUARANTEED recall radius
+    (pigeonhole: <=3 flipped bits cannot touch all 4 bands).  A larger
+    radius still works but is best-effort — a distance-4+ pair whose
+    flips hit every band never collides — so raising it should come with
+    more/narrower bands (e.g. 8 x 8-bit for radius 7)."""
     from pyspark.sql import functions as F
 
     bands = phashes.selectExpr(

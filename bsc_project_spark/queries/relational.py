@@ -405,6 +405,10 @@ def _sort_rank_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     # and cold-starts Python workers for a P-row frame (measured 2 s for
     # 2 rows); a VALUES literal is a LocalRelation — zero tasks, and
     # Catalyst folds it straight into the broadcast
+    if not offsets:  # empty table: VALUES with no tuples is a parse error
+        return local.select("doc_id").withColumn(
+            "rnk", F.lit(None).cast("int")
+        ).where(F.lit(False))
     values = ", ".join(f"({pid}, {off}L)" for pid, off in offsets)
     off_df = local.sparkSession.sql(f"SELECT * FROM VALUES {values} AS t(pid, off)")
     return (

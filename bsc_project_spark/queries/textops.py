@@ -358,6 +358,25 @@ _CC_CAND_SPARK = f"""
 _CC_DRIVER_EDGE_BUDGET = 2_000_000
 
 
+from contextlib import contextmanager  # noqa: E402
+
+
+@contextmanager
+def _arrow_enabled(spark):
+    """Temporarily enable Arrow-backed pandas conversion, restoring the
+    caller's setting on exit."""
+    key = "spark.sql.execution.arrow.pyspark.enabled"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(key, "true")
+    try:
+        yield
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+
+
 def _cc_driver(spark, pairs_pdf):
     """Single-pass union-find over a BOUNDED, already-collected edge list.
 
@@ -393,9 +412,11 @@ def _cc_driver(spark, pairs_pdf):
     )
     # Arrow path: driver-side conversion to a LocalRelation-backed frame,
     # no Python-worker tasks (the pickled-RDD fallback schedules
-    # defaultParallelism cold Python workers for this skinny frame)
-    spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
-    return spark.createDataFrame(out, "node bigint, label bigint")
+    # defaultParallelism cold Python workers for this skinny frame).
+    # Scoped flip — mutating session config permanently would silently
+    # change toPandas/createDataFrame semantics for the whole session.
+    with _arrow_enabled(spark):
+        return spark.createDataFrame(out, "node bigint, label bigint")
 
 
 def connected_components(
@@ -439,8 +460,9 @@ def connected_components(
     n_pairs = pairs.count()
     if n_pairs <= driver_edge_budget:
         spark = pairs.sparkSession
-        spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
-        return _cc_driver(spark, pairs.toPandas())
+        with _arrow_enabled(spark):
+            pdf = pairs.toPandas()
+        return _cc_driver(spark, pdf)
 
     # Partition count sized from the edge count (~2M edge rows per task),
     # floor 8: the fixpoint frames are SKINNY (two int64s), and running
@@ -518,16 +540,19 @@ def connected_components_star(pairs, max_rounds: int = 50):
     """
     from pyspark.sql import functions as F
 
+    # node set from the RAW pairs (before the self-loop filter): a node
+    # whose only edge is a self-loop is still a (singleton) component and
+    # must appear in the output, matching the other strategies' contract
+    nodes = (
+        pairs.selectExpr("a_id AS node")
+        .union(pairs.selectExpr("b_id AS node"))
+        .distinct()
+        .localCheckpoint()
+    )
     edges = (
         pairs.selectExpr("a_id AS u", "b_id AS v")
         .where("u <> v")
         .selectExpr("least(u, v) AS u", "greatest(u, v) AS v")
-        .distinct()
-        .localCheckpoint()
-    )
-    nodes = (
-        edges.selectExpr("u AS node")
-        .union(edges.selectExpr("v AS node"))
         .distinct()
         .localCheckpoint()
     )
@@ -1127,13 +1152,18 @@ _KMV_BODY = f"""
     FROM agg
 """
 
-_HEX8_KTH = " + ".join(
-    f"CAST(instr('0123456789abcdef', substring(kth_hash, {i + 1}, 1)) - 1 AS BIGINT)"
-    f" * {16 ** (7 - i)}"
-    for i in range(8)
-)
+def _hex8_of(expr: str) -> str:
+    """Leading-8-hex-chars -> BIGINT expression, identical in both
+    dialects (the same per-digit instr parse the MinHash/SimHash paths
+    use)."""
+    return " + ".join(
+        f"CAST(instr('0123456789abcdef', substring({expr}, {i + 1}, 1)) - 1 AS BIGINT)"
+        f" * {16 ** (7 - i)}"
+        for i in range(8)
+    )
 
-_KMV_SQL = _KMV_BODY.format(hex8_kth=_HEX8_KTH)
+
+_KMV_SQL = _KMV_BODY.format(hex8_kth=_hex8_of("kth_hash"))
 _q("q_kmv_sketch", _KMV_SQL, _KMV_SQL,
    f"deterministic KMV (bottom-{_KMV_K}) distinct sketch per source, "
    "estimate next to the exact count")
@@ -1146,14 +1176,6 @@ _q("q_kmv_sketch", _KMV_SQL, _KMV_SQL,
 # bit-for-bit and identical across engines; at scale this is a pure
 # map-side filter (no shuffle until the audit groupBy).
 # ---------------------------------------------------------------------------
-
-
-def _hex8_of(expr: str) -> str:
-    return " + ".join(
-        f"CAST(instr('0123456789abcdef', substring({expr}, {i + 1}, 1)) - 1 AS BIGINT)"
-        f" * {16 ** (7 - i)}"
-        for i in range(8)
-    )
 
 
 _MIX_TEMPLATE = """

@@ -34,17 +34,48 @@ def ingest_sink(
     query_name: str = "doc_ingest",
 ):
     """Build the ``foreachBatch`` callback: batch -> one idempotent
-    incremental-update commit keyed by the stream batch id."""
+    incremental-update commit.
+
+    Two replay guards, layered:
+
+    - fast path: the idempotency key is the batch id PLUS a content hash
+      (md5 over the sorted doc ids), so a bit-identical redelivery — the
+      Structured Streaming replay contract — short-circuits without
+      touching the table.  Keying on the ordinal alone would be wrong
+      both ways: after a checkpoint loss the engine renumbers batches, so
+      a new batch could collide with a committed ordinal (silent data
+      loss) while a re-bucketed old batch gets a fresh ordinal (double
+      commit).
+    - truth: docs already in the committed table are anti-joined out of
+      the batch before ingesting.  This makes ANY re-batching safe —
+      losing the stream checkpoint and re-reading the whole source
+      ingests only the genuinely-new documents, whatever batch shapes
+      the second run produces.
+    """
+    from pyspark.sql import functions as F
+
+    from ..pipeline.checkpoint import read_extracted
 
     def sink(batch_df, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
+        content = batch_df.agg(
+            F.md5(F.concat_ws(",", F.sort_array(F.collect_list("doc_id")))).alias("h")
+        ).collect()[0].h
+        committed = (
+            read_extracted(batch_df.sparkSession, out_dir)
+            .select("doc_id")
+            .distinct()
+        )
+        fresh = batch_df.join(committed, "doc_id", "left_anti")
+        if fresh.isEmpty():
+            return
         run_incremental_update(
-            batch_df,
+            fresh,
             media,
             cfg,
             out_dir,
-            idempotency_key=f"{query_name}:batch={batch_id}",
+            idempotency_key=f"{query_name}:batch={batch_id}:{content}",
         )
 
     return sink

@@ -84,7 +84,7 @@ def test_phash_near_dup_detects_noisy_clone(spark):
         for r in media_ops.phash_near_dup_pairs(hashes).collect()
     }
     assert ("noisy", "orig") in pairs
-    assert pairs[("noisy", "orig")] <= 6
+    assert pairs[("noisy", "orig")] <= 3  # the banding's guaranteed radius
     assert all({"orig", "noisy"} >= set(k) for k in pairs), pairs
 
 

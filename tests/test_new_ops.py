@@ -79,6 +79,22 @@ def test_connected_components_star_agrees(spark):
     assert labels == _CC_EXPECTED
 
 
+def test_connected_components_self_loop_only_node_kept(spark):
+    """A node whose only edge is a self-loop is a singleton component and
+    must appear in every strategy's output."""
+    from bsc_project_spark.queries.textops import connected_components_star
+
+    pairs = spark.createDataFrame([(5, 5), (1, 2)], "a_id long, b_id long")
+    expected = {5: 5, 1: 1, 2: 1}
+    for got_df in (
+        connected_components(pairs),
+        connected_components(pairs, driver_edge_budget=0),
+        connected_components_star(pairs),
+    ):
+        out = got_df.toPandas()
+        assert dict(zip(out["node"].astype(int), out["label"].astype(int))) == expected
+
+
 def _uf_oracle(edge_list):
     parent = {}
 
