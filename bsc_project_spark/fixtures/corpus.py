@@ -24,7 +24,7 @@ import numpy as np
 import pandas as pd
 
 from ..config import ExtractConfig
-from ..io.png import encode_gray
+from ..io.png import decode_gray, encode_gray
 from ..kernels.golden import extract_page
 from .render import GLYPH_SCALE, ORIG_H, ORIG_W, PageSpec, Cell, render_page
 
@@ -113,6 +113,55 @@ def _page_refs(pair_idx: int) -> tuple[str, str]:
     return (f"page_{pair_idx:05d}-t", f"page_{pair_idx:05d}-b")
 
 
+def media_row(page_idx: int) -> dict:
+    """Render one page and wrap it as a media-table row.  Pure function of
+    ``page_idx`` — any executor can generate any page independently (the
+    distributed-synthesis contract the logbook_corpus data source relies
+    on)."""
+    pair, k = divmod(page_idx, 2)
+    ref = _page_refs(pair)[k]
+    img = render_page(page_spec(page_idx))
+    return {
+        "media_ref": ref,
+        "content": encode_gray(img),
+        "width": ORIG_W,
+        "height": ORIG_H,
+        "layout_id": page_idx,
+    }
+
+
+def doc_spans(d: int, n_docs: int, skew_every: int = 0, skew_spans: int = 24) -> list[dict]:
+    """Span list for document ``d`` — pure function of (d, n_docs, skew
+    config); shared by build_corpus and the logbook_corpus data source so
+    both produce byte-identical documents."""
+    spans: list[dict] = []
+    offset = 0
+
+    def add_text(t: str) -> None:
+        nonlocal offset
+        spans.append({"kind": "text", "text": t, "media_ref": None, "offset": offset})
+        offset += 1
+
+    def add_media(ref: str) -> None:
+        nonlocal offset
+        spans.append({"kind": "media", "text": None, "media_ref": ref, "offset": offset})
+        offset += 1
+
+    all_refs = [r for pair in range(n_docs) for r in _page_refs(pair)]
+    add_text(f"logbook volume {d} header")
+    if skew_every and d % skew_every == skew_every - 1:
+        for j in range(skew_spans):
+            add_media(all_refs[_h(d, j) % len(all_refs)])
+    else:
+        top_ref, bot_ref = _page_refs(d)
+        add_media(top_ref)
+        add_media(bot_ref)
+        if d % 2 == 0:
+            add_text(f"marginal note {d}")
+    add_text(f"logbook volume {d} footer")
+    return spans
+
+
 def build_corpus(
     n_docs: int = 6,
     seed: int = 42,
@@ -130,24 +179,16 @@ def build_corpus(
     intended_rows: list[dict] = []
     golden_cache: dict[str, list[tuple[int, int, str]]] = {}
 
-    all_refs: list[str] = []
     for pair in range(n_docs):
-        top_ref, bot_ref = _page_refs(pair)
-        for k, ref in enumerate((top_ref, bot_ref)):
+        for k, ref in enumerate(_page_refs(pair)):
             page_idx = 2 * pair + k
             spec = page_spec(page_idx)
-            img = render_page(spec)
-            media_rows.append(
-                {
-                    "media_ref": ref,
-                    "content": encode_gray(img),
-                    "width": ORIG_W,
-                    "height": ORIG_H,
-                    "layout_id": page_idx,
-                }
-            )
+            mrow = media_row(page_idx)
+            media_rows.append(mrow)
             if compute_golden:
-                golden_cache[ref] = extract_page(img, FIXTURE_CONFIG, GLYPH_SCALE)
+                golden_cache[ref] = extract_page(
+                    decode_gray(mrow["content"]), FIXTURE_CONFIG, GLYPH_SCALE
+                )
             for cell in spec.cells:
                 intended_rows.append(
                     {
@@ -158,34 +199,10 @@ def build_corpus(
                         "scale": cell.scale,
                     }
                 )
-            all_refs.append(ref)
 
     for d in range(n_docs):
         doc_id = f"doc_{d:06d}"
-        spans: list[dict] = []
-        offset = 0
-
-        def add_text(t: str) -> None:
-            nonlocal offset
-            spans.append({"kind": "text", "text": t, "media_ref": None, "offset": offset})
-            offset += 1
-
-        def add_media(ref: str) -> None:
-            nonlocal offset
-            spans.append({"kind": "media", "text": None, "media_ref": ref, "offset": offset})
-            offset += 1
-
-        add_text(f"logbook volume {d} header")
-        if skew_every and d % skew_every == skew_every - 1:
-            for j in range(skew_spans):
-                add_media(all_refs[_h(d, j) % len(all_refs)])
-        else:
-            top_ref, bot_ref = _page_refs(d)
-            add_media(top_ref)
-            add_media(bot_ref)
-            if d % 2 == 0:
-                add_text(f"marginal note {d}")
-        add_text(f"logbook volume {d} footer")
+        spans = doc_spans(d, n_docs, skew_every, skew_spans)
         doc_rows.append({"doc_id": doc_id, "spans": spans})
 
         if not compute_golden:

@@ -31,6 +31,8 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle))
         .config("spark.default.parallelism", str(shuffle))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Python Data Source filter pushdown (sources/corpus_source.py)
+        .config("spark.sql.python.filterPushdown.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(arrow_batch_rows))
         # media rows carry ~MB page images: small scan splits keep the
         # CPU-bound image stage wide without a byte shuffle

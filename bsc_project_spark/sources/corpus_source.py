@@ -1,0 +1,149 @@
+"""Custom PySpark Data Source (Spark 4 Python Data Source API) serving the
+deterministic synthetic corpus straight from executors:
+
+    spark.dataSource.register(LogbookCorpusDataSource)
+    docs  = (spark.read.format("logbook_corpus")
+             .option("table", "documents").option("n_docs", 64).load())
+    media = (spark.read.format("logbook_corpus")
+             .option("table", "media").option("n_docs", 64).load())
+
+Why a data source instead of a driver-side builder: generation happens IN
+the partitions (each `read()` renders only its id range), so synthesizing
+a bench corpus scales with the cluster instead of bottlenecking on the
+driver — the same property a real warehouse scan has.  The rows are
+byte-identical to `fixtures.corpus.build_corpus` (both call the shared
+pure per-doc/per-page generators).
+
+Also implements `pushFilters` (Spark 4.1): equality predicates on
+`doc_id` / `media_ref` / `layout_id` prune generation to the matching id
+range — the Python-source analogue of parquet partition pruning — and
+every other predicate is returned to Spark to re-apply.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    EqualTo,
+    Filter,
+    InputPartition,
+)
+
+from ..fixtures.spark_io import DOCUMENTS_SCHEMA, MEDIA_SCHEMA
+
+
+@dataclass
+class _IdRange(InputPartition):
+    start: int
+    end: int  # exclusive
+
+
+def _doc_index(doc_id: str) -> int | None:
+    if isinstance(doc_id, str) and doc_id.startswith("doc_"):
+        try:
+            return int(doc_id[4:])
+        except ValueError:
+            return None
+    return None
+
+
+def _page_index(media_ref: str) -> int | None:
+    # page refs are "page_{pair:05d}-t" / "-b" (fixtures.corpus._page_refs)
+    if isinstance(media_ref, str) and media_ref.startswith("page_"):
+        try:
+            pair = int(media_ref[5:10])
+        except ValueError:
+            return None
+        if media_ref.endswith("-t"):
+            return 2 * pair
+        if media_ref.endswith("-b"):
+            return 2 * pair + 1
+    return None
+
+
+class _CorpusReader(DataSourceReader):
+    def __init__(self, options: dict):
+        self.table = options.get("table", "documents")
+        if self.table not in ("documents", "media"):
+            raise ValueError(f"unknown table {self.table!r}")
+        self.n_docs = int(options.get("n_docs", 8))
+        self.n_partitions = int(options.get("n_partitions", 8))
+        self.skew_every = int(options.get("skew_every", 0))
+        self.skew_spans = int(options.get("skew_spans", 24))
+        # id domain: documents are doc indices, media are page indices
+        self.lo = 0
+        self.hi = self.n_docs if self.table == "documents" else 2 * self.n_docs
+
+    def pushFilters(self, filters: list[Filter]):
+        """Prune the generated id range on supported equality predicates;
+        everything else is yielded back for Spark to evaluate."""
+        for f in filters:
+            idx = None
+            if isinstance(f, EqualTo) and len(f.attribute) == 1:
+                (col,) = f.attribute
+                if self.table == "documents" and col == "doc_id":
+                    idx = _doc_index(f.value)
+                elif self.table == "media" and col == "media_ref":
+                    idx = _page_index(f.value)
+                elif self.table == "media" and col == "layout_id":
+                    idx = int(f.value) if isinstance(f.value, int) else None
+            if idx is not None:
+                # empty range when the id is outside the corpus
+                self.lo = max(self.lo, min(idx, self.hi))
+                self.hi = min(self.hi, idx + 1)
+            else:
+                yield f  # unsupported -> Spark re-applies it
+
+    def partitions(self):
+        n = max(1, min(self.n_partitions, self.hi - self.lo))
+        span = self.hi - self.lo
+        if span <= 0:
+            return [_IdRange(0, 0)]
+        step = -(-span // n)
+        return [
+            _IdRange(self.lo + i * step, min(self.lo + (i + 1) * step, self.hi))
+            for i in range(n)
+            if self.lo + i * step < self.hi
+        ]
+
+    def read(self, part: _IdRange):
+        if self.table == "documents":
+            from ..fixtures.corpus import doc_spans
+
+            for d in range(part.start, part.end):
+                spans = doc_spans(d, self.n_docs, self.skew_every, self.skew_spans)
+                yield (
+                    f"doc_{d:06d}",
+                    [(s["kind"], s["text"], s["media_ref"], s["offset"]) for s in spans],
+                )
+        else:
+            from ..fixtures.corpus import media_row
+
+            for page_idx in range(part.start, part.end):
+                r = media_row(page_idx)
+                yield (
+                    r["media_ref"],
+                    r["content"],
+                    r["width"],
+                    r["height"],
+                    r["layout_id"],
+                )
+
+
+class LogbookCorpusDataSource(DataSource):
+    """`format("logbook_corpus")` — distributed deterministic corpus
+    synthesis with equality-predicate pruning."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "logbook_corpus"
+
+    def schema(self):
+        table = self.options.get("table", "documents")
+        return DOCUMENTS_SCHEMA if table == "documents" else MEDIA_SCHEMA
+
+    def reader(self, schema) -> DataSourceReader:
+        return _CorpusReader(dict(self.options))

@@ -1,0 +1,97 @@
+"""Custom Python Data Source (logbook_corpus): parity with the driver-side
+builder, partition planning, and equality-predicate pushdown pruning."""
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from bsc_project_spark.fixtures import spark_io
+from bsc_project_spark.fixtures.corpus import build_corpus
+from bsc_project_spark.sources.corpus_source import (
+    LogbookCorpusDataSource,
+    _CorpusReader,
+)
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _register(spark):
+    spark.dataSource.register(LogbookCorpusDataSource)
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+
+
+def _src(spark, table, n_docs, **opts):
+    r = (
+        spark.read.format("logbook_corpus")
+        .option("table", table)
+        .option("n_docs", n_docs)
+    )
+    for k, v in opts.items():
+        r = r.option(k, v)
+    return r.load()
+
+
+def test_documents_match_driver_builder(spark):
+    corpus = build_corpus(n_docs=6, skew_every=3, skew_spans=5, compute_golden=False)
+    want = spark_io.documents_df(spark, corpus)
+    got = _src(spark, "documents", 6, skew_every=3, skew_spans=5)
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+
+
+def test_media_match_driver_builder(spark):
+    corpus = build_corpus(n_docs=2, compute_golden=False)
+    want = spark_io.media_df(spark, corpus).select(
+        "media_ref", F.md5(F.col("content")).alias("h"), "width", "height", "layout_id"
+    )
+    got = _src(spark, "media", 2).select(
+        "media_ref", F.md5(F.col("content")).alias("h"), "width", "height", "layout_id"
+    )
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+
+
+def test_partition_planning(spark):
+    df = _src(spark, "documents", 16, n_partitions=4)
+    n_parts = df.select(F.spark_partition_id().alias("p")).distinct().count()
+    assert n_parts == 4
+    assert df.count() == 16
+
+
+def test_equality_pushdown_prunes_generation(spark):
+    # unit level: pushFilters narrows the generated range and returns
+    # unsupported predicates for Spark to re-apply
+    from pyspark.sql.datasource import EqualTo, IsNotNull
+
+    r = _CorpusReader({"table": "documents", "n_docs": 100})
+    remaining = list(
+        r.pushFilters([EqualTo(("doc_id",), "doc_000042"), IsNotNull(("doc_id",))])
+    )
+    assert [type(f).__name__ for f in remaining] == ["IsNotNull"]
+    parts = r.partitions()
+    assert sum(p.end - p.start for p in parts) == 1
+    assert parts[0].start == 42
+
+    # media pruning via the ref suffix convention
+    r2 = _CorpusReader({"table": "media", "n_docs": 100})
+    assert list(r2.pushFilters([EqualTo(("media_ref",), "page_00007-b")])) == []
+    assert [(p.start, p.end) for p in r2.partitions() if p.end > p.start] == [(15, 16)]
+
+    # end-to-end: the pruned read returns exactly the requested row
+    got = _src(spark, "documents", 100).where("doc_id = 'doc_000042'").collect()
+    assert [row.doc_id for row in got] == ["doc_000042"]
+
+
+def test_extraction_runs_from_source_frames(spark):
+    """The flagship pipeline consumes source-served frames unchanged and
+    reproduces the golden spans."""
+    from bsc_project_spark.fixtures.corpus import FIXTURE_CONFIG
+    from bsc_project_spark.pipeline.extract import extract_spans
+
+    corpus = build_corpus(n_docs=2, compute_golden=True)
+    docs = _src(spark, "documents", 2)
+    media = _src(spark, "media", 2)
+    got = extract_spans(docs, media, FIXTURE_CONFIG)
+    want = spark_io.golden_df(spark, corpus)
+    cols = ["doc_id", "order", "kind", "text", "media_ref"]
+    assert got.select(cols).exceptAll(want.select(cols)).count() == 0
+    assert want.select(cols).exceptAll(got.select(cols)).count() == 0
