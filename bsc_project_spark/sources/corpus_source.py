@@ -30,6 +30,7 @@ from pyspark.sql.datasource import (
     EqualTo,
     Filter,
     InputPartition,
+    SimpleDataSourceStreamReader,
 )
 
 from ..fixtures.spark_io import DOCUMENTS_SCHEMA, MEDIA_SCHEMA
@@ -133,9 +134,54 @@ class _CorpusReader(DataSourceReader):
                 )
 
 
+class _CorpusStreamReader(SimpleDataSourceStreamReader):
+    """Streaming face of the corpus: documents arrive in order, up to
+    ``docs_per_batch`` per micro-batch, until ``n_docs`` are served.
+
+    Offsets are just the next unserved doc index, so replay
+    (``readBetweenOffsets``) regenerates any committed range
+    deterministically — the exactly-once contract costs nothing when the
+    source is a pure function of the offset range.  This is the arrival
+    simulator for the continuous-ingest path (streaming/ingest.py).
+    """
+
+    def __init__(self, options: dict):
+        if options.get("table", "documents") != "documents":
+            raise ValueError("streaming corpus serves the documents table only")
+        self.n_docs = int(options.get("n_docs", 8))
+        self.docs_per_batch = int(options.get("docs_per_batch", 4))
+        self.skew_every = int(options.get("skew_every", 0))
+        self.skew_spans = int(options.get("skew_spans", 24))
+
+    def initialOffset(self) -> dict:
+        return {"next": 0}
+
+    def _rows(self, start: int, end: int):
+        from ..fixtures.corpus import doc_spans
+
+        for d in range(start, end):
+            spans = doc_spans(d, self.n_docs, self.skew_every, self.skew_spans)
+            yield (
+                f"doc_{d:06d}",
+                [(s["kind"], s["text"], s["media_ref"], s["offset"]) for s in spans],
+            )
+
+    def read(self, start: dict):
+        lo = int(start["next"])
+        hi = min(lo + self.docs_per_batch, self.n_docs)
+        # list_iterator, not a generator: the engine's prefetch cache
+        # needs an iterator it can next() AND copy.copy() — generators
+        # reject copying; a batch is docs_per_batch-bounded anyway
+        return iter(list(self._rows(lo, hi))), {"next": hi}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        return iter(list(self._rows(int(start["next"]), int(end["next"]))))
+
+
 class LogbookCorpusDataSource(DataSource):
     """`format("logbook_corpus")` — distributed deterministic corpus
-    synthesis with equality-predicate pruning."""
+    synthesis with equality-predicate pruning (batch) and an in-order
+    document arrival stream (streaming)."""
 
     @classmethod
     def name(cls) -> str:
@@ -147,3 +193,6 @@ class LogbookCorpusDataSource(DataSource):
 
     def reader(self, schema) -> DataSourceReader:
         return _CorpusReader(dict(self.options))
+
+    def simpleStreamReader(self, schema) -> SimpleDataSourceStreamReader:
+        return _CorpusStreamReader(dict(self.options))

@@ -81,6 +81,45 @@ def test_equality_pushdown_prunes_generation(spark):
     assert [row.doc_id for row in got] == ["doc_000042"]
 
 
+def test_stream_reader_serves_docs_in_bounded_batches(spark):
+    """readStream over the source drains all docs via availableNow in
+    docs_per_batch-sized micro-batches, matching the batch read exactly."""
+    stream = (
+        spark.readStream.format("logbook_corpus")
+        .option("table", "documents")
+        .option("n_docs", 6)
+        .option("docs_per_batch", 2)
+        .load()
+    )
+    # availableNow snapshots the FIRST prefetched offset for simple
+    # stream readers (one batch), so drain with a continuous trigger and
+    # stop once every doc arrived
+    import time
+
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("corpus_stream")
+        .outputMode("append")
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    deadline = time.monotonic() + 120
+    while time.monotonic() < deadline:
+        if spark.table("corpus_stream").count() >= 6:
+            break
+        time.sleep(0.3)
+    q.stop()
+    q.awaitTermination(60)
+    got = spark.table("corpus_stream")
+    want = _src(spark, "documents", 6)
+    assert got.count() == 6
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+    # bounded arrival: no batch carried more than docs_per_batch rows
+    batches = [p["numInputRows"] for p in q.recentProgress if p["numInputRows"] > 0]
+    assert batches and max(batches) <= 2
+
+
 def test_extraction_runs_from_source_frames(spark):
     """The flagship pipeline consumes source-served frames unchanged and
     reproduces the golden spans."""
