@@ -162,6 +162,18 @@ def doc_spans(d: int, n_docs: int, skew_every: int = 0, skew_spans: int = 24) ->
     return spans
 
 
+def span_tuples(spans: list[dict]) -> list[tuple]:
+    """Span dicts -> SPAN_STRUCT-ordered tuples — the ONE place the
+    struct field order is encoded (spark_io and both corpus_source
+    readers share it)."""
+    return [(s["kind"], s["text"], s["media_ref"], s["offset"]) for s in spans]
+
+
+def doc_row(d: int, n_docs: int, skew_every: int = 0, skew_spans: int = 24) -> tuple:
+    """One documents-table row as a DOCUMENTS_SCHEMA-ordered tuple."""
+    return (f"doc_{d:06d}", span_tuples(doc_spans(d, n_docs, skew_every, skew_spans)))
+
+
 def build_corpus(
     n_docs: int = 6,
     seed: int = 42,

@@ -18,7 +18,7 @@ from pyspark.sql.types import (
     StructType,
 )
 
-from .corpus import Corpus
+from .corpus import Corpus, span_tuples
 
 SPAN_STRUCT = StructType(
     [
@@ -61,7 +61,7 @@ def documents_df(spark: SparkSession, corpus: Corpus) -> DataFrame:
     rows = [
         (
             r.doc_id,
-            [(s["kind"], s["text"], s["media_ref"], s["offset"]) for s in r.spans],
+            span_tuples(r.spans),
         )
         for r in corpus.documents.itertuples()
     ]

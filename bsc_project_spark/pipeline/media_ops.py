@@ -154,6 +154,10 @@ def image_phash(media: DataFrame, hash_size: int = 8, highfreq_factor: int = 4) 
     (no scipy/cv2 in this container); one basis matrix per Arrow batch
     iterator, reused across rows.
     """
+    if hash_size * hash_size != 64:
+        # PHASH_SCHEMA packs into ONE int64 and the packbits+view('>u8')
+        # below assumes exactly 64 bits
+        raise ValueError("hash_size must be 8 (64-bit hash, PHASH_SCHEMA long)")
     n = hash_size * highfreq_factor
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

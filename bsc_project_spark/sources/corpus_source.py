@@ -43,25 +43,28 @@ class _IdRange(InputPartition):
 
 
 def _doc_index(doc_id: str) -> int | None:
+    """Index of a CANONICAL doc id, else None.  Round-trip validated:
+    consuming a filter on a non-canonical value ('doc_42', 'doc_+41')
+    would prune to the wrong doc while Spark, having handed the predicate
+    over, never re-applies it — wrong rows, not just wasted work."""
     if isinstance(doc_id, str) and doc_id.startswith("doc_"):
-        try:
-            return int(doc_id[4:])
-        except ValueError:
-            return None
+        tail = doc_id[4:]
+        if tail.isdigit() and f"doc_{int(tail):06d}" == doc_id:
+            return int(tail)
     return None
 
 
 def _page_index(media_ref: str) -> int | None:
-    # page refs are "page_{pair:05d}-t" / "-b" (fixtures.corpus._page_refs)
-    if isinstance(media_ref, str) and media_ref.startswith("page_"):
-        try:
-            pair = int(media_ref[5:10])
-        except ValueError:
-            return None
-        if media_ref.endswith("-t"):
-            return 2 * pair
-        if media_ref.endswith("-b"):
-            return 2 * pair + 1
+    # canonical refs are "page_{pair:05d}-t" / "-b"
+    # (fixtures.corpus._page_refs); same round-trip discipline as
+    # _doc_index
+    if not isinstance(media_ref, str):
+        return None
+    for k, suffix in ((0, "-t"), (1, "-b")):
+        if media_ref.startswith("page_") and media_ref.endswith(suffix):
+            tail = media_ref[5:-2]
+            if tail.isdigit() and f"page_{int(tail):05d}{suffix}" == media_ref:
+                return 2 * int(tail) + k
     return None
 
 
@@ -112,14 +115,10 @@ class _CorpusReader(DataSourceReader):
 
     def read(self, part: _IdRange):
         if self.table == "documents":
-            from ..fixtures.corpus import doc_spans
+            from ..fixtures.corpus import doc_row
 
             for d in range(part.start, part.end):
-                spans = doc_spans(d, self.n_docs, self.skew_every, self.skew_spans)
-                yield (
-                    f"doc_{d:06d}",
-                    [(s["kind"], s["text"], s["media_ref"], s["offset"]) for s in spans],
-                )
+                yield doc_row(d, self.n_docs, self.skew_every, self.skew_spans)
         else:
             from ..fixtures.corpus import media_row
 
@@ -157,14 +156,10 @@ class _CorpusStreamReader(SimpleDataSourceStreamReader):
         return {"next": 0}
 
     def _rows(self, start: int, end: int):
-        from ..fixtures.corpus import doc_spans
+        from ..fixtures.corpus import doc_row
 
         for d in range(start, end):
-            spans = doc_spans(d, self.n_docs, self.skew_every, self.skew_spans)
-            yield (
-                f"doc_{d:06d}",
-                [(s["kind"], s["text"], s["media_ref"], s["offset"]) for s in spans],
-            )
+            yield doc_row(d, self.n_docs, self.skew_every, self.skew_spans)
 
     def read(self, start: dict):
         lo = int(start["next"])

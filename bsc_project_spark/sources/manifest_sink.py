@@ -110,11 +110,12 @@ class _FilePartition(InputPartition):
 
 
 class _ManifestReader(DataSourceReader):
-    def __init__(self, options: dict):
+    def __init__(self, options: dict, field_names: list):
         self.path = options.get("path") or options.get("table_path")
         if not self.path:
             raise ValueError("manifest_parquet requires .option('path', ...)")
         self.files = _read_manifest(self.path)["files"]
+        self.field_names = field_names
 
     def partitions(self):
         return [_FilePartition(f) for f in self.files] or [_FilePartition("")]
@@ -125,8 +126,12 @@ class _ManifestReader(DataSourceReader):
         import pyarrow.parquet as pq
 
         table = pq.read_table(os.path.join(self.path, "data", part.fname))
+        # emit values in the SCAN schema's field order, keyed by name:
+        # files appended with a different column order would otherwise
+        # come out positionally transposed (or crash)
+        names = self.field_names
         for row in table.to_pylist():
-            yield tuple(row.values())
+            yield tuple(row[n] for n in names)
 
 
 class ManifestParquetDataSource(DataSource):
@@ -154,7 +159,7 @@ class ManifestParquetDataSource(DataSource):
         return from_arrow_schema(arrow_schema)
 
     def reader(self, schema) -> DataSourceReader:
-        return _ManifestReader(dict(self.options))
+        return _ManifestReader(dict(self.options), [f.name for f in schema.fields])
 
     def writer(self, schema, overwrite: bool) -> DataSourceWriter:
         return _ManifestWriter(dict(self.options), schema, overwrite)

@@ -67,7 +67,10 @@ def ingest_sink(
             .select("doc_id")
             .distinct()
         )
-        fresh = batch_df.join(committed, "doc_id", "left_anti")
+        # checkpoint: run_incremental_update evaluates its input several
+        # times (refs delta, doc stage) and each lazy evaluation would
+        # re-scan the ever-growing committed table through this anti-join
+        fresh = batch_df.join(committed, "doc_id", "left_anti").localCheckpoint()
         if fresh.isEmpty():
             return
         run_incremental_update(

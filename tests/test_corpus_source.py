@@ -80,6 +80,15 @@ def test_equality_pushdown_prunes_generation(spark):
     got = _src(spark, "documents", 100).where("doc_id = 'doc_000042'").collect()
     assert [row.doc_id for row in got] == ["doc_000042"]
 
+    # non-canonical values must NOT be consumed by pushdown (the parse
+    # once accepted 'doc_42' and returned doc_000042 for it): the filter
+    # goes back to Spark and the correct result is empty
+    for bad in ("doc_42", "doc_+0042", "doc_ 42", "page", None):
+        assert _src(spark, "documents", 100).where(
+            F.col("doc_id") == F.lit(bad) if bad is not None else F.col("doc_id").isNull()
+        ).count() == 0
+    assert _src(spark, "media", 100).where("media_ref = 'page_00007-t-t'").count() == 0
+
 
 def test_stream_reader_serves_docs_in_bounded_batches(spark):
     """readStream over the source drains all docs via availableNow in

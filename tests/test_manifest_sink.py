@@ -79,6 +79,20 @@ def test_abort_removes_written_files(spark, tmp_path):
     assert _read_manifest(path) == {"version": 0, "files": []}
 
 
+def test_append_with_reordered_columns_reads_by_name(spark, tmp_path):
+    """Files appended with a different column order must read back
+    correctly (rows are emitted keyed by the scan schema's field names,
+    not file-positionally)."""
+    path = str(tmp_path / "tbl")
+    _write(spark.createDataFrame([(1, "a")], "id long, s string"), path)
+    _write(
+        spark.createDataFrame([("b", 2)], "s string, id long").select("s", "id"),
+        path,
+    )
+    got = spark.read.format("manifest_parquet").option("path", path).load()
+    assert {(r.id, r.s) for r in got.collect()} == {(1, "a"), (2, "b")}
+
+
 def test_complex_types_roundtrip(spark, tmp_path):
     """The extracted-span shape (arrays of structs, binary) survives the
     sink+source roundtrip."""

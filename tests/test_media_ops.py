@@ -88,6 +88,13 @@ def test_phash_near_dup_detects_noisy_clone(spark):
     assert all({"orig", "noisy"} >= set(k) for k in pairs), pairs
 
 
+def test_phash_rejects_non_64_bit_hash_size(spark):
+    # PHASH_SCHEMA packs into one int64; any other size must fail fast
+    # instead of mis-packing inside the executor
+    with pytest.raises(ValueError, match="hash_size"):
+        media_ops.image_phash(None, hash_size=4)
+
+
 def test_phash_deterministic_and_plan_banded(spark):
     """Same bytes -> same hash across invocations; the pair plan contains
     no cartesian/nested-loop join (banded equi-join only)."""
