@@ -86,6 +86,58 @@ def test_stream_ingest_commits_per_batch_and_replays_are_noops(
     assert read_extracted(spark, out_dir).count() > n_rows
 
 
+def test_corpus_stream_source_feeds_ingest_sink(spark, corpus, tmp_path):
+    """End-to-end continuous ingest: the custom streaming corpus source
+    (format 'logbook_corpus') drives foreachBatch straight into the
+    snapshot table — new docs land as per-batch snapshot commits."""
+    import time
+
+    from bsc_project_spark.sources.corpus_source import LogbookCorpusDataSource
+    from bsc_project_spark.streaming.ingest import ingest_sink
+
+    spark.dataSource.register(LogbookCorpusDataSource)
+    docs, media, delta_ids, out_dir = _setup_base(spark, corpus, tmp_path)
+    n_docs = docs.count()
+
+    stream = (
+        spark.readStream.format("logbook_corpus")
+        .option("table", "documents")
+        .option("n_docs", n_docs)
+        .option("docs_per_batch", 2)
+        .load()
+    )
+    q = (
+        stream.writeStream.foreachBatch(ingest_sink(media, FIXTURE_CONFIG, out_dir))
+        .option("checkpointLocation", str(tmp_path / "src_ckpt"))
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    all_ids = {r.doc_id for r in docs.select("doc_id").collect()}
+    deadline = time.monotonic() + 180
+    got_ids: set = set()
+    while time.monotonic() < deadline:
+        got_ids = {
+            r.doc_id
+            for r in read_extracted(spark, out_dir).select("doc_id").distinct().collect()
+        }
+        if got_ids == all_ids:
+            break
+        time.sleep(0.5)
+    q.stop()
+    q.awaitTermination(60)
+    assert got_ids == all_ids
+    # base docs streamed again were deduped by the sink's anti-join: no
+    # duplicated span rows anywhere
+    dup = (
+        read_extracted(spark, out_dir)
+        .groupBy("doc_id", "order")
+        .count()
+        .where("count > 1")
+        .count()
+    )
+    assert dup == 0
+
+
 def test_fresh_checkpoint_rerun_is_fully_idempotent(spark, corpus, tmp_path):
     """Losing the STREAM checkpoint (worst case: every batch replays from
     scratch) commits nothing twice — and when NEW files arrived before
