@@ -147,7 +147,9 @@ _q(
 _REPETITION_BODY = """
     arr AS (SELECT doc_id, {split_words} AS a FROM documents),
     toks AS (
-      SELECT doc_id, i, {elem_i} AS token FROM arr {gen}
+      SELECT doc_id, i, {elem_i} AS token,
+             CASE WHEN i < {alen} THEN {elem_i1} END AS next_token
+      FROM arr {gen}
     ),
     ws AS (SELECT doc_id, token, count(*) AS c FROM toks GROUP BY 1, 2),
     wstat AS (
@@ -155,8 +157,8 @@ _REPETITION_BODY = """
       FROM ws GROUP BY 1
     ),
     bs AS (
-      SELECT doc_id, concat(token, ' ', {elem_i1}) AS bigram, count(*) AS c
-      FROM toks JOIN arr USING (doc_id) WHERE i < {alen}
+      SELECT doc_id, concat(token, ' ', next_token) AS bigram, count(*) AS c
+      FROM toks WHERE next_token IS NOT NULL
       GROUP BY 1, 2
     ),
     bstat AS (SELECT doc_id, sum(c) AS n_bi, count(*) AS d_bi FROM bs GROUP BY 1)
