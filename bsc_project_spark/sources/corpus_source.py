@@ -14,10 +14,11 @@ driver — the same property a real warehouse scan has.  The rows are
 byte-identical to `fixtures.corpus.build_corpus` (both call the shared
 pure per-doc/per-page generators).
 
-Also implements `pushFilters` (Spark 4.1): equality predicates on
+Also implements `pushFilters` (Spark 4.1): `=` and `IN` predicates on
 `doc_id` / `media_ref` / `layout_id` prune generation to the matching id
-range — the Python-source analogue of parquet partition pruning — and
-every other predicate is returned to Spark to re-apply.
+range/set — the Python-source analogue of parquet partition pruning —
+and every other predicate (or a partially-parseable IN) is returned to
+Spark to re-apply.
 """
 
 from __future__ import annotations
@@ -29,6 +30,7 @@ from pyspark.sql.datasource import (
     DataSourceReader,
     EqualTo,
     Filter,
+    In,
     InputPartition,
     SimpleDataSourceStreamReader,
 )
@@ -80,28 +82,49 @@ class _CorpusReader(DataSourceReader):
         # id domain: documents are doc indices, media are page indices
         self.lo = 0
         self.hi = self.n_docs if self.table == "documents" else 2 * self.n_docs
+        self.id_set: set | None = None  # explicit ids from a pushed IN
+
+    def _key_index(self, col: str, value) -> int | None:
+        if self.table == "documents" and col == "doc_id":
+            return _doc_index(value)
+        if self.table == "media" and col == "media_ref":
+            return _page_index(value)
+        if self.table == "media" and col == "layout_id":
+            return value if isinstance(value, int) else None
+        return None
 
     def pushFilters(self, filters: list[Filter]):
-        """Prune the generated id range on supported equality predicates;
-        everything else is yielded back for Spark to evaluate."""
+        """Prune generation on supported key predicates — `=` narrows the
+        id range, `IN` restricts to an explicit id set (consumed ONLY if
+        every list element parses canonically; a partially-understood IN
+        must go back to Spark whole).  Everything else is yielded back
+        for Spark to evaluate."""
         for f in filters:
-            idx = None
-            if isinstance(f, EqualTo) and len(f.attribute) == 1:
+            consumed = False
+            if len(getattr(f, "attribute", ())) == 1:
                 (col,) = f.attribute
-                if self.table == "documents" and col == "doc_id":
-                    idx = _doc_index(f.value)
-                elif self.table == "media" and col == "media_ref":
-                    idx = _page_index(f.value)
-                elif self.table == "media" and col == "layout_id":
-                    idx = int(f.value) if isinstance(f.value, int) else None
-            if idx is not None:
-                # empty range when the id is outside the corpus
-                self.lo = max(self.lo, min(idx, self.hi))
-                self.hi = min(self.hi, idx + 1)
-            else:
+                if isinstance(f, EqualTo):
+                    idx = self._key_index(col, f.value)
+                    if idx is not None:
+                        # empty range when the id is outside the corpus
+                        self.lo = max(self.lo, min(idx, self.hi))
+                        self.hi = min(self.hi, idx + 1)
+                        consumed = True
+                elif isinstance(f, In):
+                    idxs = [self._key_index(col, v) for v in f.value]
+                    if idxs and all(i is not None for i in idxs):
+                        keep = {i for i in idxs if self.lo <= i < self.hi}
+                        self.id_set = (
+                            keep if self.id_set is None else self.id_set & keep
+                        )
+                        consumed = True
+            if not consumed:
                 yield f  # unsupported -> Spark re-applies it
 
     def partitions(self):
+        if self.id_set is not None:
+            ids = sorted(i for i in self.id_set if self.lo <= i < self.hi)
+            return [_IdRange(i, i + 1) for i in ids] or [_IdRange(0, 0)]
         n = max(1, min(self.n_partitions, self.hi - self.lo))
         span = self.hi - self.lo
         if span <= 0:

@@ -90,6 +90,32 @@ def test_equality_pushdown_prunes_generation(spark):
     assert _src(spark, "media", 100).where("media_ref = 'page_00007-t-t'").count() == 0
 
 
+def test_in_list_pushdown(spark):
+    from pyspark.sql.datasource import In
+
+    # all-canonical IN list -> consumed, partitions = exactly those ids
+    r = _CorpusReader({"table": "documents", "n_docs": 100})
+    remaining = list(
+        r.pushFilters([In(("doc_id",), ("doc_000003", "doc_000090", "doc_999999"))])
+    )
+    assert remaining == []
+    assert [(p.start, p.end) for p in r.partitions()] == [(3, 4), (90, 91)]
+
+    # any non-canonical element -> the whole IN goes back to Spark
+    r2 = _CorpusReader({"table": "documents", "n_docs": 100})
+    remaining2 = list(r2.pushFilters([In(("doc_id",), ("doc_000003", "doc_9"))]))
+    assert len(remaining2) == 1
+    assert r2.id_set is None
+
+    # end-to-end: only the listed docs come back
+    got = (
+        _src(spark, "documents", 100)
+        .where(F.col("doc_id").isin("doc_000003", "doc_000090", "nope"))
+        .collect()
+    )
+    assert sorted(row.doc_id for row in got) == ["doc_000003", "doc_000090"]
+
+
 def test_stream_reader_serves_docs_in_bounded_batches(spark):
     """readStream over the source drains all docs via availableNow in
     docs_per_batch-sized micro-batches, matching the batch read exactly."""
