@@ -549,6 +549,11 @@ def kmeans_refine(emb: DataFrame, k: int = _KMEANS_K, iters: int = _KMEANS_ITERS
     centroid (standard Lloyd degenerate-case handling).
     """
     init = emb.filter(F.col("vec_id") < k).orderBy("vec_id").collect()
+    if not init:
+        # empty input: no centroids to refine; the assignment is the
+        # empty frame with the declared schema (np.stack would throw)
+        empty = emb.sparkSession.createDataFrame([], _ASSIGN_SCHEMA)
+        return np.zeros((0, 0)), empty
     cents = np.stack([np.asarray(r.v, dtype=np.float64) for r in init])
     for _ in range(iters):
         partials = emb.select("vec_id", "v").mapInPandas(
