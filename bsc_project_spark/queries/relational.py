@@ -366,55 +366,17 @@ def _sort_rank_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ``row_number() OVER (ORDER BY ...)`` moves the whole table to one task
     (Spark warns exactly that) — a scale wall the oracle SQL is allowed to
-    hit but the engine is not.  Standard two-phase global rank instead:
-
-      1. range-partition on the sort key (contiguous key ranges per
-         partition — Spark samples boundaries),
-      2. row_number within each range partition (parallel),
-      3. per-partition counts -> driver prefix sum (P integers) -> offset
-         joined back via broadcast.
-
-    Global rank = partition offset + local rank.  Only skinny columns
-    shuffle, and every stage is parallel over P; at 10^12 rows the driver
-    still folds just P counters.
+    hit but the engine is not.  The two-phase machinery (range-partition ->
+    local rank -> driver prefix over P counts -> broadcast offsets) lives
+    in :mod:`.prefix` and is shared with ``q_sequence_pack`` /
+    ``q_corpus_curation``.
     """
+    from .prefix import global_row_number
+
     register_views(spark, sf_dir)
     df = spark.table("documents").select("doc_id", "source")
-    n_parts = max(spark.sparkContext.defaultParallelism, 8)
-    # persisted so the counts job and the rank job see the SAME sampled
-    # range boundaries (each action would otherwise re-plan the range
-    # exchange; skinny columns, so the cache is cheap at any scale)
-    ranged = (
-        df.repartitionByRange(n_parts, F.col("source"), F.col("doc_id"))
-        .withColumn("pid", F.spark_partition_id())
-        .persist()
-    )
-    local = ranged.withColumn(
-        "lrnk", F.row_number().over(Window.partitionBy("pid").orderBy("source", "doc_id"))
-    )
-    counts = sorted(
-        (r.pid, r.cnt)
-        for r in ranged.groupBy("pid").agg(F.count("*").alias("cnt")).collect()
-    )
-    offsets, acc = [], 0
-    for pid, cnt in counts:
-        offsets.append((pid, acc))
-        acc += cnt
-    # inline VALUES, not createDataFrame: a Python-list createDataFrame
-    # plans as a pickled-RDD scan that schedules defaultParallelism tasks
-    # and cold-starts Python workers for a P-row frame (measured 2 s for
-    # 2 rows); a VALUES literal is a LocalRelation — zero tasks, and
-    # Catalyst folds it straight into the broadcast
-    if not offsets:  # empty table: VALUES with no tuples is a parse error
-        return local.select("doc_id").withColumn(
-            "rnk", F.lit(None).cast("int")
-        ).where(F.lit(False))
-    values = ", ".join(f"({pid}, {off}L)" for pid, off in offsets)
-    off_df = local.sparkSession.sql(f"SELECT * FROM VALUES {values} AS t(pid, off)")
-    return (
-        local.join(F.broadcast(off_df), "pid")
-        .select("doc_id", (F.col("off") + F.col("lrnk")).cast("int").alias("rnk"))
-    )
+    ranked = global_row_number(df, ["source", "doc_id"], "rnk")
+    return ranked.select("doc_id", F.col("rnk").cast("int").alias("rnk"))
 
 
 _q("q_sort_rank", _sort_rank_spark, _SORT_RANK_SQL,

@@ -854,17 +854,17 @@ _q(
 # + token-budget cut (cumulative window capped at a budget).  Every stage is
 # native SQL so Catalyst fuses the gates into one scan + windows.
 #
-# Scale note: the ORDER BY doc_id cumulative sum is a GLOBAL window (one
-# task) — it is the semantic spec of "take documents in id order until the
-# budget is hit".  At 100 TB the same result comes from the standard
-# two-phase prefix sum: bucket by doc_id range, aggregate per-bucket token
-# subtotals (tiny), prefix-sum the subtotals on the driver, then filter
-# each bucket against its precomputed offset — only the last straddling
-# bucket needs a within-bucket window.  The skinny post-filter row count
-# here makes the single-task window the right plan at bench scale.
+# Scale note: "take documents in id order until the budget is hit" is a
+# global running sum.  The ORACLE spells it as the single-window SQL (the
+# semantic spec, fine for DuckDB); the SPARK side computes the identical
+# result with the two-phase prefix sum from .prefix (range-partition ->
+# per-partition running sums -> driver prefix over P subtotals ->
+# broadcast offsets) so no stage ever funnels the kept set through one
+# task.  tests/test_plans.py pins the absence of a SinglePartition
+# exchange in the physical plan.
 # ---------------------------------------------------------------------------
 
-_CURATION_TEMPLATE = """
+_CURATION_KEPT_TEMPLATE = """
     WITH base AS (
       SELECT doc_id, text, length(text) AS n_chars,
              concat(' ', lower(text), ' ') AS lt
@@ -888,7 +888,12 @@ _CURATION_TEMPLATE = """
         AND n_chars BETWEEN 20 AND 100000
         AND punct_ratio < 0.1
         AND en_hits >= de_hits
-    ),
+    )
+    SELECT doc_id, n_tokens FROM kept
+"""
+
+_CURATION_BUDGET_SQL = """
+    WITH kept AS ({kept}),
     budgeted AS (
       SELECT doc_id, n_tokens,
              CAST(sum(n_tokens) OVER (
@@ -901,22 +906,41 @@ _CURATION_TEMPLATE = """
     FROM budgeted WHERE cum_tokens <= 20000
 """
 
-_q(
-    "q_corpus_curation",
-    _CURATION_TEMPLATE.format(
-        n_tokens="size(split(trim(text), '\\\\s+'))",
-        strip_punct="regexp_replace(text, '[.,;:!?]', '')",
-        en_hits=_hits(_EN_WORDS),
-        de_hits=_hits(_DE_WORDS),
-    ),
-    _CURATION_TEMPLATE.format(
+_CURATION_KEPT_SPARK = _CURATION_KEPT_TEMPLATE.format(
+    n_tokens="size(split(trim(text), '\\\\s+'))",
+    strip_punct="regexp_replace(text, '[.,;:!?]', '')",
+    en_hits=_hits(_EN_WORDS),
+    de_hits=_hits(_DE_WORDS),
+)
+
+_CURATION_ORACLE = _CURATION_BUDGET_SQL.format(
+    kept=_CURATION_KEPT_TEMPLATE.format(
         n_tokens=r"len(string_split_regex(trim(text), '\s+'))",
         strip_punct="regexp_replace(text, '[.,;:!?]', '', 'g')",
         en_hits=_hits(_EN_WORDS),
         de_hits=_hits(_DE_WORDS),
-    ),
-    "composed curation pipeline: quality + language + dedup survivorship "
-    "+ token-budget window cap, one declarative plan",
+    ).strip()
+)
+
+
+def _corpus_curation_spark(spark, sf_dir: str):
+    from pyspark.sql import functions as F
+
+    from .prefix import global_cumsum
+
+    register_views(spark, sf_dir)
+    kept = spark.sql(_CURATION_KEPT_SPARK)
+    budgeted = global_cumsum(kept, ["doc_id"], "n_tokens", "cum_tokens")
+    return budgeted.where(F.col("cum_tokens") <= 20000).select(
+        "doc_id", "n_tokens", "cum_tokens"
+    )
+
+
+QUERIES["q_corpus_curation"] = QuerySpec(
+    spark=_corpus_curation_spark,
+    oracle=_CURATION_ORACLE,
+    description="composed curation pipeline: quality + language + dedup "
+    "survivorship + token-budget cut via two-phase global prefix sum",
 )
 
 # ---------------------------------------------------------------------------
@@ -987,11 +1011,10 @@ _q(
 # ---------------------------------------------------------------------------
 # Training-sequence packing: concat-and-chunk document packing into
 # fixed-token-budget training sequences (bin id + token offset where each
-# doc starts).  The ORDER BY doc_id prefix sum is the semantic spec; the
-# 100 TB plan is the same two-phase prefix sum documented for
-# q_corpus_curation (per-range subtotals -> driver prefix -> per-range
-# offset), since bin assignment only needs each doc's global cumulative
-# token start.
+# doc starts).  Bin assignment only needs each doc's global cumulative
+# token start, so the SPARK side uses the shared two-phase prefix sum
+# (.prefix.global_cumsum — no single-task window); the ORACLE keeps the
+# single-window SQL spec.
 # ---------------------------------------------------------------------------
 
 _PACK_BUDGET = 2048
@@ -1015,12 +1038,36 @@ _PACK_TEMPLATE = f"""
     FROM c
 """
 
-_q(
-    "q_sequence_pack",
-    _PACK_TEMPLATE.format(n_tokens="size(split(trim(text), '\\\\s+'))", div="DIV"),
-    _PACK_TEMPLATE.format(n_tokens=r"len(string_split_regex(trim(text), '\s+'))", div="//"),
-    f"concat-and-chunk sequence packing into {_PACK_BUDGET}-token training "
-    "bins (bin id + start offset per doc)",
+_PACK_TOKENS_SPARK = f"""
+    SELECT doc_id, CAST(size(split(trim(text), '\\\\s+')) AS BIGINT) AS n_tokens
+    FROM documents WHERE length(trim(text)) > 0
+"""
+
+
+def _sequence_pack_spark(spark, sf_dir: str):
+    from pyspark.sql import functions as F
+
+    from .prefix import global_cumsum
+
+    register_views(spark, sf_dir)
+    t = spark.sql(_PACK_TOKENS_SPARK)
+    c = global_cumsum(t, ["doc_id"], "n_tokens", "cum_tokens")
+    start = (F.col("cum_tokens") - F.col("n_tokens"))
+    return c.select(
+        "doc_id",
+        "n_tokens",
+        F.floor(start / _PACK_BUDGET).cast("long").alias("bin_id"),
+        (start % _PACK_BUDGET).cast("long").alias("bin_offset"),
+    )
+
+
+QUERIES["q_sequence_pack"] = QuerySpec(
+    spark=_sequence_pack_spark,
+    oracle=_PACK_TEMPLATE.format(
+        n_tokens=r"len(string_split_regex(trim(text), '\s+'))", div="//"
+    ),
+    description=f"concat-and-chunk sequence packing into {_PACK_BUDGET}-token "
+    "training bins via two-phase global prefix sum",
 )
 
 # ---------------------------------------------------------------------------

@@ -72,3 +72,42 @@ def test_extraction_broadcasts_refs_side(spark, corpus):
     )
     # unique-refs semi-join must be broadcast (page bytes never shuffle for it)
     assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+
+
+def test_no_single_partition_window_in_prefix_queries(spark):
+    """q_sort_rank / q_sequence_pack / q_corpus_curation compute global
+    running aggregates; their physical plans must use the two-phase
+    prefix machinery (.prefix), never an Exchange SinglePartition feeding
+    a global-order Window (the one-task scale wall)."""
+    from bsc_project_spark.queries import all_queries
+
+    qs = all_queries()
+    for name in ("q_sort_rank", "q_sequence_pack", "q_corpus_curation"):
+        plan = (
+            qs[name].spark(spark, SF_DIR)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "SinglePartition" not in plan, f"{name} funnels through one task"
+
+
+def test_global_cumsum_matches_window(spark):
+    """Exactness of the two-phase prefix sum vs the single-window spec,
+    including a non-trivial partition count and empty input."""
+    from bsc_project_spark.queries.prefix import global_cumsum
+
+    df = spark.range(0, 997).selectExpr(
+        "id AS k", "(id * 37) % 101 + 1 AS v"
+    )
+    got = {
+        r.k: r.cum
+        for r in global_cumsum(df, ["k"], "v", "cum", n_parts=13).collect()
+    }
+    acc, want = 0, {}
+    for k in range(997):
+        acc += (k * 37) % 101 + 1
+        want[k] = acc
+    assert got == want
+
+    empty = global_cumsum(df.where("k < 0"), ["k"], "v", "cum")
+    assert empty.count() == 0
+    assert empty.schema["cum"].dataType.simpleString() == "bigint"
