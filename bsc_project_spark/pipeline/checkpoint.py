@@ -288,6 +288,12 @@ def run_extraction_job(
         unresolved.write.mode("overwrite").parquet(
             os.path.join(out_dir, f"errors/bucket={bucket}")
         )
+        # committed-ids ledger: one skinny (doc_id) file per bucket, so
+        # ingest idempotency anti-joins read O(touched buckets) of doc ids
+        # instead of scanning the full data table (see committed_doc_ids)
+        docs_b.select("doc_id").distinct().write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"doc_ids/bucket={bucket}")
+        )
         written = spark.read.parquet(os.path.join(out_dir, f"data/bucket={bucket}"))
         stats = written.agg(
             F.countDistinct("doc_id").alias("docs"), F.count("*").alias("spans")
@@ -415,6 +421,19 @@ def run_incremental_update(
     unresolved.write.mode("overwrite").parquet(
         os.path.join(out_dir, f"errors/update={uid}")
     )
+    # committed-ids ledger delta, partitioned by the SAME doc-id bucket
+    # function as the base run: a later batch's anti-join prunes every
+    # update delta to its touched dbucket=K directories
+    (
+        new_documents.select("doc_id")
+        .distinct()
+        .withColumn(
+            "dbucket", F.pmod(F.xxhash64("doc_id"), F.lit(manifest["n_buckets"]))
+        )
+        .write.mode("overwrite")
+        .partitionBy("dbucket")
+        .parquet(os.path.join(out_dir, f"doc_ids/update={uid}"))
+    )
     written = spark.read.parquet(os.path.join(out_dir, f"data/update={uid}"))
     stats = written.agg(
         F.countDistinct("doc_id").alias("docs"), F.count("*").alias("spans")
@@ -477,6 +496,56 @@ def _data_paths(out_dir: str, manifest: dict) -> list[str]:
         if u not in covered_u
     ]
     return paths
+
+
+def committed_doc_ids(
+    spark: SparkSession, out_dir: str, buckets: list[int] | None = None
+) -> DataFrame:
+    """Distinct doc_ids of the committed table, read from the skinny
+    ``doc_ids/`` ledger instead of the data files.
+
+    ``buckets`` prunes the scan to those doc-id buckets
+    (``pmod(xxhash64(doc_id), n_buckets)``): base ledger dirs are
+    selected by path, update-delta ledgers by their ``dbucket=K``
+    partition directories — so an ingest batch's idempotency anti-join
+    costs O(batch + touched buckets) however many snapshots the table
+    has accumulated, instead of rescanning the whole committed data set
+    every micro-batch.  Falls back to the data files for tables written
+    before the ledger existed."""
+    manifest = read_manifest(out_dir)
+    base = manifest["committed_buckets"]
+    updates = manifest.get("committed_updates", [])
+    if buckets is not None:
+        wanted = set(buckets)
+        base = [b for b in base if b in wanted]
+    base_paths = [os.path.join(out_dir, f"doc_ids/bucket={b}") for b in base]
+    upd_paths = [os.path.join(out_dir, f"doc_ids/update={u}") for u in updates]
+    if any(not os.path.exists(p) for p in base_paths + upd_paths):
+        # pre-ledger table: the old (full-scan) behavior
+        return read_extracted(spark, out_dir).select("doc_id").distinct()
+    # basePath anchors partition discovery at the ledger root (the
+    # explicit path lists still gate visibility to committed dirs only);
+    # without it Spark treats each bucket=K / update=U path as its own
+    # root and raises CONFLICTING_DIRECTORY_STRUCTURES
+    root = os.path.join(out_dir, "doc_ids")
+    frames = []
+    if base_paths:
+        frames.append(
+            spark.read.option("basePath", root).parquet(*base_paths).select("doc_id")
+        )
+    if upd_paths:
+        upd = spark.read.option("basePath", root).parquet(*upd_paths)
+        if buckets is not None:
+            # dbucket is a partition-directory column: this filter prunes
+            # directories at file-listing time, no data files are opened
+            upd = upd.where(F.col("dbucket").isin([int(b) for b in buckets]))
+        frames.append(upd.select("doc_id"))
+    if not frames:
+        return spark.createDataFrame([], "doc_id string")
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out.distinct()
 
 
 def read_extracted(

@@ -50,11 +50,15 @@ def ingest_sink(
       the batch before ingesting.  This makes ANY re-batching safe —
       losing the stream checkpoint and re-reading the whole source
       ingests only the genuinely-new documents, whatever batch shapes
-      the second run produces.
+      the second run produces.  The committed side comes from the skinny
+      ``doc_ids/`` ledger pruned to the batch's doc-id buckets
+      (``committed_doc_ids``), so per-batch cost stays O(batch + touched
+      buckets) no matter how many snapshots the table accumulates — a
+      full-table scan here would grow with table history.
     """
     from pyspark.sql import functions as F
 
-    from ..pipeline.checkpoint import read_extracted
+    from ..pipeline.checkpoint import committed_doc_ids, read_manifest
 
     def sink(batch_df, batch_id: int) -> None:
         if batch_df.isEmpty():
@@ -62,11 +66,18 @@ def ingest_sink(
         content = batch_df.agg(
             F.md5(F.concat_ws(",", F.sort_array(F.collect_list("doc_id")))).alias("h")
         ).collect()[0].h
-        committed = (
-            read_extracted(batch_df.sparkSession, out_dir)
-            .select("doc_id")
-            .distinct()
-        )
+        n_buckets = read_manifest(out_dir).get("n_buckets")
+        touched = None
+        if n_buckets:
+            touched = sorted(
+                r.b
+                for r in batch_df.select(
+                    F.pmod(F.xxhash64("doc_id"), F.lit(n_buckets)).alias("b")
+                )
+                .distinct()
+                .collect()
+            )
+        committed = committed_doc_ids(batch_df.sparkSession, out_dir, touched)
         # checkpoint: run_incremental_update evaluates its input several
         # times (refs delta, doc stage) and each lazy evaluation would
         # re-scan the ever-growing committed table through this anti-join

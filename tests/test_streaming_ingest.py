@@ -183,3 +183,66 @@ def test_fresh_checkpoint_rerun_is_fully_idempotent(spark, corpus, tmp_path):
         got.groupBy("doc_id", "order").count().where("count > 1").count()
     )
     assert dup == 0
+
+
+def test_ingest_anti_join_prunes_to_touched_buckets(spark, corpus, tmp_path):
+    """Per-batch idempotency work stays O(batch + touched buckets) as
+    snapshots accumulate: the committed-ids frame for a batch touching
+    one doc-id bucket lists ONLY that bucket's ledger files (base
+    bucket=K dir + update dbucket=K partition dirs), never the data
+    table or the other buckets' ledgers."""
+    from bsc_project_spark.pipeline.checkpoint import committed_doc_ids
+
+    docs, media, delta_ids, out_dir = _setup_base(spark, corpus, tmp_path)
+    sink = ingest_sink(media, FIXTURE_CONFIG, out_dir)
+    for i, did in enumerate(delta_ids):  # one snapshot per delta doc
+        sink(docs.filter(F.col("doc_id") == did), i)
+    manifest = read_manifest(out_dir)
+    assert len(manifest["committed_updates"]) == len(delta_ids)
+    nb = manifest["n_buckets"]
+
+    probe = (
+        docs.select(
+            "doc_id", F.pmod(F.xxhash64("doc_id"), F.lit(nb)).alias("b")
+        )
+        .limit(1)
+        .collect()[0]
+    )
+    pruned = committed_doc_ids(spark, out_dir, [probe.b])
+    files = pruned.inputFiles()
+    assert files, "ledger scan should list at least the base bucket file"
+    # every listed file is a skinny ledger file — the data table is never
+    # scanned — and the base side lists only the touched bucket's dir
+    assert all("/doc_ids/" in f for f in files), files
+    base_leak = [
+        f
+        for f in files
+        if "/doc_ids/bucket=" in f and f"/doc_ids/bucket={probe.b}/" not in f
+    ]
+    assert base_leak == [], f"base ledger leaked beyond bucket {probe.b}: {base_leak}"
+    # the update-delta side prunes by the dbucket partition directory at
+    # file-listing time (inputFiles() reports the pre-pruning listing, so
+    # the evidence is the pushed PartitionFilters in the physical plan)
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "dbucket" in plan, plan[:2000]
+    import re
+
+    assert re.search(r"PartitionFilters: \[[^]]*dbucket[^]]*\]", plan), plan[:2000]
+
+    # pruned result == exactly the committed docs of that bucket
+    expect = {
+        r.doc_id
+        for r in read_extracted(spark, out_dir)
+        .select("doc_id")
+        .distinct()
+        .where(F.pmod(F.xxhash64("doc_id"), F.lit(nb)) == probe.b)
+        .collect()
+    }
+    assert {r.doc_id for r in pruned.collect()} == expect
+
+    # unpruned ledger == the full committed id set
+    all_ids = {r.doc_id for r in committed_doc_ids(spark, out_dir).collect()}
+    assert all_ids == {
+        r.doc_id
+        for r in read_extracted(spark, out_dir).select("doc_id").distinct().collect()
+    }
