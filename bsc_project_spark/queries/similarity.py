@@ -545,10 +545,12 @@ def kmeans_refine(emb: DataFrame, k: int = _KMEANS_K, iters: int = _KMEANS_ITERS
     """Lloyd refinement over an (vec_id, v: array<double>) frame.
 
     Returns (centroids ndarray, assignment DataFrame).  Init = the k
-    lowest vec_ids (deterministic).  Empty clusters keep their previous
-    centroid (standard Lloyd degenerate-case handling).
+    lowest vec_ids (deterministic; orderBy+limit, NOT ``vec_id < k`` —
+    sparse or offset id spaces would otherwise seed fewer than k
+    centroids).  Empty clusters keep their previous centroid (standard
+    Lloyd degenerate-case handling).
     """
-    init = emb.filter(F.col("vec_id") < k).orderBy("vec_id").collect()
+    init = emb.orderBy("vec_id").limit(k).collect()
     if not init:
         # empty input: no centroids to refine; the assignment is the
         # empty frame with the declared schema (np.stack would throw)

@@ -71,3 +71,17 @@ def test_kmeans_refinement_improves_inertia(spark, emb):
     before = np.max(_unit_rows(E) @ _unit_rows(init).T, axis=1).mean()
     after = np.mean([r.cosine for r in assigned.collect()])
     assert after >= before - 1e-9
+
+
+def test_kmeans_seeds_k_centroids_with_sparse_ids(spark, emb):
+    """Offset/sparse vec_id spaces (ids not starting at 0, gaps) must
+    still seed exactly k centroids — the k lowest ids, deterministically."""
+    sparse = emb.withColumn("vec_id", F.col("vec_id") * 7 + 1000)
+    cents, assigned = kmeans_refine(sparse, k=5, iters=1)
+    assert cents.shape[0] == 5
+    rows = assigned.collect()
+    assert {r.centroid_id for r in rows} <= set(range(5))
+    assert len(rows) == emb.count()
+    # determinism: same input -> identical centroids
+    cents2, _ = kmeans_refine(sparse, k=5, iters=1)
+    assert np.array_equal(cents, cents2)
