@@ -58,7 +58,7 @@ def sql_query(sql: str) -> Callable[[SparkSession, str], DataFrame]:
 
 
 def all_queries() -> dict[str, QuerySpec]:
-    from . import eventops, relational, similarity, textops, webtext
+    from . import eventops, relational, similarity, textops, visual, webtext
 
     out: dict[str, QuerySpec] = {}
     out.update(relational.QUERIES)
@@ -66,4 +66,5 @@ def all_queries() -> dict[str, QuerySpec]:
     out.update(similarity.QUERIES)
     out.update(eventops.QUERIES)
     out.update(webtext.QUERIES)
+    out.update(visual.QUERIES)
     return out
