@@ -143,7 +143,25 @@ def main() -> None:
     )
     if os.path.exists(scaling_path):
         with open(scaling_path) as f:
-            out["scaling_evidence"] = json.load(f)
+            ev = json.load(f)
+        # staleness visibility: the scaling run is measured separately
+        # (scripts/bench_scaling.py stamps its git commit); if the build
+        # has moved on since, say so in the artifact instead of passing
+        # old numbers off as this run's
+        try:
+            import subprocess
+
+            head = subprocess.run(
+                ["git", "rev-parse", "HEAD"],
+                capture_output=True,
+                text=True,
+                cwd=os.path.dirname(os.path.abspath(__file__)),
+            ).stdout.strip()
+        except OSError:
+            head = ""
+        measured = ev.get("measured_at_commit")
+        ev["stale"] = bool(measured) and measured != "unknown" and measured != head
+        out["scaling_evidence"] = ev
     spark.stop()
     print(json.dumps(out))
 

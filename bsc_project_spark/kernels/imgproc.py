@@ -432,7 +432,13 @@ def morph_open(img: np.ndarray, kh: int, kw: int, iterations: int = 1) -> np.nda
 
 def morph_close(img: np.ndarray, kh: int, kw: int, iterations: int = 1) -> np.ndarray:
     """CLOSE with iterations=k: k dilations then k erosions
-    (reference scripts/dataset.py:14-15 uses a 1x50 vertical close)."""
+    (reference scripts/dataset.py:14-15 uses a 1x50 vertical close).
+
+    EVEN kernels: both passes use the same window anchor, whereas cv2's
+    MORPH_CLOSE mirrors the anchor between dilate and erode — so for an
+    even kernel this equals cv2's close shifted by one pixel along that
+    axis (see find_vertical_line_bounds for why the 1-px shift is
+    observably harmless in the one even-kernel call site)."""
     return erode(dilate(img, kh, kw, iterations), kh, kw, iterations)
 
 

@@ -599,12 +599,25 @@ def connected_components_star(pairs, max_rounds: int = 50):
         return (row.n, row.h)
 
     prev = _sig(edges)
+    converged = False
     for _ in range(max_rounds):
         edges = _star(_star(edges, keep_larger=True), keep_larger=False)
         sig = _sig(edges)
         if sig == prev:
+            converged = True
             break
         prev = sig
+    if not converged:
+        # the center extraction below assumes converged stars; silently
+        # returning labels from a non-converged graph would be WRONG
+        # labels with no signal.  Alternating large/small-star converges
+        # in O(log^2 n) rounds (Kiveris et al. Thm 2), so hitting this
+        # means max_rounds was set far too low for the graph, not a
+        # semantic failure — raise and let the caller raise the budget.
+        raise RuntimeError(
+            f"connected_components_star: edge set still changing after "
+            f"{max_rounds} rounds; raise max_rounds (O(log^2 n) suffices)"
+        )
     # converged stars: every non-center node has its center as min
     # neighbor; centers (and isolated-after-dedup nodes) label themselves
     centers = edges.groupBy(F.col("v").alias("node")).agg(

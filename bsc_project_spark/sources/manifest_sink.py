@@ -45,6 +45,9 @@ def _read_manifest(path: str) -> dict:
         return json.load(f)
 
 
+_WRITE_CHUNK_ROWS = 1024
+
+
 @dataclass
 class _WroteFiles(WriterCommitMessage):
     files: list
@@ -60,39 +63,80 @@ class _ManifestWriter(DataSourceWriter):
         self.overwrite = overwrite
 
     def write(self, iterator) -> _WroteFiles:
-        # executor side: dump this partition's rows to one parquet file.
-        # The arrow schema derives from the DECLARED Spark schema — letting
-        # from_pylist infer per partition would give all-null columns a
-        # null type and make partitions disagree.
+        # executor side: stream this partition's rows into one parquet
+        # file in bounded chunks — peak Python heap is O(chunk), not
+        # O(partition), which matters for a sink whose rows carry
+        # MB-scale media payloads.  The arrow schema derives from the
+        # DECLARED Spark schema — letting from_pylist infer per partition
+        # would give all-null columns a null type and make partitions
+        # disagree.
+        import itertools
+
         import pyarrow as pa
         import pyarrow.parquet as pq
 
         from pyspark.sql.pandas.types import to_arrow_schema
 
-        rows = [r.asDict(recursive=True) for r in iterator]
-        if not rows:
-            return _WroteFiles([], 0)
+        arrow_schema = to_arrow_schema(self.schema)
         data_dir = os.path.join(self.path, "data")
-        os.makedirs(data_dir, exist_ok=True)
         fname = f"part-{uuid.uuid4().hex}.parquet"
-        table = pa.Table.from_pylist(rows, schema=to_arrow_schema(self.schema))
-        pq.write_table(table, os.path.join(data_dir, fname))
-        return _WroteFiles([fname], len(rows))
+        writer = None
+        n_rows = 0
+        try:
+            while True:
+                chunk = [
+                    r.asDict(recursive=True)
+                    for r in itertools.islice(iterator, _WRITE_CHUNK_ROWS)
+                ]
+                if not chunk:
+                    break
+                if writer is None:
+                    os.makedirs(data_dir, exist_ok=True)
+                    writer = pq.ParquetWriter(
+                        os.path.join(data_dir, fname), arrow_schema
+                    )
+                writer.write_table(pa.Table.from_pylist(chunk, schema=arrow_schema))
+                n_rows += len(chunk)
+        finally:
+            if writer is not None:
+                writer.close()
+        if n_rows == 0:
+            return _WroteFiles([], 0)
+        return _WroteFiles([fname], n_rows)
 
     def commit(self, messages) -> None:
         # driver side: ONE atomic rename makes every partition's files
-        # visible together
+        # visible together.  The read-modify-write of the manifest is
+        # serialized by an O_EXCL lock file: two concurrent committers
+        # (or a retried job racing a second append) would otherwise both
+        # read the same prev manifest and the later os.replace would
+        # silently drop the earlier writer's files — with the lock the
+        # loser fails loudly instead (optimistic-concurrency semantics,
+        # like Iceberg's commit conflict).
         files = [f for m in messages for f in m.files]
-        prev = _read_manifest(self.path)
-        state = {
-            "version": prev["version"] + 1,
-            "files": files if self.overwrite else prev["files"] + files,
-        }
         os.makedirs(self.path, exist_ok=True)
-        tmp = _manifest_path(self.path) + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(state, f, indent=2, sort_keys=True)
-        os.replace(tmp, _manifest_path(self.path))
+        lock = _manifest_path(self.path) + ".lock"
+        try:
+            fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            raise RuntimeError(
+                f"manifest_parquet: concurrent commit in flight on {self.path} "
+                f"(lock {lock} exists); retry after the other writer finishes, "
+                "or remove a stale lock left by a crashed driver"
+            ) from None
+        try:
+            os.close(fd)
+            prev = _read_manifest(self.path)
+            state = {
+                "version": prev["version"] + 1,
+                "files": files if self.overwrite else prev["files"] + files,
+            }
+            tmp = _manifest_path(self.path) + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump(state, f, indent=2, sort_keys=True)
+            os.replace(tmp, _manifest_path(self.path))
+        finally:
+            os.unlink(lock)
 
     def abort(self, messages) -> None:
         for m in messages:

@@ -117,6 +117,18 @@ def main() -> None:
         "target": 0.8,
         "pass": max(eff_2_8, eff_4_16) >= 0.8,
     }
+    # provenance stamp: bench.py embeds this file into bench artifacts
+    # and flags it stale when the build has moved on (ADVICE round 2)
+    try:
+        commit = subprocess.run(
+            ["git", "rev-parse", "HEAD"], capture_output=True, text=True, cwd=REPO
+        ).stdout.strip()
+    except OSError:
+        commit = None
+    import time as _time
+
+    summary["measured_at_commit"] = commit or "unknown"
+    summary["measured_at_unix"] = int(_time.time())
     print(json.dumps(summary, indent=2))
     with open(os.path.join(REPO, "BENCH", "scaling_summary.json"), "w") as f:
         json.dump(summary, f, indent=2)

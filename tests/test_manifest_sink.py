@@ -106,3 +106,41 @@ def test_complex_types_roundtrip(spark, tmp_path):
     assert got.schema == df.schema
     assert got.exceptAll(df).count() == 0
     assert df.exceptAll(got).count() == 0
+
+
+def test_concurrent_commit_fails_loudly_not_silently(spark, tmp_path):
+    """Two racing committers must not both read the same prev manifest and
+    silently drop one writer's files: a commit that finds the O_EXCL lock
+    held fails with an explicit error, and succeeds after the lock clears."""
+    path = str(tmp_path / "tbl")
+    df = spark.range(5).selectExpr("id", "CAST(id AS STRING) AS s")
+    _write(df, path)
+    os.makedirs(path, exist_ok=True)
+    lock = os.path.join(path, "_manifest.json.lock")
+    with open(lock, "w"):
+        pass
+    with pytest.raises(Exception, match="concurrent commit"):
+        _write(df, path)
+    os.remove(lock)
+    _write(df, path)
+    got = spark.read.format("manifest_parquet").option("path", path).load()
+    assert got.count() == 10
+
+
+def test_writer_streams_in_bounded_chunks(spark, tmp_path):
+    """Partitions larger than the write chunk stream through the
+    ParquetWriter (several row groups, one file, exact row count)."""
+    from bsc_project_spark.sources import manifest_sink
+
+    path = str(tmp_path / "big")
+    n = manifest_sink._WRITE_CHUNK_ROWS * 3 + 17
+    df = spark.range(n).coalesce(1).selectExpr("id", "CAST(id AS STRING) AS s")
+    _write(df, path)
+    got = spark.read.format("manifest_parquet").option("path", path).load()
+    assert got.count() == n
+    files = _read_manifest(path)["files"]
+    assert len(files) == 1
+    import pyarrow.parquet as pq
+
+    meta = pq.ParquetFile(os.path.join(path, "data", files[0])).metadata
+    assert meta.num_row_groups >= 3

@@ -165,3 +165,19 @@ def test_two_phase_rank_is_dense_and_ordered(spark, tmp_path):
     got = dict(zip(out["doc_id"], out["rnk"]))
     # expected global order: (a,2) (a,3) (a,4) (b,0) (b,1) (b,5)
     assert got == {2: 1, 3: 2, 4: 3, 0: 4, 1: 5, 5: 6}
+
+
+def test_connected_components_star_raises_on_round_exhaustion(spark):
+    """Exhausting max_rounds before the edge-set checksum fixpoint must
+    raise, not silently return labels from non-converged stars."""
+    import pytest
+
+    from bsc_project_spark.queries.textops import connected_components_star
+
+    # a path graph needs >1 round; max_rounds=1 cannot converge AND
+    # observe the fixpoint (the checksum must repeat once)
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(20)], "a_id long, b_id long"
+    )
+    with pytest.raises(RuntimeError, match="still changing"):
+        connected_components_star(pairs, max_rounds=1)
