@@ -266,11 +266,14 @@ def run_stream_to_memory(
     transform,
     query_name: str,
     output_mode: str = "append",
+    max_files_per_trigger: int | None = None,
 ):
     """Helper: file-source stream over parquet -> transform -> memory sink,
     processed with availableNow (drains everything, then stops).  A single
     parquet FILE is wrapped in a temp directory (the file stream source
-    requires a directory)."""
+    requires a directory).  ``max_files_per_trigger`` splits the drain
+    into several micro-batches (tests use it to force cross-trigger
+    out-of-order arrival through stateful operators)."""
     import os
     import tempfile
 
@@ -281,7 +284,10 @@ def run_stream_to_memory(
         source_dir = d
     else:
         schema = spark.read.parquet(source_dir).schema
-    stream = spark.readStream.schema(schema).parquet(source_dir)
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(source_dir)
     out = transform(stream)
     q = (
         out.writeStream.format("memory")
