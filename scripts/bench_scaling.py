@@ -27,8 +27,9 @@ from bsc_project_spark.pipeline.extract import run_extract_stage
 
 cores = int(sys.argv[1])
 corpus_dir = sys.argv[2]
+ppc = int(os.environ.get("SPARK_GRAFT_PPC", "4"))
 spark = get_spark(f"scaling-{{cores}}", master=f"local[{{cores}}]",
-                  shuffle_partitions=max(32, cores * 4))
+                  shuffle_partitions=max(32, cores * ppc))
 spark.range(1000).selectExpr("sum(id)").collect()
 # pre-warm the Python workers (numpy/pandas imports) so the timed runs
 # measure the engine, not a 32-process import storm
