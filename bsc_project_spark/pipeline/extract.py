@@ -117,26 +117,41 @@ def _make_extract_udf(
     return extract_batches
 
 
+def _murmur3_int32(x: int, seed: int = 42) -> int:
+    """Spark's ``F.hash`` on an INT column: Murmur3_x86_32 of the 4-byte
+    value with seed 42 (bit-for-bit; pinned against the engine by
+    tests/test_partitioning.py)."""
+    c1, c2 = 0xCC9E2D51, 0x1B873593
+    k = (x & 0xFFFFFFFF) * c1 & 0xFFFFFFFF
+    k = ((k << 15) | (k >> 17)) & 0xFFFFFFFF
+    k = (k * c2) & 0xFFFFFFFF
+    h = seed ^ k
+    h = ((h << 13) | (h >> 19)) & 0xFFFFFFFF
+    h = (h * 5 + 0xE6546B64) & 0xFFFFFFFF
+    h ^= 4  # input length in bytes
+    h ^= h >> 16
+    h = (h * 0x85EBCA6B) & 0xFFFFFFFF
+    h ^= h >> 13
+    h = (h * 0xC2B2AE35) & 0xFFFFFFFF
+    h ^= h >> 16
+    return h - 0x100000000 if h >= 0x80000000 else h
+
+
 def _partition_tokens(spark: SparkSession, n: int) -> list[int]:
     """token[b] is an int that repartition(n, col) routes to shuffle
     partition b.  Spark's HashPartitioning places a row at
-    pmod(murmur3(col), n); we invert it by probing small ints with the
-    same expression (F.hash == Murmur3Hash), so a computed bin id can be
-    routed to EXACTLY that partition — plain hash-partitioning on the bin
-    id would collide bins (balls-into-bins) and undo the balancing."""
-    probe = (
-        spark.range(0, max(n * 64, 256))
-        .select(
-            F.col("id").cast("int").alias("v"),
-            F.pmod(F.hash(F.col("id").cast("int")), F.lit(n)).alias("p"),
-        )
-        .collect()
-    )
+    pmod(murmur3(col), n); we invert it DRIVER-SIDE with the same
+    Murmur3 (``_murmur3_int32`` == ``F.hash`` on int, test-pinned), so a
+    computed bin id routes to EXACTLY that partition — plain
+    hash-partitioning on the bin id would collide bins (balls-into-bins)
+    and undo the balancing.  Zero Spark jobs: this used to be a probe
+    collect per stage build, a fixed serial cost that bit hardest at
+    high parallelism where the kernel wall is short."""
     tokens: dict[int, int] = {}
-    for r in probe:
-        tokens.setdefault(r.p, r.v)
-        if len(tokens) == n:
-            break
+    v, limit = 0, max(n, 1) * 1024
+    while len(tokens) < n and v < limit:
+        tokens.setdefault(_murmur3_int32(v) % n, v)
+        v += 1
     return [tokens.get(b, b) for b in range(n)]
 
 

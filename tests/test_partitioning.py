@@ -89,3 +89,37 @@ def test_repartition_by_size_handles_fewer_pages_than_bins(spark):
     routed = repartition_by_size(pages, 8)
     assert routed.count() == 2
     assert routed.rdd.getNumPartitions() == 8
+
+
+def test_murmur3_int32_matches_spark_hash(spark):
+    """_partition_tokens inverts HashPartitioning driver-side; its
+    Murmur3 must be bit-identical to the engine's F.hash on ints,
+    including negatives and both int32 extremes."""
+    import pyspark.sql.functions as F
+
+    from bsc_project_spark.pipeline.extract import _murmur3_int32
+
+    vals = list(range(0, 512)) + [-1, -123456, 2**31 - 1, -(2**31)]
+    df = spark.createDataFrame([(v,) for v in vals], "v int")
+    got = {r.v: r.h for r in df.select("v", F.hash("v").alias("h")).collect()}
+    for v in vals:
+        assert _murmur3_int32(v & 0xFFFFFFFF) == got[v], v
+
+
+def test_partition_tokens_route_exactly(spark):
+    """Every token must actually land in its own shuffle partition under
+    repartition(n, token) — the invariant the serpentine bin routing
+    relies on."""
+    import pyspark.sql.functions as F
+
+    from bsc_project_spark.pipeline.extract import _partition_tokens
+
+    for n in (2, 8, 32):
+        toks = _partition_tokens(spark, n)
+        assert len(toks) == n and len(set(toks)) == n
+        df = spark.createDataFrame([(t,) for t in toks], "t int")
+        placed = {
+            r.p: r.t
+            for r in df.select("t", F.pmod(F.hash("t"), F.lit(n)).alias("p")).collect()
+        }
+        assert placed == {b: toks[b] for b in range(n)}
