@@ -90,8 +90,12 @@ _CHECK_FIRST = [
     "q_corpus_curation",
     # new this round
     "q_phash_pairs",
+    "q_length_quantiles",
+    "q_kmv_merge",
 ]
 _CHECK_LAST = [
+    "q_pair_join",
+    "q_merge_lineage",
     "q_union_pages",
     "q_dot_to_null",
     "q_clean_year",

@@ -1300,3 +1300,129 @@ _q(
     "deterministic stratified sample: 5 docs per language stratum under "
     "md5-keyed pseudo-random order",
 )
+
+
+# ---------------------------------------------------------------------------
+# Exact global quantiles WITHOUT a single-task sort: the classic "global
+# percentiles of a 10^12-row column" problem, solved with the same
+# two-phase rank machinery as q_sort_rank (.prefix.global_row_number) —
+# range-partition, parallel local ranks, driver prefix over P counts.
+# The quantile spec is positional (value at 1-based rank ceil(q*N) in
+# (n_chars, doc_id) order — percentile_disc semantics made explicit), so
+# the oracle states the SAME spec as a plain window over the full table,
+# engine-agnostic, with no reliance on either engine's percentile
+# function index conventions.
+# ---------------------------------------------------------------------------
+
+_QUANTILES = (0.25, 0.5, 0.75, 0.9, 0.99)
+
+_QUANTILES_ORACLE = f"""
+    WITH r AS (
+      SELECT n_chars,
+             row_number() OVER (ORDER BY n_chars, doc_id) AS rn,
+             count(*) OVER () AS n
+      FROM documents
+    )
+    SELECT CAST(q.q AS DOUBLE) AS quantile, r.n_chars
+    FROM (VALUES {", ".join(f"({q})" for q in _QUANTILES)}) q(q)
+    JOIN r ON r.rn = CAST(ceil(q.q * r.n) AS BIGINT)
+"""
+
+
+def _length_quantiles_spark(spark, sf_dir: str):
+    from pyspark.sql import functions as F
+
+    from .prefix import global_row_number
+
+    register_views(spark, sf_dir)
+    ranked = global_row_number(
+        spark.table("documents").select("n_chars", "doc_id"),
+        ["n_chars", "doc_id"],
+        "rn",
+    )
+    n = ranked.count()  # one scalar action; the rank frame stays cached
+    if n == 0:
+        return spark.sql(
+            "SELECT CAST(NULL AS DOUBLE) AS quantile, "
+            "CAST(NULL AS BIGINT) AS n_chars WHERE FALSE"
+        )
+    import math
+
+    targets = ", ".join(
+        f"({q}D, {max(1, math.ceil(q * n))}L)" for q in _QUANTILES
+    )
+    tgt = spark.sql(f"SELECT * FROM VALUES {targets} AS t(quantile, rn)")
+    return ranked.join(F.broadcast(tgt), "rn").select("quantile", "n_chars")
+
+
+QUERIES["q_length_quantiles"] = QuerySpec(
+    spark=_length_quantiles_spark,
+    oracle=_QUANTILES_ORACLE,
+    description="exact global percentiles of doc length via two-phase "
+    "parallel rank (no single-task sort); positional percentile_disc spec",
+)
+
+
+# ---------------------------------------------------------------------------
+# KMV mergeability, proven in the gate: the Spark side builds PER-SOURCE
+# bottom-k sketches first and MERGES them (k smallest of the distinct
+# union — the tiny k x n_sources merge input is bounded by construction);
+# the oracle computes the direct single-pass GLOBAL bottom-k.  Bottom-k
+# commutes with union, so the two must agree hash-for-hash — this is the
+# merge procedure PLANS.md documents, executed as a checked query.  At
+# fleet scale the per-shard sketches are what worker nodes ship to the
+# coordinator; this query IS that topology at sf scale.
+# ---------------------------------------------------------------------------
+
+_KMV_MERGE_ORACLE = f"""
+    WITH h AS (SELECT DISTINCT md5(text) AS hv FROM documents),
+    ranked AS (SELECT hv, row_number() OVER (ORDER BY hv) AS rn FROM h),
+    agg AS (
+      SELECT count(*) AS n_exact,
+             max(CASE WHEN rn = {_KMV_K} THEN hv END) AS kth_hash
+      FROM ranked
+    )
+    SELECT CAST(n_exact AS BIGINT) AS n_exact,
+           CASE WHEN n_exact < {_KMV_K} THEN CAST(n_exact AS DOUBLE)
+                ELSE round({_KMV_K - 1} * 4294967296.0
+                           / NULLIF(CAST({_hex8_of("kth_hash")} AS BIGINT), 0), 6)
+           END AS kmv_estimate
+    FROM agg
+"""
+
+_KMV_MERGE_SPARK = f"""
+    WITH shard_sketch AS (
+      SELECT source, hv FROM (
+        SELECT source, hv,
+               row_number() OVER (PARTITION BY source ORDER BY hv) AS rn
+        FROM (SELECT DISTINCT source, md5(text) AS hv FROM documents)
+      ) WHERE rn <= {_KMV_K}
+    ),
+    merged AS (
+      -- k x n_sources rows total: the merge input is bounded by
+      -- construction, so the single-group re-rank is a fixed-size fold
+      SELECT hv, row_number() OVER (ORDER BY hv) AS rn
+      FROM (SELECT DISTINCT hv FROM shard_sketch)
+    ),
+    agg AS (
+      SELECT count(*) AS sk_size,
+             max(CASE WHEN rn = {_KMV_K} THEN hv END) AS kth_hash
+      FROM merged WHERE rn <= {_KMV_K}
+    ),
+    exact AS (SELECT count(DISTINCT md5(text)) AS n_exact FROM documents)
+    SELECT CAST(exact.n_exact AS BIGINT) AS n_exact,
+           CASE WHEN exact.n_exact < {_KMV_K} THEN CAST(exact.n_exact AS DOUBLE)
+                ELSE round({_KMV_K - 1} * 4294967296.0
+                           / NULLIF(CAST({_hex8_of("kth_hash")} AS BIGINT), 0), 6)
+           END AS kmv_estimate
+    FROM agg, exact
+"""
+
+_q(
+    "q_kmv_merge",
+    _KMV_MERGE_SPARK,
+    _KMV_MERGE_ORACLE,
+    "KMV shard merge == direct global sketch: per-source bottom-k merged "
+    "(k smallest of the distinct union) must reproduce the single-pass "
+    "global estimate exactly — the PLANS.md merge procedure as a gate",
+)
