@@ -145,22 +145,34 @@ def main() -> None:
         with open(scaling_path) as f:
             ev = json.load(f)
         # staleness visibility: the scaling run is measured separately
-        # (scripts/bench_scaling.py stamps its git commit); if the build
-        # has moved on since, say so in the artifact instead of passing
-        # old numbers off as this run's
-        try:
-            import subprocess
-
-            head = subprocess.run(
-                ["git", "rev-parse", "HEAD"],
-                capture_output=True,
-                text=True,
-                cwd=os.path.dirname(os.path.abspath(__file__)),
-            ).stdout.strip()
-        except OSError:
-            head = ""
+        # (scripts/bench_scaling.py stamps its git commit); if ENGINE
+        # SOURCE has changed since that commit, say so in the artifact
+        # instead of passing old numbers off as this build's.  Doc- or
+        # artifact-only commits do not invalidate the measurement.
+        repo = os.path.dirname(os.path.abspath(__file__))
         measured = ev.get("measured_at_commit")
-        ev["stale"] = bool(measured) and measured != "unknown" and measured != head
+        stale = False
+        if measured and measured != "unknown":
+            try:
+                import subprocess
+
+                diff = subprocess.run(
+                    ["git", "diff", "--name-only", measured, "HEAD"],
+                    capture_output=True, text=True, cwd=repo,
+                )
+                if diff.returncode != 0:
+                    stale = True  # unknown commit -> can't vouch
+                else:
+                    # the scaling measurement's code path: the engine
+                    # itself + the harness that timed it
+                    stale = any(
+                        f.startswith("bsc_project_spark/")
+                        or f == "scripts/bench_scaling.py"
+                        for f in diff.stdout.splitlines()
+                    )
+            except OSError:
+                stale = False
+        ev["stale"] = stale
         out["scaling_evidence"] = ev
     spark.stop()
     print(json.dumps(out))

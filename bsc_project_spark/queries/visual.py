@@ -113,6 +113,8 @@ def synth_pages(docs: DataFrame) -> DataFrame:
 
 
 def _phash_pairs_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
     from ..pipeline.media_ops import image_phash, phash_near_dup_pairs
 
     register_views(spark, sf_dir)
@@ -125,8 +127,21 @@ def _phash_pairs_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM documents
         """
     )
-    pages = synth_pages(docs)
-    phashes = image_phash(pages)
+    # kernel cost O(unique pages), the engine's own principle (same
+    # distinct-refs shape as run_page_stage): render + pHash each
+    # DISTINCT (pattern, variant) page once through the real kernel,
+    # then broadcast the skinny hash frame back onto the doc table.
+    distinct_pages = docs.select("pattern_id", "variant").distinct().withColumn(
+        "doc_id", F.concat_ws(":", "pattern_id", "variant")
+    )
+    page_hashes = image_phash(synth_pages(distinct_pages)).select(
+        F.split("media_ref", ":")[0].cast("int").alias("pattern_id"),
+        F.split("media_ref", ":")[1].cast("int").alias("variant"),
+        "phash",
+    )
+    phashes = docs.join(
+        F.broadcast(page_hashes), ["pattern_id", "variant"]
+    ).select(F.col("doc_id").cast("string").alias("media_ref"), "phash")
     return phash_near_dup_pairs(phashes, max_hamming=_MAX_HAMMING)
 
 
