@@ -92,8 +92,10 @@ _CHECK_FIRST = [
     "q_phash_pairs",
     "q_length_quantiles",
     "q_kmv_merge",
+    "q_semantic_dedup",
 ]
 _CHECK_LAST = [
+    "q_ngram_jaccard",
     "q_pair_join",
     "q_merge_lineage",
     "q_union_pages",

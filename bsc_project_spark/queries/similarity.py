@@ -361,6 +361,93 @@ _IVF_DUCK = """
     ) t WHERE rn = 1
 """
 
+# ---------------------------------------------------------------------------
+# SemDeDup-style semantic dedup (Abbas et al. 2023): cluster the embedding
+# space coarsely (nearest of K broadcast centroids — the q_ivf_assign
+# index), then search for near-duplicates ONLY within each cluster.  The
+# pairwise-cosine cost drops from N^2 to sum(cluster^2); at fleet scale K
+# grows with N so per-cluster populations stay bounded, the assignment
+# table is partitioned by centroid_id, and the within-cluster self-join
+# shuffles on centroid_id only.  Run over the planted-duplicate corpus
+# (clones are bit-identical -> same cluster, so recall of planted pairs is
+# exact by construction).  Output: per-vector survivorship (kept = no
+# within-cluster partner with smaller id above the cosine threshold).
+# ---------------------------------------------------------------------------
+
+_SEMDEDUP_TAU = 0.999
+
+
+def _semantic_dedup_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    dot = _SPARK_DOT
+    return spark.sql(
+        f"""
+        WITH corpus AS ({_NEAR_DUP_CORPUS}),
+        v AS (SELECT vec_id, v AS vv,
+                     sqrt({dot.format(a='v', b='v')}) AS vn
+              FROM corpus),
+        c AS (SELECT vec_id AS centroid_id, vv AS cv, vn AS cn
+              FROM v WHERE vec_id < 8),
+        assign AS (
+          SELECT vec_id, vv, vn, centroid_id FROM (
+            SELECT /*+ BROADCAST(c) */ v.vec_id, v.vv, v.vn, c.centroid_id,
+                   row_number() OVER (PARTITION BY v.vec_id
+                     ORDER BY {dot.format(a='vv', b='cv')} / (vn * cn) DESC,
+                              c.centroid_id) AS rn
+            FROM v CROSS JOIN c
+          ) t WHERE rn = 1
+        ),
+        dropped AS (
+          SELECT DISTINCT b.vec_id
+          FROM assign a JOIN assign b
+            ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+          WHERE {dot.format(a='a.vv', b='b.vv')} / (a.vn * b.vn) > {_SEMDEDUP_TAU}
+        )
+        SELECT a.vec_id, a.centroid_id,
+               CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS kept
+        FROM assign a LEFT JOIN dropped d ON d.vec_id = a.vec_id
+        """
+    )
+
+
+_SEMDEDUP_DUCK = f"""
+    WITH corpus AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+      UNION ALL
+      SELECT vec_id + 1000000 AS vec_id, embedding::DOUBLE[] AS v
+      FROM embeddings WHERE vec_id % 100 = 0
+    ),
+    v AS (SELECT vec_id, v AS vv, sqrt(list_dot_product(v, v)) AS vn FROM corpus),
+    c AS (SELECT vec_id AS centroid_id, vv AS cv, vn AS cn
+          FROM v WHERE vec_id < 8),
+    assign AS (
+      SELECT vec_id, vv, vn, centroid_id FROM (
+        SELECT v.vec_id, v.vv, v.vn, c.centroid_id,
+               row_number() OVER (PARTITION BY v.vec_id
+                 ORDER BY list_dot_product(vv, cv) / (vn * cn) DESC,
+                          c.centroid_id) AS rn
+        FROM v CROSS JOIN c
+      ) t WHERE rn = 1
+    ),
+    dropped AS (
+      SELECT DISTINCT b.vec_id
+      FROM assign a JOIN assign b
+        ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+      WHERE list_dot_product(a.vv, b.vv) / (a.vn * b.vn) > {_SEMDEDUP_TAU}
+    )
+    SELECT a.vec_id, a.centroid_id,
+           CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS kept
+    FROM assign a LEFT JOIN dropped d ON d.vec_id = a.vec_id
+"""
+
+QUERIES["q_semantic_dedup"] = QuerySpec(
+    spark=_semantic_dedup_spark,
+    oracle=_SEMDEDUP_DUCK,
+    description="SemDeDup: coarse k-means clusters bucket the pairwise "
+    "cosine search; within-cluster near-dups dropped, survivors kept",
+)
+
+
 QUERIES["q_ivf_assign"] = QuerySpec(
     spark=_ivf_assign_spark,
     oracle=_IVF_DUCK,
