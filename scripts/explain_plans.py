@@ -78,6 +78,16 @@ def main() -> None:
         ("q_segment_revenue", "broadcast-dim revenue top-k: both dims arrive via "
          "BroadcastHashJoin; the fact scan shuffles only for the groupBy; "
          "TakeOrderedAndProject caps the sort"),
+        ("q_sort_rank", "two-phase global rank: range exchange + per-range "
+         "window + broadcast offsets — NO SinglePartition exchange anywhere "
+         "(the .prefix machinery shared with q_sequence_pack / "
+         "q_corpus_curation / q_length_quantiles)"),
+        ("q_phash_pairs", "visual near-dup: ONE MapInPandas over the distinct "
+         "(pattern, variant) pages (kernel cost O(unique pages)), broadcast "
+         "hash-frame fan-out, banded Hamming equi-join — no nested loop"),
+        ("q_semantic_dedup", "SemDeDup: broadcast centroid assignment, then the "
+         "pairwise cosine self-join shuffles on centroid_id only — the "
+         "cluster buckets bound the quadratic term"),
         ("q_contamination", "benchmark decontamination: the benchmark-gram set "
          "and the per-doc hit counts both arrive via BroadcastExchange (the "
          "benchmark is KB-scale at any corpus size), and the doc_id % 37 "
@@ -205,6 +215,59 @@ applies to join selection:
 All three strategies (driver union-find, pointer-jump fixpoint,
 large-star/small-star) are pinned equal against a union-find oracle on
 random graphs by `tests/test_new_ops.py`.
+
+## SimHash production config (`q_simhash_pairs` / `phash_near_dup_pairs`) — band math
+
+The oracle-checked demo runs 16-bit SimHash with 2 x 8-bit bands (keeps
+integer widths comfortable in both engines); the production config is
+**64-bit SimHash, 4 x 16-bit bands** — the identical plan shape, which
+`phash_near_dup_pairs` already runs natively for the visual path.  The
+knob arithmetic:
+
+- **Guaranteed recall radius = bands - 1** (pigeonhole): with 4 bands,
+  a pair at Hamming distance d <= 3 cannot flip a bit in every band, so
+  at least one band value matches exactly and the candidate equi-join
+  finds it.  Recall is 1.0 for d <= 3 by construction.
+- **Best-effort beyond the radius** (flip positions ~ uniform over the
+  64 bits): a distance-d pair is missed iff every band absorbs >= 1
+  flip.  d=4: 16^4 / C(64,4) = 65536/635376 -> miss 10.3%, recall
+  0.897.  d=5 (inclusion–exclusion over bands left clean): miss
+  1,966,080 / 7,624,512 = 25.8%, recall 0.742.  Near-dup thresholds for
+  64-bit SimHash sit at d <= 3 in the published deployments (Manku et
+  al., WWW'07 use exactly 64-bit / d=3 / 4-band-family), i.e. inside
+  the guaranteed radius.
+- **Bucket cardinality**: each band key is (band_id, 16-bit value) ->
+  65,536-ary buckets per band; expected band-bucket population N/2^16,
+  so candidate volume is ~4 * N^2 / 2^17 only under a uniform-hash
+  worst case and in practice tracks the true near-dup density (SimHash
+  concentrates similar docs, not random ones).  Raising the radius
+  means MORE, NARROWER bands (r=7 -> 8 x 8-bit bands, 256-ary buckets:
+  recall guaranteed but candidate pressure up 256x per band) — never a
+  wider verify threshold on the same bands.
+- The exact `bit_count(xor)` verify after the band join makes false
+  positives free (dropped) — banding only ever costs recall, which the
+  numbers above bound.
+
+## KMV sketch shard merge (`q_kmv_sketch`) — procedure
+
+The per-source sketch is the k=64 smallest md5 values of the dedup key.
+Min-operations commute with union, so the sketch is **exactly mergeable
+with no bias and no ordering constraints**:
+
+1. each shard emits its own bottom-k list (one shuffle on the group key,
+   partial TopK map-side);
+2. merged sketch = the k smallest of the UNION of shard sketches —
+   associative + commutative, so any combine tree (pairwise, tree-agg,
+   SQL `row_number() OVER (PARTITION BY source ORDER BY hv) <= k` over
+   the unioned lists) gives the identical sketch;
+3. estimate from the merged sketch exactly as from a single-pass one:
+   (k-1) / kth-smallest-normalized-hash.
+
+Relative standard error ~ 1/sqrt(k-2) ≈ 12.7% at k=64; double k to cut
+it by sqrt(2) — the sketch stays 64 x 16 bytes per group either way.
+An engine-native HLL (approx_count_distinct) is cheaper per row but
+non-deterministic across engines; md5-KMV is what lets the DuckDB
+oracle hash-compare the sketch itself.
 """
 
 
