@@ -513,8 +513,22 @@ def committed_doc_ids(
     every micro-batch.  Falls back to the data files for tables written
     before the ledger existed."""
     manifest = read_manifest(out_dir)
-    base = manifest["committed_buckets"]
-    updates = manifest.get("committed_updates", [])
+    comp = manifest.get("compaction") or {}
+    covered_b = set(comp.get("buckets", []))
+    covered_u = set(comp.get("updates", []))
+    base = [b for b in manifest["committed_buckets"] if b not in covered_b]
+    updates = [
+        u for u in manifest.get("committed_updates", []) if u not in covered_u
+    ]
+    comp_path = (
+        os.path.join(out_dir, f"doc_ids/compacted={comp['id']}") if comp else None
+    )
+    if comp_path is not None and not os.path.exists(comp_path):
+        # compaction predates the ledger fold: its covered dirs still
+        # exist, read them directly
+        base = manifest["committed_buckets"]
+        updates = manifest.get("committed_updates", [])
+        comp_path = None
     if buckets is not None:
         wanted = set(buckets)
         base = [b for b in base if b in wanted]
@@ -529,6 +543,11 @@ def committed_doc_ids(
     # root and raises CONFLICTING_DIRECTORY_STRUCTURES
     root = os.path.join(out_dir, "doc_ids")
     frames = []
+    if comp_path is not None:
+        cdf = spark.read.option("basePath", root).parquet(comp_path)
+        if buckets is not None:
+            cdf = cdf.where(F.col("dbucket").isin([int(b) for b in buckets]))
+        frames.append(cdf.select("doc_id"))
     if base_paths:
         frames.append(
             spark.read.option("basePath", root).parquet(*base_paths).select("doc_id")
@@ -576,6 +595,22 @@ def compact(spark: SparkSession, out_dir: str, target_partitions: int = 1) -> di
     df = read_extracted(spark, out_dir)
     dest = os.path.join(out_dir, f"data/compacted={cid}")
     df.repartition(target_partitions).write.mode("overwrite").parquet(dest)
+    if manifest.get("n_buckets"):
+        # fold the committed-ids ledger too: without this a long-lived
+        # continuous-ingest table accretes one doc_ids/update=U dir per
+        # batch forever, and the ingest anti-join's touched-bucket scan
+        # grows with update count instead of staying one dir per bucket
+        (
+            df.select("doc_id")
+            .distinct()
+            .withColumn(
+                "dbucket",
+                F.pmod(F.xxhash64("doc_id"), F.lit(manifest["n_buckets"])),
+            )
+            .write.mode("overwrite")
+            .partitionBy("dbucket")
+            .parquet(os.path.join(out_dir, f"doc_ids/compacted={cid}"))
+        )
     state = {
         k: manifest.get(k)
         for k in (

@@ -246,3 +246,38 @@ def test_ingest_anti_join_prunes_to_touched_buckets(spark, corpus, tmp_path):
         r.doc_id
         for r in read_extracted(spark, out_dir).select("doc_id").distinct().collect()
     }
+
+
+def test_compaction_folds_the_ledger(spark, corpus, tmp_path):
+    """After compact(), the committed-ids scan for covered snapshots reads
+    the single compacted ledger dir (pruned by dbucket) instead of one
+    dir per update — and stays correct for commits made after."""
+    from bsc_project_spark.pipeline.checkpoint import committed_doc_ids, compact
+
+    docs, media, delta_ids, out_dir = _setup_base(spark, corpus, tmp_path)
+    sink = ingest_sink(media, FIXTURE_CONFIG, out_dir)
+    sink(docs.filter(F.col("doc_id") == delta_ids[0]), 0)
+    compact(spark, out_dir)
+
+    all_ids = {r.doc_id for r in committed_doc_ids(spark, out_dir).collect()}
+    expect = {
+        r.doc_id
+        for r in read_extracted(spark, out_dir).select("doc_id").distinct().collect()
+    }
+    assert all_ids == expect
+
+    nb = read_manifest(out_dir)["n_buckets"]
+    probe_b = 0
+    pruned = committed_doc_ids(spark, out_dir, [probe_b])
+    files = pruned.inputFiles()
+    assert files and all("/doc_ids/compacted=1/" in f for f in files), files
+
+    # a post-compaction ingest appends a fresh update ledger alongside
+    sink(docs.filter(F.col("doc_id") == delta_ids[1]), 1)
+    all_ids2 = {r.doc_id for r in committed_doc_ids(spark, out_dir).collect()}
+    expect2 = {
+        r.doc_id
+        for r in read_extracted(spark, out_dir).select("doc_id").distinct().collect()
+    }
+    assert all_ids2 == expect2
+    assert delta_ids[1] in all_ids2
