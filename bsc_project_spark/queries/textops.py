@@ -1314,7 +1314,12 @@ _q(
 # function index conventions.
 # ---------------------------------------------------------------------------
 
-_QUANTILES = (0.25, 0.5, 0.75, 0.9, 0.99)
+# percentiles as INTEGER percents: the target rank ceil(q*N) is computed
+# with exact integer arithmetic ((pct*N + 99) // 100) on BOTH sides —
+# a binary-double q*N can land an ulp above an exact integer and ceil()
+# one rank too far, while DuckDB would evaluate the same literal as
+# DECIMAL and disagree
+_QUANTILE_PCTS = (25, 50, 75, 90, 99)
 
 _QUANTILES_ORACLE = f"""
     WITH r AS (
@@ -1323,9 +1328,9 @@ _QUANTILES_ORACLE = f"""
              count(*) OVER () AS n
       FROM documents
     )
-    SELECT CAST(q.q AS DOUBLE) AS quantile, r.n_chars
-    FROM (VALUES {", ".join(f"({q})" for q in _QUANTILES)}) q(q)
-    JOIN r ON r.rn = CAST(ceil(q.q * r.n) AS BIGINT)
+    SELECT CAST(q.pct AS DOUBLE) / 100 AS quantile, r.n_chars
+    FROM (VALUES {", ".join(f"({p})" for p in _QUANTILE_PCTS)}) q(pct)
+    JOIN r ON r.rn = (q.pct * r.n + 99) // 100
 """
 
 
@@ -1346,10 +1351,8 @@ def _length_quantiles_spark(spark, sf_dir: str):
             "SELECT CAST(NULL AS DOUBLE) AS quantile, "
             "CAST(NULL AS BIGINT) AS n_chars WHERE FALSE"
         )
-    import math
-
     targets = ", ".join(
-        f"({q}D, {max(1, math.ceil(q * n))}L)" for q in _QUANTILES
+        f"({p / 100}D, {max(1, (p * n + 99) // 100)}L)" for p in _QUANTILE_PCTS
     )
     tgt = spark.sql(f"SELECT * FROM VALUES {targets} AS t(quantile, rn)")
     return ranked.join(F.broadcast(tgt), "rn").select("quantile", "n_chars")
