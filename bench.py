@@ -163,11 +163,25 @@ def main() -> None:
                 if diff.returncode != 0:
                     stale = True  # unknown commit -> can't vouch
                 else:
-                    # the scaling measurement's code path: the engine
-                    # itself + the harness that timed it
+                    # the scaling measurement's code path: the extraction
+                    # pipeline + kernels + the harness that timed it.
+                    # queries/, streaming/, sources/ changes cannot move
+                    # this measurement — the scaling job never runs them.
+                    # (exact import graph of scripts/bench_scaling.py's
+                    # worker: session + extract + the kernels/codec/
+                    # fixtures the extract UDF pulls in — checkpoint.py,
+                    # masks.py etc. are other jobs)
+                    measured_paths = (
+                        "bsc_project_spark/pipeline/extract",
+                        "bsc_project_spark/pipeline/session",
+                        "bsc_project_spark/kernels/",
+                        "bsc_project_spark/io/",
+                        "bsc_project_spark/fixtures/",
+                        "bsc_project_spark/config",
+                        "scripts/bench_scaling.py",
+                    )
                     stale = any(
-                        f.startswith("bsc_project_spark/")
-                        or f == "scripts/bench_scaling.py"
+                        f.startswith(measured_paths)
                         for f in diff.stdout.splitlines()
                     )
             except OSError:
