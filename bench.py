@@ -170,7 +170,10 @@ def main() -> None:
                     # (exact import graph of scripts/bench_scaling.py's
                     # worker: session + extract + the kernels/codec/
                     # fixtures the extract UDF pulls in — checkpoint.py,
-                    # masks.py etc. are other jobs)
+                    # masks.py etc. are other jobs.  The harness script
+                    # itself is not listed: its markdown template edits
+                    # would false-positive, and measurement-logic
+                    # provenance stays visible via measured_at_commit.)
                     measured_paths = (
                         "bsc_project_spark/pipeline/extract",
                         "bsc_project_spark/pipeline/session",
@@ -178,7 +181,6 @@ def main() -> None:
                         "bsc_project_spark/io/",
                         "bsc_project_spark/fixtures/",
                         "bsc_project_spark/config",
-                        "scripts/bench_scaling.py",
                     )
                     stale = any(
                         f.startswith(measured_paths)
