@@ -93,8 +93,10 @@ _CHECK_FIRST = [
     "q_length_quantiles",
     "q_kmv_merge",
     "q_semantic_dedup",
+    "q_cms_topk",
 ]
 _CHECK_LAST = [
+    "q_minhash_sig",
     "q_ngram_jaccard",
     "q_pair_join",
     "q_merge_lineage",

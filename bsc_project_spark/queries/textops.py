@@ -1429,3 +1429,83 @@ _q(
     "(k smallest of the distinct union) must reproduce the single-pass "
     "global estimate exactly — the PLANS.md merge procedure as a gate",
 )
+
+
+# ---------------------------------------------------------------------------
+# Count-Min frequency sketch (heavy hitters): d=4 md5-keyed hash rows x
+# w=256 counters, estimate = min over rows of the token's counter — the
+# frequency twin of q_kmv_sketch's distinct sketch.  md5 bucketing makes
+# the sketch DETERMINISTIC and identical across engines, so the driver
+# hash-compares the sketch-backed estimates themselves; the exact count
+# rides alongside, making the result an accuracy measurement (CMS
+# guarantees estimate >= exact; overshoot is collision noise bounded by
+# e*N/w per row).  Scale shape: the counter matrix is ONE grouped count
+# over (row, bucket) — 1024 cells at any corpus size — and merges across
+# shards by cell-wise addition (linear), so the same plan is the
+# map-side-combine + tiny-reduce at 100 TB.  Probe set = the exact top-20
+# tokens, so the collision error is measured exactly where it matters.
+# ---------------------------------------------------------------------------
+
+_CMS_D = 4
+_CMS_W = 256
+_CMS_TOPK = 20
+
+
+def _cms_bucket(row: str, tok_expr: str, st: str) -> str:
+    return (
+        "("
+        + _hex8_of(f"md5(concat('cms', CAST({row} AS {st}), ':', {tok_expr}))")
+        + f") % {_CMS_W}"
+    )
+
+
+_CMS_BODY = """
+    WITH toks AS (
+      SELECT t.token FROM ({tok_src}) t WHERE length(t.token) > 0
+    ),
+    rows_ AS ({rows_src}),
+    counters AS (
+      SELECT r.j, {bucket} AS b, CAST(count(*) AS BIGINT) AS c
+      FROM toks, rows_ r
+      GROUP BY 1, 2
+    ),
+    exact AS (
+      SELECT token, CAST(count(*) AS BIGINT) AS n_exact
+      FROM toks GROUP BY token
+      ORDER BY n_exact DESC, token
+      LIMIT {topk}
+    ),
+    probed AS (
+      SELECT e.token, e.n_exact, r.j, {pbucket} AS b
+      FROM exact e, rows_ r
+    )
+    SELECT p.token, p.n_exact,
+           CAST(min(c.c) AS BIGINT) AS cms_estimate
+    FROM probed p JOIN counters c ON c.j = p.j AND c.b = p.b
+    GROUP BY p.token, p.n_exact
+"""
+
+_CMS_SPARK = _CMS_BODY.format(
+    tok_src="SELECT explode(split(lower(trim(text)), '\\\\s+')) AS token FROM documents",
+    rows_src="SELECT explode(sequence(0, {})) AS j".format(_CMS_D - 1),
+    bucket=_cms_bucket("r.j", "token", "STRING"),
+    pbucket=_cms_bucket("r.j", "e.token", "STRING"),
+    topk=_CMS_TOPK,
+)
+
+_CMS_DUCK = _CMS_BODY.format(
+    tok_src=r"SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS token FROM documents",
+    rows_src="SELECT unnest(generate_series(0, {})) AS j".format(_CMS_D - 1),
+    bucket=_cms_bucket("r.j", "token", "VARCHAR"),
+    pbucket=_cms_bucket("r.j", "e.token", "VARCHAR"),
+    topk=_CMS_TOPK,
+)
+
+_q(
+    "q_cms_topk",
+    _CMS_SPARK,
+    _CMS_DUCK,
+    f"Count-Min sketch heavy hitters: {_CMS_D}x{_CMS_W} md5-keyed counter "
+    f"matrix, min-over-rows estimates for the exact top-{_CMS_TOPK} tokens "
+    "(estimate >= exact by construction; cell-wise-additive shard merge)",
+)

@@ -181,3 +181,13 @@ def test_connected_components_star_raises_on_round_exhaustion(spark):
     )
     with pytest.raises(RuntimeError, match="still changing"):
         connected_components_star(pairs, max_rounds=1)
+
+
+def test_cms_estimate_never_undercounts(spark):
+    """Count-Min property: the sketch estimate is >= the exact count for
+    every probed token (collisions only ever ADD)."""
+    from bsc_project_spark.queries import all_queries
+
+    rows = all_queries()["q_cms_topk"].spark(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    assert all(r.cms_estimate >= r.n_exact for r in rows), rows
