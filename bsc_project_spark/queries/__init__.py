@@ -94,8 +94,10 @@ _CHECK_FIRST = [
     "q_kmv_merge",
     "q_semantic_dedup",
     "q_cms_topk",
+    "q_norm_dedup",
 ]
 _CHECK_LAST = [
+    "q_lsh_pairs",
     "q_minhash_sig",
     "q_ngram_jaccard",
     "q_pair_join",

@@ -1509,3 +1509,55 @@ _q(
     f"matrix, min-over-rows estimates for the exact top-{_CMS_TOPK} tokens "
     "(estimate >= exact by construction; cell-wise-additive shard merge)",
 )
+
+
+# ---------------------------------------------------------------------------
+# Normalization-aware dedup (CCNet/C4-style): lowercase + digit folding +
+# punctuation strip + whitespace collapse, then exact dedup on the
+# NORMALIZED key — measuring the dedup LIFT over raw-hash dedup (docs
+# caught ONLY after normalization).  Unicode NFC is out of scope (no
+# engine-portable SQL normalizer); the fold set matches the published
+# CCNet preprocessing minus NFC.  Planted positives: every 50th document
+# gets a clone differing only in appended punctuation — raw hashes
+# differ, normalized keys collide, so the operator has a guaranteed
+# deterministic signal.  One scan, two window passes on skinny keys.
+# ---------------------------------------------------------------------------
+
+_NORM_EXPR_TEMPLATE = (
+    "trim(regexp_replace(regexp_replace(translate(lower(text), "
+    "'0123456789', '0000000000'), '[.,;:!?()]', ''{g}), '\\\\s+', ' '{g}))"
+)
+
+_NORM_BODY = """
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id, concat(text, ' !!.') AS text
+      FROM documents WHERE doc_id % 50 = 0
+    ),
+    keyed AS (
+      SELECT doc_id,
+             md5(text) AS raw_key,
+             md5({norm}) AS norm_key
+      FROM corpus
+    ),
+    keepers AS (
+      SELECT doc_id,
+             min(doc_id) OVER (PARTITION BY raw_key) AS raw_keeper,
+             min(doc_id) OVER (PARTITION BY norm_key) AS norm_keeper
+      FROM keyed
+    )
+    SELECT doc_id, norm_keeper,
+           CASE WHEN doc_id <> norm_keeper AND doc_id = raw_keeper
+                THEN 1 ELSE 0 END AS caught_by_norm_only
+    FROM keepers
+"""
+
+_q(
+    "q_norm_dedup",
+    _NORM_BODY.format(norm=_NORM_EXPR_TEMPLATE.format(g="")),
+    _NORM_BODY.format(norm=_NORM_EXPR_TEMPLATE.format(g=", 'g'")),
+    "normalization-aware dedup (CCNet fold: case/digits/punct/whitespace): "
+    "per-doc normalized survivor + the dedup lift over raw hashing "
+    "(planted punctuation-only clones caught only after normalization)",
+)
