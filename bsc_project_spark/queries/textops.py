@@ -1432,18 +1432,20 @@ _q(
 
 
 # ---------------------------------------------------------------------------
-# Count-Min frequency sketch (heavy hitters): d=4 md5-keyed hash rows x
-# w=256 counters, estimate = min over rows of the token's counter — the
-# frequency twin of q_kmv_sketch's distinct sketch.  md5 bucketing makes
-# the sketch DETERMINISTIC and identical across engines, so the driver
-# hash-compares the sketch-backed estimates themselves; the exact count
-# rides alongside, making the result an accuracy measurement (CMS
-# guarantees estimate >= exact; overshoot is collision noise bounded by
-# e*N/w per row).  Scale shape: the counter matrix is ONE grouped count
-# over (row, bucket) — 1024 cells at any corpus size — and merges across
-# shards by cell-wise addition (linear), so the same plan is the
-# map-side-combine + tiny-reduce at 100 TB.  Probe set = the exact top-20
-# tokens, so the collision error is measured exactly where it matters.
+# Count-Min frequency sketch (heavy hitters): d=4 hash rows x w=256
+# counters, estimate = min over rows of the token's counter — the
+# frequency twin of q_kmv_sketch's distinct sketch.  The 4 row hashes are
+# the 4 disjoint 8-hex-char slices of ONE md5(token) digest (standard
+# split-digest construction), md5-keyed so the sketch is DETERMINISTIC
+# and identical across engines — the driver hash-compares the
+# sketch-backed estimates themselves, with the exact count alongside as
+# an accuracy measurement (CMS guarantees estimate >= exact; overshoot
+# is collision noise bounded by e*N/w per row).  Cost shape: ONE wide
+# groupBy(token) with map-side combine does all the heavy lifting; the
+# counter matrix derives from the (token, cnt) frame — one md5 per
+# DISTINCT token, 1024 counter cells at any corpus size — and merges
+# across shards by cell-wise addition (linear).  Probe set = the exact
+# top-20 tokens, so collision error is measured where it matters.
 # ---------------------------------------------------------------------------
 
 _CMS_D = 4
@@ -1451,32 +1453,36 @@ _CMS_W = 256
 _CMS_TOPK = 20
 
 
-def _cms_bucket(row: str, tok_expr: str, st: str) -> str:
+def _cms_bucket(digest_expr: str) -> str:
+    """Row j's bucket: hex slice [8j, 8j+8) of the md5 digest, mod w.
+    (j comes from the joined rows_ relation as column r.j.)"""
     return (
         "("
-        + _hex8_of(f"md5(concat('cms', CAST({row} AS {st}), ':', {tok_expr}))")
+        + _hex8_of(f"substring({digest_expr}, r.j * 8 + 1, 8)")
         + f") % {_CMS_W}"
     )
 
 
-_CMS_BODY = """
-    WITH toks AS (
-      SELECT t.token FROM ({tok_src}) t WHERE length(t.token) > 0
+_CMS_BODY = f"""
+    WITH tok_counts AS (
+      SELECT t.token, CAST(count(*) AS BIGINT) AS cnt
+      FROM ({{tok_src}}) t WHERE length(t.token) > 0
+      GROUP BY t.token
     ),
-    rows_ AS ({rows_src}),
+    hashed AS (SELECT token, cnt, md5(token) AS h FROM tok_counts),
+    rows_ AS ({{rows_src}}),
     counters AS (
-      SELECT r.j, {bucket} AS b, CAST(count(*) AS BIGINT) AS c
-      FROM toks, rows_ r
+      SELECT r.j, {_cms_bucket('x.h')} AS b, CAST(sum(x.cnt) AS BIGINT) AS c
+      FROM hashed x, rows_ r
       GROUP BY 1, 2
     ),
     exact AS (
-      SELECT token, CAST(count(*) AS BIGINT) AS n_exact
-      FROM toks GROUP BY token
-      ORDER BY n_exact DESC, token
-      LIMIT {topk}
+      SELECT token, h, cnt AS n_exact FROM hashed
+      ORDER BY cnt DESC, token
+      LIMIT {_CMS_TOPK}
     ),
     probed AS (
-      SELECT e.token, e.n_exact, r.j, {pbucket} AS b
+      SELECT e.token, e.n_exact, r.j, {_cms_bucket('e.h')} AS b
       FROM exact e, rows_ r
     )
     SELECT p.token, p.n_exact,
@@ -1488,26 +1494,21 @@ _CMS_BODY = """
 _CMS_SPARK = _CMS_BODY.format(
     tok_src="SELECT explode(split(lower(trim(text)), '\\\\s+')) AS token FROM documents",
     rows_src="SELECT explode(sequence(0, {})) AS j".format(_CMS_D - 1),
-    bucket=_cms_bucket("r.j", "token", "STRING"),
-    pbucket=_cms_bucket("r.j", "e.token", "STRING"),
-    topk=_CMS_TOPK,
 )
 
 _CMS_DUCK = _CMS_BODY.format(
     tok_src=r"SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS token FROM documents",
     rows_src="SELECT unnest(generate_series(0, {})) AS j".format(_CMS_D - 1),
-    bucket=_cms_bucket("r.j", "token", "VARCHAR"),
-    pbucket=_cms_bucket("r.j", "e.token", "VARCHAR"),
-    topk=_CMS_TOPK,
 )
 
 _q(
     "q_cms_topk",
     _CMS_SPARK,
     _CMS_DUCK,
-    f"Count-Min sketch heavy hitters: {_CMS_D}x{_CMS_W} md5-keyed counter "
-    f"matrix, min-over-rows estimates for the exact top-{_CMS_TOPK} tokens "
-    "(estimate >= exact by construction; cell-wise-additive shard merge)",
+    f"Count-Min sketch heavy hitters: {_CMS_D}x{_CMS_W} split-md5-digest "
+    f"counter matrix, min-over-rows estimates for the exact top-{_CMS_TOPK} "
+    "tokens (estimate >= exact by construction; cell-wise-additive shard "
+    "merge)",
 )
 
 
