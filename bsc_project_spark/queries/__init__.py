@@ -95,8 +95,24 @@ _CHECK_FIRST = [
     "q_semantic_dedup",
     "q_cms_topk",
     "q_norm_dedup",
+    "q_hll_distinct",
+    "q_substring_dedup",
+    "q_inverted_index",
+    "q_regional_revenue",
+    "q_bloom_prune",
+    "q_salted_join",
+    "q_pagerank",
 ]
 _CHECK_LAST = [
+    # double-green in CORRECTNESS_r01 AND _r02, untouched since — deferred
+    # to make prefix room for the 7 round-3 additions above
+    "q_pivot_matrix",
+    "q_resume_anti",
+    "q_train_test_split",
+    "q_seg_metrics",
+    "q_confusion",
+    "q_box_mad",
+    "q_dedup_exact",
     "q_lsh_pairs",
     "q_minhash_sig",
     "q_ngram_jaccard",
@@ -121,7 +137,7 @@ _CHECK_LAST = [
 
 
 def all_queries() -> dict[str, QuerySpec]:
-    from . import eventops, relational, similarity, textops, visual, webtext
+    from . import eventops, graphops, relational, similarity, skew, textops, visual, webtext
 
     out: dict[str, QuerySpec] = {}
     out.update(relational.QUERIES)
@@ -130,6 +146,8 @@ def all_queries() -> dict[str, QuerySpec]:
     out.update(eventops.QUERIES)
     out.update(webtext.QUERIES)
     out.update(visual.QUERIES)
+    out.update(skew.QUERIES)
+    out.update(graphops.QUERIES)
     missing = [n for n in (*_CHECK_FIRST, *_CHECK_LAST) if n not in out]
     assert not missing, f"priority lists name unregistered queries: {missing}"
     ordered = {n: out[n] for n in _CHECK_FIRST}

@@ -307,3 +307,146 @@ _q(
     "as-of join (latest purchase value at-or-before each click) as a "
     "single union+window pass per user — no range-join explosion",
 )
+
+# ---------------------------------------------------------------------------
+# Regional revenue (TPC-H Q5 shape): the 6-way star join — lineitem x
+# orders x customer x supplier x nation x region — with the classic
+# local-supplier twist (supplier and customer share a nation).  The
+# Spark side broadcasts EVERY dimension (region/nation/supplier/
+# filtered customer are all dim-sized at any SF; orders is the one
+# mid-sized side and joins the fact AFTER its own broadcast-dim joins
+# shrink it), so the 100 TB fact table is scanned exactly once and
+# shuffles only for the final (r_name, n_name) groupBy.  Money math is
+# exact DECIMAL inside the aggregate (partial-agg-order-proof), DOUBLE
+# only at the end — same convention as q_pricing_summary.
+# ---------------------------------------------------------------------------
+
+_REV_EXPR = (
+    "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))"
+    " * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE)"
+)
+
+
+def _regional_revenue_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    cust = spark.table("customer").select("c_custkey", "c_nationkey")
+    orders = spark.table("orders").filter(
+        F.col("o_orderdate") >= F.expr("TIMESTAMP_NTZ '1996-01-01 00:00:00'")
+    ).select("o_orderkey", "o_custkey")
+    supp = spark.table("supplier").select("s_suppkey", "s_nationkey")
+    nation = spark.table("nation")
+    region = spark.table("region")
+    li = spark.table("lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    ord_cust = F.broadcast(
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .select("o_orderkey", "c_nationkey")
+    )
+    return (
+        li.join(ord_cust, li.l_orderkey == F.col("o_orderkey"))
+        .join(F.broadcast(supp), (li.l_suppkey == supp.s_suppkey)
+              & (F.col("c_nationkey") == supp.s_nationkey))
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(F.expr(_REV_EXPR).alias("revenue"),
+             F.count(F.lit(1)).cast("bigint").alias("n_items"))
+    )
+
+
+_REGIONAL_REVENUE_DUCK = f"""
+    SELECT r_name, n_name,
+           {_REV_EXPR} AS revenue,
+           CAST(count(*) AS BIGINT) AS n_items
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+    GROUP BY r_name, n_name
+"""
+
+_q(
+    "q_regional_revenue",
+    _regional_revenue_spark,
+    _REGIONAL_REVENUE_DUCK,
+    "regional revenue (TPC-H Q5 shape): 6-way star join, local-supplier "
+    "twist, every dim broadcast — fact scanned once, one final shuffle",
+)
+
+# ---------------------------------------------------------------------------
+# Bloom-filter join pruning: the build side (BUILDING-segment customers)
+# is folded into an m=8192-bit / k=3 Bloom filter keyed on md5 slices
+# (deterministic, engine-identical); the probe side (orders) keeps a row
+# iff all 3 of its bit positions are set.  The query reports, per order
+# status, the probe count, bloom-pass count, exact semi-join count and
+# the false-positive count — so the filter's precision is part of the
+# checked result, not a claim.
+#
+# Shape at scale: this is the semi-join-pruning pattern for dims too big
+# to broadcast as a key set — the 8192-bit bitmap (1 KiB) broadcasts
+# when the key set cannot; the probe never shuffles.  (Spark's own AQE
+# runtime bloom filters do this implicitly; here it is explicit and
+# hash-checked.)  k=3 positions come from independent 8-hex-char slices
+# of one md5 — one hash computation per key, same split-digest trick as
+# the CMS sketch.
+# ---------------------------------------------------------------------------
+
+_BLOOM_M = 8192
+
+
+def _bloom_pos(expr: str, off: int) -> str:
+    from .textops import _hex8_of
+
+    return f"(({_hex8_of(f'substring(md5({expr}), {off}, 8)')}) % {_BLOOM_M})"
+
+
+_BLOOM_BODY = f"""
+    WITH build AS (
+      SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    ),
+    bits AS (
+      SELECT DISTINCT pos FROM (
+        SELECT {_bloom_pos("CAST(c_custkey AS STRING)", 1)} AS pos FROM build
+        UNION ALL
+        SELECT {_bloom_pos("CAST(c_custkey AS STRING)", 9)} AS pos FROM build
+        UNION ALL
+        SELECT {_bloom_pos("CAST(c_custkey AS STRING)", 17)} AS pos FROM build
+      ) p
+    ),
+    probe AS (
+      SELECT o_orderkey, o_orderstatus, o_custkey,
+             {_bloom_pos("CAST(o_custkey AS STRING)", 1)} AS p1,
+             {_bloom_pos("CAST(o_custkey AS STRING)", 9)} AS p2,
+             {_bloom_pos("CAST(o_custkey AS STRING)", 17)} AS p3
+      FROM orders
+    ),
+    tested AS (
+      SELECT o_orderkey, o_orderstatus, o_custkey,
+             CASE WHEN p1 IN (SELECT pos FROM bits)
+                   AND p2 IN (SELECT pos FROM bits)
+                   AND p3 IN (SELECT pos FROM bits) THEN 1 ELSE 0 END AS bloom_pass,
+             CASE WHEN o_custkey IN (SELECT c_custkey FROM build)
+                  THEN 1 ELSE 0 END AS exact_hit
+      FROM probe
+    )
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(bloom_pass) AS BIGINT) AS n_bloom_pass,
+           CAST(sum(exact_hit) AS BIGINT) AS n_exact,
+           CAST(sum(CASE WHEN bloom_pass = 1 AND exact_hit = 0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_false_pos
+    FROM tested GROUP BY o_orderstatus
+"""
+
+_q(
+    "q_bloom_prune",
+    sql_query(_BLOOM_BODY),
+    _BLOOM_BODY,
+    "Bloom-filter semi-join pruning (m=8192, k=3, split-digest hashes): "
+    "per-status probe/pass/exact/false-positive counts — filter "
+    "precision is part of the checked result",
+)

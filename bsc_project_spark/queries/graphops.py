@@ -1,0 +1,148 @@
+"""Iterative graph analytics: PageRank over a deterministic document
+link graph.
+
+The corpus tables carry no explicit link column, so the graph is derived
+deterministically INSIDE the query (same self-contained pattern as the
+planted benchmark in q_contamination): node = contiguous doc index,
+edges = for k in 1..3, idx -> hex8(md5(idx || ':' || k)) % N, dedup'd.
+Every node has out-degree >= 1, so there are no dangling nodes and the
+plain power iteration applies: r_{t+1}(v) = (1-d)/N + d * sum_{u->v}
+r_t(u) / deg(u), d = 0.85, 5 iterations from the uniform vector.
+
+The SPARK side is a genuine iterative job — a Python loop of
+join/groupBy rounds with localCheckpoint() lineage truncation per round,
+the exact shape of the distributed connected-components fixpoint in
+textops (q_dup_clusters) and of every Pregel-style computation Spark
+users run.  Edges and degrees are computed once and persisted; per-round
+state is one (v, rank) frame, shuffled only on the join/group keys.  The
+ORACLE unrolls the same 5 iterations as nested CTEs — declarative,
+single-shot, and engine-checkable down to the value hash (ranks rounded
+to 7 decimals to absorb sum-order float drift).
+
+Scale notes: each round is one shuffle of (dst, contribution) pairs —
+map-side combinable — plus a dim-sized rank join; at 100 TB of edges the
+rank frame partitions by vertex id and rounds are embarrassingly
+parallel.  localCheckpoint per round keeps the plan O(1) deep instead of
+O(iterations).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import QuerySpec, register_views
+from .textops import _hex8_of
+
+QUERIES: dict[str, QuerySpec] = {}
+
+_D = 0.85
+_ITERS = 5
+_FANOUT = 3
+
+
+def _pagerank_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    ids = spark.sql(
+        "SELECT doc_id, CAST(row_number() OVER (ORDER BY doc_id) - 1 AS BIGINT) AS idx"
+        " FROM documents"
+    )
+    n = ids.count()
+    hashed = _hex8_of("md5(concat(CAST(src AS STRING), ':', CAST(k AS STRING)))")
+    edges = (
+        ids.select(F.col("idx").alias("src"))
+        .crossJoin(
+            F.broadcast(
+                spark.range(1, _FANOUT + 1).select(F.col("id").alias("k"))
+            )
+        )
+        .select("src", F.expr(f"({hashed}) % {n}").alias("dst"))
+        .distinct()
+        .persist()
+    )
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg")).persist()
+    ranks = ids.select(F.col("idx").alias("v"), F.lit(1.0 / n).alias("rank"))
+    base = (1.0 - _D) / n
+    for _ in range(_ITERS):
+        contribs = (
+            edges.join(deg, "src")
+            .join(ranks, edges.src == F.col("v"))
+            .select(F.col("dst"), (F.col("rank") / F.col("deg")).alias("c"))
+        )
+        sums = contribs.groupBy(F.col("dst").alias("nv")).agg(F.sum("c").alias("s"))
+        ranks = (
+            ids.select(F.col("idx").alias("v"))
+            .join(sums, F.col("v") == F.col("nv"), "left")
+            .select(
+                "v",
+                (F.lit(base) + F.lit(_D) * F.coalesce(F.col("s"), F.lit(0.0))).alias(
+                    "rank"
+                ),
+            )
+            .localCheckpoint(eager=False)
+        )
+    in_deg = edges.groupBy(F.col("dst").alias("dv")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("in_degree")
+    )
+    out = (
+        ids.join(ranks, ids.idx == F.col("v"))
+        .join(in_deg, ids.idx == F.col("dv"), "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("in_degree"), F.lit(0).cast("bigint")).alias("in_degree"),
+            F.round(F.col("rank"), 7).alias("pagerank"),
+        )
+    )
+    return out
+
+
+def _pagerank_oracle() -> str:
+    hashed = _hex8_of("md5(CAST(i.idx AS STRING) || ':' || CAST(g.k AS STRING))")
+    prev = "r0"
+    iters = []
+    for t in range(1, _ITERS + 1):
+        iters.append(
+            f"""r{t} AS (
+      SELECT i.idx AS v,
+             0.15 / (SELECT n FROM nn) + 0.85 * coalesce(s.c, 0) AS rank
+      FROM ids i LEFT JOIN (
+        SELECT e.dst AS v, sum(r.rank / d.deg) AS c
+        FROM edges e JOIN deg d ON d.src = e.src JOIN {prev} r ON r.v = e.src
+        GROUP BY e.dst
+      ) s ON s.v = i.idx
+    )"""
+        )
+        prev = f"r{t}"
+    iters_sql = ",\n    ".join(iters)
+    return f"""
+    WITH ids AS (
+      SELECT doc_id, CAST(row_number() OVER (ORDER BY doc_id) - 1 AS BIGINT) AS idx
+      FROM documents
+    ),
+    nn AS (SELECT count(*) AS n FROM ids),
+    edges AS (
+      SELECT DISTINCT i.idx AS src, ({hashed}) % (SELECT n FROM nn) AS dst
+      FROM ids i, (SELECT unnest(generate_series(1, {_FANOUT})) AS k) g
+    ),
+    deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+    r0 AS (SELECT idx AS v, 1.0 / (SELECT n FROM nn) AS rank FROM ids),
+    {iters_sql}
+    SELECT d.doc_id,
+           CAST(coalesce(ind.c, 0) AS BIGINT) AS in_degree,
+           round(r.rank, 7) AS pagerank
+    FROM ids d
+    JOIN {prev} r ON r.v = d.idx
+    LEFT JOIN (SELECT dst, count(*) AS c FROM edges GROUP BY dst) ind
+      ON ind.dst = d.idx
+"""
+
+
+QUERIES["q_pagerank"] = QuerySpec(
+    spark=_pagerank_spark,
+    oracle=_pagerank_oracle(),
+    description=(
+        "PageRank (d=0.85, 5 rounds) over a deterministic md5-derived "
+        "link graph: genuine iterative DataFrame loop with per-round "
+        "localCheckpoint vs a 5-level unrolled-CTE oracle"
+    ),
+)

@@ -1271,7 +1271,7 @@ _MIX_SQL_SPARK = _MIX_TEMPLATE.format(
 )
 _MIX_SQL_DUCK = _MIX_TEMPLATE.format(
     hex_src=_hex8_of("md5(source)"),
-    hex_doc=_hex8_of("md5(concat('mix:', CAST(doc_id AS VARCHAR)))"),
+    hex_doc=_hex8_of("md5(concat('mix:', CAST(doc_id AS STRING)))"),
 )
 
 _q(
@@ -1561,4 +1561,224 @@ _q(
     "normalization-aware dedup (CCNet fold: case/digits/punct/whitespace): "
     "per-doc normalized survivor + the dedup lift over raw hashing "
     "(planted punctuation-only clones caught only after normalization)",
+)
+
+# ---------------------------------------------------------------------------
+# HyperLogLog distinct sketch, per source — completes the sketch trio
+# (KMV distinct above, CMS frequency below/visual, HLL here).  All hashing
+# is md5-derived so the registers are DETERMINISTIC and identical across
+# engines: the driver hash-checks the register fingerprint itself, not
+# just the estimate.  m = 64 registers (p = 6): bucket = low 6 bits of the
+# 32-bit hash, w = remaining 26 bits, rho = leading-zero count + 1 of w
+# computed EXACTLY via length(bin(w)) (no float log2 anywhere — both
+# engines' bin() return the minimal binary string).  Estimate = the
+# standard HLL pipeline: alpha_64 * m^2 / Z with the linear-counting
+# small-range correction when E <= 2.5m and empty registers remain.
+#
+# Shape at scale: registers are a groupBy(source, bucket).max — map-side
+# combinable, 64 rows of state per group, and sketches MERGE by
+# register-wise max (the property that makes HLL the standard distributed
+# distinct-counter; same merge shape as q_kmv_merge proves for KMV).
+# Integer-division note: bucket/w use subtract-mod arithmetic, never
+# CAST(x / c AS BIGINT) — DuckDB rounds that cast while Spark truncates.
+# ---------------------------------------------------------------------------
+
+_HLL_M = 64  # registers (p = 6); w is the remaining 26 bits of the 32-bit hash
+
+_HLL_BODY = f"""
+    WITH h AS (SELECT DISTINCT source, md5(text) AS hv FROM documents),
+    hb AS (SELECT source, ({{hex8_hv}}) AS h32 FROM h),
+    br AS (
+      SELECT source,
+             h32 % {_HLL_M} AS bucket,
+             CAST((h32 - h32 % {_HLL_M}) / {_HLL_M} AS BIGINT) AS w
+      FROM hb
+    ),
+    regs AS (
+      SELECT source, bucket,
+             max(CASE WHEN w = 0 THEN 27 ELSE 27 - length(bin(w)) END) AS r
+      FROM br GROUP BY source, bucket
+    ),
+    agg AS (
+      SELECT source,
+             count(*) AS n_present,
+             sum(power(2.0, -r)) AS z_present,
+             md5({{fp_agg}}) AS register_fp
+      FROM regs GROUP BY source
+    ),
+    ex AS (SELECT source, count(DISTINCT md5(text)) AS n_exact FROM documents GROUP BY source)
+    SELECT a.source,
+           CAST(e.n_exact AS BIGINT) AS n_exact,
+           CAST({_HLL_M} - a.n_present AS BIGINT) AS n_zero_regs,
+           a.register_fp,
+           round(CASE WHEN 0.709 * {_HLL_M} * {_HLL_M}
+                           / (a.z_present + ({_HLL_M} - a.n_present)) <= {2.5 * _HLL_M}
+                           AND a.n_present < {_HLL_M}
+                      THEN {_HLL_M} * ln({_HLL_M}.0 / ({_HLL_M} - a.n_present))
+                      ELSE 0.709 * {_HLL_M} * {_HLL_M}
+                           / (a.z_present + ({_HLL_M} - a.n_present)) END, 6) AS hll_estimate
+    FROM agg a JOIN ex e ON e.source = a.source
+"""
+
+_HLL_REG_STR = (
+    "lpad(CAST(bucket AS STRING), 2, '0') || ':' || lpad(CAST(r AS STRING), 2, '0')"
+)
+
+_q(
+    "q_hll_distinct",
+    _HLL_BODY.format(
+        hex8_hv=_hex8_of("hv"),
+        fp_agg=f"concat_ws(',', sort_array(collect_list({_HLL_REG_STR})))",
+    ),
+    _HLL_BODY.format(
+        hex8_hv=_hex8_of("hv"),
+        fp_agg=f"string_agg({_HLL_REG_STR}, ',' ORDER BY bucket)",
+    ),
+    "deterministic md5-keyed HyperLogLog (m=64) per source: hash-checked "
+    "register fingerprint + estimate with linear-counting correction, "
+    "next to the exact count",
+)
+
+# ---------------------------------------------------------------------------
+# Exact-substring dedup (Lee et al. 2022, "Deduplicating Training Data
+# Makes Language Models Better"): find the maximal word ranges of every
+# document that also appear verbatim in ANOTHER document — the
+# substring-granular sibling of the document-granular MinHash/SimHash
+# passes above.  Suffix-array semantics re-expressed relationally:
+# positional word-8-gram shingles -> grams seen in >= 2 distinct docs ->
+# per-doc gaps-and-islands merge of overlapping/contiguous duplicated
+# gram intervals [pos, pos+7] into maximal spans.
+#
+# The corpus is augmented with planted "quoting" documents (a window of
+# every 41st doc's words embedded between unique marker words) so the
+# operator provably exercises mid-document islands, not just whole-doc
+# duplicates (same self-contained-positive pattern as q_contamination's
+# planted benchmark).
+#
+# Shape at scale: the gram explode is the one wide stage (carrying
+# (gram, doc_id, pos)); duplicated-gram detection is a map-side-
+# combinable groupBy on the gram; the island merge windows are
+# PARTITION BY doc_id — per-doc state only, no global window anywhere.
+# At 100 TB you'd hash the gram to 8 bytes before the shuffle (the md5
+# trick every pass here uses); kept verbatim at test scale so the
+# result is human-readable.
+# ---------------------------------------------------------------------------
+
+_SUBSTR_BODY = """
+    WITH corpus AS (
+      SELECT doc_id, lower(trim(text)) AS text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id,
+             'quotestart marker words here ' || {qwin} || ' quoteend marker words'
+      FROM (SELECT doc_id, {split} AS a FROM documents t0) tq
+      WHERE doc_id % 41 = 0 AND {alen} >= 30
+    ),
+    words AS (SELECT doc_id, {split2} AS a FROM corpus t),
+    grams AS (
+      SELECT doc_id, i AS pos, {gram8} AS gram
+      FROM words t2 {gen}
+      WHERE {alen} >= 8
+    ),
+    dup AS (SELECT gram FROM grams GROUP BY gram HAVING count(DISTINCT doc_id) >= 2),
+    hits AS (SELECT g.doc_id, g.pos FROM grams g JOIN dup d ON d.gram = g.gram),
+    ordered AS (
+      SELECT doc_id, pos,
+             max(pos) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+      FROM hits
+    ),
+    flagged AS (
+      SELECT doc_id, pos,
+             CASE WHEN prev_max IS NULL OR pos > prev_max + 8 THEN 1 ELSE 0 END AS is_start
+      FROM ordered
+    ),
+    islands AS (
+      SELECT doc_id, pos,
+             sum(is_start) OVER (PARTITION BY doc_id ORDER BY pos
+                                 ROWS UNBOUNDED PRECEDING) AS island
+      FROM flagged
+    )
+    SELECT doc_id,
+           CAST(island AS BIGINT) AS island_id,
+           CAST(min(pos) AS BIGINT) AS start_word,
+           CAST(max(pos) + 7 AS BIGINT) AS end_word,
+           CAST(count(*) AS BIGINT) AS n_dup_grams
+    FROM islands GROUP BY doc_id, island
+"""
+
+_SUBSTR_SPARK_SQL = _SUBSTR_BODY.format(
+    split="split(lower(trim(text)), '\\\\s+')",
+    split2="split(text, ' ')",
+    qwin="array_join(slice(a, 6, 14), ' ')",
+    alen="size(a)",
+    gram8="array_join(slice(a, i, 8), ' ')",
+    gen="LATERAL VIEW explode(sequence(1, greatest(size(a) - 7, 1))) g AS i",
+)
+
+_q(
+    "q_substring_dedup",
+    _SUBSTR_SPARK_SQL,
+    _SUBSTR_BODY.format(
+        split=r"string_split_regex(lower(trim(text)), '\s+')",
+        split2="string_split(text, ' ')",
+        qwin="array_to_string(a[6:19], ' ')",
+        alen="len(a)",
+        gram8="array_to_string(a[i:i+7], ' ')",
+        gen=", LATERAL (SELECT unnest(generate_series(1, greatest(len(a) - 7, 1))) AS i) g",
+    ),
+    "exact-substring dedup (Lee et al. suffix-array semantics as "
+    "positional 8-gram gaps-and-islands): maximal word spans of each doc "
+    "appearing verbatim in another doc, incl. planted mid-doc quotes",
+)
+
+# ---------------------------------------------------------------------------
+# Inverted-index build: token -> (document frequency, collection
+# frequency, first posting, fingerprint of the full sorted posting
+# list).  The posting-list fingerprint makes the INDEX itself
+# hash-checkable, not just its summary stats.  Tokens shorter than 3
+# chars are stopword-pruned; df >= 5 keeps the output index-worthy.
+#
+# Shape at scale: one explode + one groupBy(token); df/cf/min are
+# map-side combinable, the posting fingerprint is the only full-list
+# aggregation (at 100 TB the index would be range-bucketed by token so
+# each bucket's postings build independently — same groupBy, prefixed
+# key).
+# ---------------------------------------------------------------------------
+
+_INVIDX_BODY = """
+    WITH toks AS (
+      SELECT doc_id, t AS token
+      FROM (SELECT doc_id, {split} AS a FROM documents t0) t1 {gen}
+      WHERE length(t) >= 3
+    ),
+    postings AS (
+      SELECT token,
+             count(DISTINCT doc_id) AS df,
+             count(*) AS cf,
+             min(doc_id) AS first_doc,
+             md5({fp_agg}) AS posting_fp
+      FROM toks GROUP BY token
+    )
+    SELECT token, CAST(df AS BIGINT) AS df, CAST(cf AS BIGINT) AS cf,
+           CAST(first_doc AS BIGINT) AS first_doc, posting_fp
+    FROM postings WHERE df >= 5
+"""
+
+_INVIDX_DOC8 = "lpad(CAST(doc_id AS STRING), 8, '0')"
+
+_q(
+    "q_inverted_index",
+    _INVIDX_BODY.format(
+        split="split(lower(trim(text)), '\\\\s+')",
+        gen="LATERAL VIEW explode(a) g AS t",
+        fp_agg=f"concat_ws(',', sort_array(collect_set({_INVIDX_DOC8})))",
+    ),
+    _INVIDX_BODY.format(
+        split=r"string_split_regex(lower(trim(text)), '\s+')",
+        gen=", LATERAL (SELECT unnest(a) AS t) g",
+        fp_agg=f"string_agg(DISTINCT {_INVIDX_DOC8}, ',' ORDER BY {_INVIDX_DOC8})",
+    ),
+    "inverted-index build: per-token df/cf/first posting plus an md5 "
+    "fingerprint of the full sorted posting list (the index itself is "
+    "hash-checked)",
 )

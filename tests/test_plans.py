@@ -49,6 +49,35 @@ def test_segment_revenue_broadcasts_dims(spark):
     assert "SortMergeJoin" not in plan
 
 
+def test_regional_revenue_broadcasts_every_dim(spark):
+    """TPC-H Q5 shape: the lineitem fact joins orders/customer/supplier/
+    nation/region exclusively through broadcasts — the fact is scanned
+    once and never shuffles before the final (r_name, n_name) groupBy."""
+    from bsc_project_spark.queries.eventops import QUERIES
+
+    plan = (
+        QUERIES["q_regional_revenue"].spark(spark, SF_DIR)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert "SortMergeJoin" not in plan
+    assert plan.count("Scan parquet") == 6  # each table exactly once
+
+
+def test_salted_join_query_is_shuffle_hash_on_salt(spark):
+    """The salted join must take the distributed path (no broadcast) and
+    carry the salt in the join key."""
+    from bsc_project_spark.queries.skew import QUERIES
+
+    plan = (
+        QUERIES["q_salted_join"].spark(spark, SF_DIR)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "ShuffledHashJoin" in plan
+    assert "_salt" in plan
+    assert "BroadcastHashJoin" not in plan
+
+
 def test_pricing_summary_pushes_date_filter(spark):
     from bsc_project_spark.queries.eventops import QUERIES
 

@@ -1,0 +1,276 @@
+"""Semantic tests for the round-3 additions beyond the oracle gate:
+HLL mergeability + fingerprint parity vs an independent Python
+implementation, substring-dedup island placement on planted passages,
+inverted-index fingerprint parity, Bloom-filter no-false-negatives,
+salted-join equivalence + physical shape, and PageRank vs a numpy power
+iteration over the same derived graph.  (Cross-engine value parity for
+all of these is covered by the oracle gate / tests/test_queries_oracle.)
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import duckdb
+import numpy as np
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+def _duck():
+    con = duckdb.connect()
+    for t in ("documents", "customer", "orders", "lineitem", "part"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'"
+        )
+    return con
+
+
+def _md5(s: str) -> str:
+    return hashlib.md5(s.encode()).hexdigest()
+
+
+# ---------------------------------------------------------------------------
+# HLL
+# ---------------------------------------------------------------------------
+
+
+def _hll_registers(texts):
+    """Independent register computation: 32-bit hash from the first 8 md5
+    hex chars, bucket = low 6 bits, rho = lzc+1 of the remaining 26."""
+    regs: dict[int, int] = {}
+    for t in set(texts):
+        h32 = int(_md5(t)[:8], 16)
+        bucket, w = h32 % 64, h32 // 64
+        rho = 27 if w == 0 else 27 - w.bit_length()
+        regs[bucket] = max(regs.get(bucket, 0), rho)
+    return regs
+
+
+def test_hll_register_fingerprint_matches_independent_impl():
+    con = _duck()
+    from bsc_project_spark.queries.textops import QUERIES
+
+    rows = con.execute(QUERIES["q_hll_distinct"].oracle).fetchall()
+    docs = con.execute("SELECT source, text FROM documents").fetchall()
+    by_src: dict[str, list[str]] = {}
+    for src, text in docs:
+        by_src.setdefault(src, []).append(text)
+    assert rows
+    for src, n_exact, n_zero, fp, est in rows:
+        regs = _hll_registers(by_src[src])
+        expect_fp = hashlib.md5(
+            ",".join(f"{b:02d}:{r:02d}" for b, r in sorted(regs.items())).encode()
+        ).hexdigest()
+        assert fp == expect_fp, src
+        assert n_zero == 64 - len(regs)
+        assert n_exact == len(set(by_src[src]))
+        # estimate accuracy: m=64 -> ~13% typical error; allow 3 sigma
+        assert abs(est - n_exact) / max(n_exact, 1) < 0.45, (src, est, n_exact)
+
+
+def test_hll_registers_merge_by_max():
+    con = _duck()
+    texts = [t for (t,) in con.execute("SELECT text FROM documents").fetchall()]
+    half_a, half_b = texts[::2], texts[1::2]
+    merged = _hll_registers(half_a)
+    for b, r in _hll_registers(half_b).items():
+        merged[b] = max(merged.get(b, 0), r)
+    assert merged == _hll_registers(texts)
+
+
+# ---------------------------------------------------------------------------
+# Substring dedup
+# ---------------------------------------------------------------------------
+
+
+def test_substring_dedup_islands_on_planted_passages(spark):
+    from bsc_project_spark.queries import _REGISTERED_DIRS
+    from bsc_project_spark.queries.textops import _SUBSTR_SPARK_SQL
+
+    shared = " ".join(f"shared{i}" for i in range(10))  # 10-word passage
+    docs = [
+        (1, f"alpha one two three {shared} tail1 tail2 tail3", "en", "s", 0),
+        (2, f"beta uno dos tres cuatro {shared} fin1 fin2", "en", "s", 0),
+        (3, "gamma " + " ".join(f"unique{i}" for i in range(20)), "en", "s", 0),
+    ]
+    df = spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    df.createOrReplaceTempView("documents")
+    try:
+        got = {
+            (r.doc_id, r.start_word, r.end_word)
+            for r in spark.sql(_SUBSTR_SPARK_SQL).collect()
+        }
+    finally:
+        spark.catalog.dropTempView("documents")
+        _REGISTERED_DIRS.clear()
+    # doc 1: shared passage occupies words 5..14 -> grams at pos 5..7,
+    # island [5, 14]; doc 2: words 6..15 -> island [6, 15]; doc 3: none.
+    assert got == {(1, 5, 14), (2, 6, 15)}
+
+
+def test_substring_dedup_plants_mid_doc_quotes_at_sf():
+    con = _duck()
+    from bsc_project_spark.queries.textops import QUERIES
+
+    rows = con.execute(QUERIES["q_substring_dedup"].oracle).fetchall()
+    mid = [r for r in rows if r[2] > 1]
+    assert mid, "planted quoting docs must produce mid-document islands"
+    # every planted quote doc (id >= 1000000) must itself carry an island
+    quote_docs = {r[0] for r in rows if r[0] >= 1_000_000}
+    planted = {
+        d + 1_000_000
+        for (d,) in con.execute(
+            r"SELECT doc_id FROM documents WHERE doc_id % 41 = 0"
+            r" AND len(string_split_regex(lower(trim(text)), '\s+')) >= 30"
+        ).fetchall()
+    }
+    assert planted and planted <= quote_docs
+
+
+# ---------------------------------------------------------------------------
+# Inverted index
+# ---------------------------------------------------------------------------
+
+
+def test_inverted_index_fingerprint_matches_independent_impl():
+    con = _duck()
+    from bsc_project_spark.queries.textops import QUERIES
+
+    rows = con.execute(QUERIES["q_inverted_index"].oracle).fetchall()
+    assert rows
+    docs = con.execute("SELECT doc_id, text FROM documents").fetchall()
+    postings: dict[str, list[int]] = {}
+    cf: dict[str, int] = {}
+    for doc_id, text in docs:
+        for tok in text.strip().lower().split():
+            if len(tok) >= 3:
+                postings.setdefault(tok, []).append(doc_id)
+                cf[tok] = cf.get(tok, 0) + 1
+    for token, df, cfv, first_doc, fp in rows:
+        plist = sorted(set(postings[token]))
+        assert df == len(plist) >= 5
+        assert cfv == cf[token]
+        assert first_doc == plist[0]
+        expect = hashlib.md5(
+            ",".join(f"{d:08d}" for d in plist).encode()
+        ).hexdigest()
+        assert fp == expect, token
+
+
+# ---------------------------------------------------------------------------
+# Bloom pruning
+# ---------------------------------------------------------------------------
+
+
+def _bloom_positions(key: str):
+    h = _md5(key)
+    return {int(h[0:8], 16) % 8192, int(h[8:16], 16) % 8192, int(h[16:24], 16) % 8192}
+
+
+def test_bloom_prune_has_no_false_negatives():
+    con = _duck()
+    from bsc_project_spark.queries.eventops import QUERIES
+
+    build = {
+        k
+        for (k,) in con.execute(
+            "SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'"
+        ).fetchall()
+    }
+    bits = set()
+    for k in build:
+        bits |= _bloom_positions(str(k))
+    probe = con.execute("SELECT o_orderkey, o_custkey FROM orders").fetchall()
+    n_pass = n_exact = n_fp = 0
+    for _, ck in probe:
+        ok = _bloom_positions(str(ck)) <= bits
+        hit = ck in build
+        n_pass += ok
+        n_exact += hit
+        n_fp += ok and not hit
+        assert not (hit and not ok), "false negative: a build key failed the filter"
+    rows = con.execute(QUERIES["q_bloom_prune"].oracle).fetchall()
+    assert sum(r[2] for r in rows) == n_pass
+    assert sum(r[3] for r in rows) == n_exact
+    assert sum(r[4] for r in rows) == n_fp
+    for _, n_orders, n_bloom_pass, n_ex, n_false in rows:
+        assert n_bloom_pass >= n_ex  # supersets only
+        assert n_false == n_bloom_pass - n_ex
+
+
+# ---------------------------------------------------------------------------
+# Salted join
+# ---------------------------------------------------------------------------
+
+
+def test_salted_join_equals_plain_join_and_is_not_broadcast(spark):
+    from pyspark.sql import functions as F
+
+    from bsc_project_spark.queries.skew import salted_join
+
+    # 90% of fact rows on one hot key
+    fact = spark.range(0, 2000).selectExpr(
+        "id AS row_id",
+        "CASE WHEN id % 10 < 9 THEN CAST(7 AS BIGINT) ELSE id % 23 END AS k",
+        "CAST(id % 97 AS DOUBLE) AS x",
+    )
+    dim = spark.range(0, 23).selectExpr("id AS k", "id * 100 AS w")
+    got = (
+        salted_join(fact, dim, on=["k"], salt_cols=["row_id"])
+        .groupBy("k")
+        .agg(F.count("*").alias("n"), F.sum(F.col("x") + F.col("w")).alias("s"))
+    )
+    want = (
+        fact.join(dim, "k")
+        .groupBy("k")
+        .agg(F.count("*").alias("n"), F.sum(F.col("x") + F.col("w")).alias("s"))
+    )
+    g = {(r.k, r.n, float(r.s)) for r in got.collect()}
+    w = {(r.k, r.n, float(r.s)) for r in want.collect()}
+    assert g == w
+    plan = salted_join(fact, dim, on=["k"], salt_cols=["row_id"])._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" not in plan
+    assert "_salt" in plan
+
+
+# ---------------------------------------------------------------------------
+# PageRank
+# ---------------------------------------------------------------------------
+
+
+def test_pagerank_matches_numpy_power_iteration(spark):
+    from bsc_project_spark.queries.graphops import QUERIES, _D, _FANOUT, _ITERS
+
+    got = {
+        r.doc_id: (r.in_degree, r.pagerank)
+        for r in QUERIES["q_pagerank"].spark(spark, SF).collect()
+    }
+    con = _duck()
+    ids = [d for (d,) in con.execute("SELECT doc_id FROM documents ORDER BY doc_id").fetchall()]
+    n = len(ids)
+    edges = set()
+    for idx in range(n):
+        for k in range(1, _FANOUT + 1):
+            edges.add((idx, int(_md5(f"{idx}:{k}")[:8], 16) % n))
+    deg = np.zeros(n)
+    in_deg = np.zeros(n, dtype=int)
+    for s, d in edges:
+        deg[s] += 1
+        in_deg[d] += 1
+    r = np.full(n, 1.0 / n)
+    for _ in range(_ITERS):
+        nxt = np.full(n, (1 - _D) / n)
+        for s, d in edges:
+            nxt[d] += _D * r[s] / deg[s]
+        r = nxt
+    assert abs(r.sum() - 1.0) < 1e-9  # no dangling nodes -> mass conserved
+    assert set(got) == set(ids)
+    for i, doc in enumerate(ids):
+        gi, gr = got[doc]
+        assert gi == in_deg[i]
+        assert math.isclose(gr, round(r[i], 7), abs_tol=2e-7), doc
