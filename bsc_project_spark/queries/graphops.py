@@ -43,11 +43,20 @@ _FANOUT = 3
 
 def _pagerank_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir)
-    ids = spark.sql(
-        "SELECT doc_id, CAST(row_number() OVER (ORDER BY doc_id) - 1 AS BIGINT) AS idx"
-        " FROM documents"
+    from .prefix import global_row_number
+
+    # contiguous node ids WITHOUT a global single-task window: the same
+    # two-phase row number q_sort_rank ships (range partition -> local
+    # window -> driver prefix over P subtotals).  Persisted because the
+    # iteration rebuilds ranks from `ids` every round.
+    ids = (
+        global_row_number(spark.table("documents").select("doc_id"), ["doc_id"], "rn")
+        .select("doc_id", (F.col("rn") - 1).cast("long").alias("idx"))
+        .persist()
     )
     n = ids.count()
+    if n == 0:
+        return spark.createDataFrame([], "doc_id long, in_degree long, pagerank double")
     hashed = _hex8_of("md5(concat(CAST(src AS STRING), ':', CAST(k AS STRING)))")
     edges = (
         ids.select(F.col("idx").alias("src"))

@@ -1666,16 +1666,16 @@ _q(
 
 _SUBSTR_BODY = """
     WITH corpus AS (
-      SELECT doc_id, lower(trim(text)) AS text FROM documents
+      SELECT doc_id, lower(trim(text)) AS text FROM {src}
       UNION ALL
       SELECT doc_id + 1000000 AS doc_id,
              'quotestart marker words here ' || {qwin} || ' quoteend marker words'
-      FROM (SELECT doc_id, {split} AS a FROM documents t0) tq
+      FROM (SELECT doc_id, {split} AS a FROM {src} t0) tq
       WHERE doc_id % 41 = 0 AND {alen} >= 30
     ),
     words AS (SELECT doc_id, {split2} AS a FROM corpus t),
     grams AS (
-      SELECT doc_id, i AS pos, {gram8} AS gram
+      SELECT doc_id, i AS pos, substring(md5({gram8}), 1, 16) AS gram
       FROM words t2 {gen}
       WHERE {alen} >= 8
     ),
@@ -1706,19 +1706,35 @@ _SUBSTR_BODY = """
     FROM islands GROUP BY doc_id, island
 """
 
-_SUBSTR_SPARK_SQL = _SUBSTR_BODY.format(
-    split="split(lower(trim(text)), '\\\\s+')",
-    split2="split(text, ' ')",
-    qwin="array_join(slice(a, 6, 14), ' ')",
-    alen="size(a)",
-    gram8="array_join(slice(a, i, 8), ' ')",
-    gen="LATERAL VIEW explode(sequence(1, greatest(size(a) - 7, 1))) g AS i",
-)
+def _substr_spark_sql(src: str) -> str:
+    return _SUBSTR_BODY.format(
+        src=src,
+        split="split(lower(trim(text)), '\\\\s+')",
+        split2="split(text, ' ')",
+        qwin="array_join(slice(a, 6, 14), ' ')",
+        alen="size(a)",
+        gram8="array_join(slice(a, i, 8), ' ')",
+        gen="LATERAL VIEW explode(sequence(1, greatest(size(a) - 7, 1))) g AS i",
+    )
 
-_q(
-    "q_substring_dedup",
-    _SUBSTR_SPARK_SQL,
-    _SUBSTR_BODY.format(
+
+_SUBSTR_SPARK_SQL = _substr_spark_sql("documents")
+
+
+def _substring_dedup_spark(spark, sf_dir: str):
+    """Repartition the SKINNY doc rows before the wide gram explode (the
+    same 2-parquet-split fix as q_char_lm_score — at 100 TB the scan is
+    already wide and this is a no-op knob)."""
+    register_views(spark, sf_dir)
+    n = spark.sparkContext.defaultParallelism
+    spark.table("documents").repartition(n).createOrReplaceTempView("substr_docs")
+    return spark.sql(_substr_spark_sql("substr_docs"))
+
+
+QUERIES["q_substring_dedup"] = QuerySpec(
+    spark=_substring_dedup_spark,
+    oracle=_SUBSTR_BODY.format(
+        src="documents",
         split=r"string_split_regex(lower(trim(text)), '\s+')",
         split2="string_split(text, ' ')",
         qwin="array_to_string(a[6:19], ' ')",
@@ -1726,9 +1742,12 @@ _q(
         gram8="array_to_string(a[i:i+7], ' ')",
         gen=", LATERAL (SELECT unnest(generate_series(1, greatest(len(a) - 7, 1))) AS i) g",
     ),
-    "exact-substring dedup (Lee et al. suffix-array semantics as "
-    "positional 8-gram gaps-and-islands): maximal word spans of each doc "
-    "appearing verbatim in another doc, incl. planted mid-doc quotes",
+    description=(
+        "exact-substring dedup (Lee et al. suffix-array semantics as "
+        "positional 8-gram gaps-and-islands): maximal word spans of each doc "
+        "appearing verbatim in another doc, incl. planted mid-doc quotes; "
+        "grams md5-folded to 64 bits before the shuffle"
+    ),
 )
 
 # ---------------------------------------------------------------------------
