@@ -102,6 +102,11 @@ _CHECK_FIRST = [
     "q_bloom_prune",
     "q_salted_join",
     "q_pagerank",
+    "q_rollup_cube",
+    "q_hopping_windows",
+    "q_anchor_text",
+    "q_quality_curriculum",
+    "q_cooccurrence",
 ]
 _CHECK_LAST = [
     # double-green in CORRECTNESS_r01 AND _r02, untouched since — deferred

@@ -450,3 +450,94 @@ _q(
     "per-status probe/pass/exact/false-positive counts — filter "
     "precision is part of the checked result",
 )
+
+# ---------------------------------------------------------------------------
+# OLAP rollup: GROUP BY ROLLUP(status, priority) with GROUPING() markers.
+# The classic data-cube slice (reference analogue: the per-status summary
+# tables its notebooks derive one GROUP BY at a time) expressed as ONE
+# grouping-sets plan.  Scale notes: Spark executes ROLLUP as a single
+# Expand + partial-agg pipeline — each input row fans out to its 3
+# grouping sets map-side and combines BEFORE the one shuffle, so the
+# network cost is O(distinct groups), not O(rows x sets); no extra
+# shuffle vs a plain GROUP BY.  Money math in DECIMAL inside the agg
+# (exact, order-independent), one final cast to DOUBLE.
+# ---------------------------------------------------------------------------
+
+_ROLLUP_BODY = """
+    SELECT coalesce(o_orderstatus, '(all)') AS status,
+           coalesce(o_orderpriority, '(all)') AS priority,
+           CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+           CAST(GROUPING(o_orderpriority) AS INT) AS g_priority,
+           COUNT(*) AS n_orders,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_price
+    FROM orders
+    GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+"""
+
+_q(
+    "q_rollup_cube",
+    sql_query(_ROLLUP_BODY),
+    _ROLLUP_BODY,
+    "OLAP ROLLUP(status, priority) with GROUPING() markers: one "
+    "Expand + partial-agg plan, decimal-exact money sums",
+)
+
+# ---------------------------------------------------------------------------
+# Hopping (sliding) window rollup — 1 h windows every 30 min, the batch
+# twin of a streaming sliding aggregation.  Each event lands in exactly
+# width/slide = 2 windows; Spark's native window(ts, '1 hour',
+# '30 minutes') expands map-side and combines before the single shuffle
+# on (window, -).  The oracle replays the same fan-out as a UNION ALL of
+# the two covering 30-min-aligned starts in pure integer microsecond
+# math (no engine time-bucket semantics to drift).
+# ---------------------------------------------------------------------------
+
+_HOP_US = 30 * 60 * 1_000_000  # slide
+
+
+def _hopping_windows_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return (
+        spark.table("events")
+        .groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.expr(
+                "CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)"
+            ).alias("sum_value"),
+        )
+        .select(
+            F.expr(_SPARK_EPOCH_US.format(c="w.start")).alias("win_us"),
+            "n_events",
+            "n_users",
+            "sum_value",
+        )
+    )
+
+
+_HOPPING_DUCK = f"""
+    WITH starts AS (
+      SELECT (epoch_us(ts) // {_HOP_US}) * {_HOP_US} AS win_us,
+             user_id, value
+      FROM events
+      UNION ALL
+      SELECT (epoch_us(ts) // {_HOP_US}) * {_HOP_US} - {_HOP_US} AS win_us,
+             user_id, value
+      FROM events
+    )
+    SELECT win_us,
+           COUNT(*) AS n_events,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+    FROM starts GROUP BY win_us
+"""
+
+_q(
+    "q_hopping_windows",
+    _hopping_windows_spark,
+    _HOPPING_DUCK,
+    "hopping 1h/30min sliding-window rollup via native window(); oracle "
+    "replays the 2-window fan-out in integer microsecond math",
+)

@@ -155,3 +155,101 @@ QUERIES["q_pagerank"] = QuerySpec(
         "localCheckpoint vs a 5-level unrolled-CTE oracle"
     ),
 )
+
+
+# ---------------------------------------------------------------------------
+# Anchor-text aggregation over the same deterministic link graph: for
+# each link target, the in-link count, distinct linking sources, and the
+# lexicographically-first anchor phrase (anchor = the source document's
+# leading 12 lowered chars — a deterministic stand-in for the <a> text a
+# crawler would carry on the edge).  Anchor text is a first-class
+# pretraining signal (it labels the TARGET page with how others describe
+# it), and the aggregation shape — edges joined to a per-source phrase,
+# grouped by target — is the canonical web-graph reduce.
+#
+# Scale notes: the anchor phrase rides the edge list from the map side,
+# so the single shuffle carries (dst, anchor[12]) pairs and every
+# aggregate (count, count distinct src over the deduped edge list, min
+# anchor) combines partially.  No window, no iteration; the contiguous
+# node ids reuse the two-phase global_row_number (never a single-task
+# sort).
+# ---------------------------------------------------------------------------
+
+
+def _anchor_text_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    from .prefix import global_row_number
+
+    docs = spark.table("documents").select("doc_id", "text")
+    ids = (
+        global_row_number(docs.select("doc_id"), ["doc_id"], "rn")
+        .select("doc_id", (F.col("rn") - 1).cast("long").alias("idx"))
+        .persist()
+    )
+    n = ids.count()
+    if n == 0:
+        return spark.createDataFrame(
+            [], "doc_id long, in_links long, n_sources long, top_anchor string"
+        )
+    hashed = _hex8_of("md5(concat(CAST(src AS STRING), ':', CAST(k AS STRING)))")
+    edges = (
+        ids.select(F.col("idx").alias("src"))
+        .crossJoin(
+            F.broadcast(spark.range(1, _FANOUT + 1).select(F.col("id").alias("k")))
+        )
+        .select("src", F.expr(f"({hashed}) % {n}").alias("dst"))
+        .distinct()
+    )
+    anchors = ids.join(docs, "doc_id").select(
+        F.col("idx").alias("src"),
+        F.expr("substring(lower(trim(text)), 1, 12)").alias("anchor"),
+    )
+    return (
+        edges.join(anchors, "src")
+        .groupBy("dst")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("in_links"),
+            F.countDistinct("src").cast("bigint").alias("n_sources"),
+            F.min("anchor").alias("top_anchor"),
+        )
+        .join(ids, F.col("dst") == ids.idx)
+        .select("doc_id", "in_links", "n_sources", "top_anchor")
+    )
+
+
+def _anchor_text_oracle() -> str:
+    hashed = _hex8_of("md5(CAST(i.idx AS STRING) || ':' || CAST(g.k AS STRING))")
+    return f"""
+    WITH ids AS (
+      SELECT doc_id, CAST(row_number() OVER (ORDER BY doc_id) - 1 AS BIGINT) AS idx
+      FROM documents
+    ),
+    nn AS (SELECT count(*) AS n FROM ids),
+    edges AS (
+      SELECT DISTINCT i.idx AS src, ({hashed}) % (SELECT n FROM nn) AS dst
+      FROM ids i, (SELECT unnest(generate_series(1, {_FANOUT})) AS k) g
+    ),
+    anchors AS (
+      SELECT i.idx AS src, substring(lower(trim(d.text)), 1, 12) AS anchor
+      FROM ids i JOIN documents d ON d.doc_id = i.doc_id
+    )
+    SELECT t.doc_id,
+           CAST(count(*) AS BIGINT) AS in_links,
+           CAST(count(DISTINCT e.src) AS BIGINT) AS n_sources,
+           min(a.anchor) AS top_anchor
+    FROM edges e
+    JOIN anchors a ON a.src = e.src
+    JOIN ids t ON t.idx = e.dst
+    GROUP BY t.doc_id
+"""
+
+
+QUERIES["q_anchor_text"] = QuerySpec(
+    spark=_anchor_text_spark,
+    oracle=_anchor_text_oracle(),
+    description=(
+        "anchor-text aggregation over the deterministic link graph: "
+        "per-target in-link count, distinct sources, first anchor "
+        "phrase — the canonical web-graph reduce, one shuffle"
+    ),
+)

@@ -1801,3 +1801,164 @@ _q(
     "fingerprint of the full sorted posting list (the index itself is "
     "hash-checked)",
 )
+
+# ---------------------------------------------------------------------------
+# Quality-curriculum bucketing: exact global deciles over an
+# INTEGER-EXACT quality score, without a single-task sort.
+#
+# Curriculum learning orders pretraining data from "easiest/cleanest" to
+# hardest; the batch op behind it is "assign every doc its exact global
+# quality decile".  Score = integer quality points (length band, punct
+# band, digit band — each an integer cross-multiplied compare, no float
+# ratios) with (n_chars, doc_id) tie-breaks so the order is total.  The
+# Spark side ranks with the two-phase global_row_number (range partition
+# -> local window -> driver prefix over P subtotals — never a global
+# ORDER BY window); the oracle uses a plain row_number().  Both sides
+# bucket with the same integer formula decile = (rn-1)*10/n + 1, so the
+# boundaries match bit-for-bit.  Output is the per-decile rollup — the
+# curriculum schedule table itself.
+# ---------------------------------------------------------------------------
+
+_CURRICULUM_SCORE = """
+    SELECT doc_id,
+           length(text) AS n_chars,
+           CAST(
+             (CASE WHEN length(text) BETWEEN 20 AND 100000 THEN 1 ELSE 0 END)
+           + (CASE WHEN (length(text) - length({strip_punct})) * 10 < length(text)
+                   THEN 1 ELSE 0 END)
+           + (CASE WHEN (length(text) - length({strip_digit})) * 5 < length(text)
+                   THEN 1 ELSE 0 END)
+           AS INT) AS points
+    FROM documents
+"""
+
+_CURRICULUM_ROLLUP = """
+    SELECT decile,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           min(points) AS min_points,
+           max(points) AS max_points,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars
+    FROM bucketed GROUP BY decile
+"""
+
+
+def _quality_curriculum_spark(spark, sf_dir: str):
+    from .prefix import global_row_number
+
+    register_views(spark, sf_dir)
+    scored = spark.sql(
+        _CURRICULUM_SCORE.format(
+            strip_punct="regexp_replace(text, '[.,;:!?]', '')",
+            strip_digit="regexp_replace(text, '[0-9]', '')",
+        )
+    )
+    n = scored.count()
+    if n == 0:
+        return spark.createDataFrame(
+            [],
+            "decile int, n_docs long, min_points int, max_points int, sum_chars long",
+        )
+    ranked = global_row_number(scored, ["points", "n_chars", "doc_id"], "rn")
+    ranked.createOrReplaceTempView("_curriculum_ranked")
+    return spark.sql(
+        "WITH bucketed AS ("
+        f"  SELECT *, CAST((rn - 1) * 10 DIV {n} + 1 AS INT) AS decile"
+        "   FROM _curriculum_ranked"
+        f") {_CURRICULUM_ROLLUP}"
+    )
+
+
+_CURRICULUM_DUCK = (
+    "WITH scored AS ("
+    + _CURRICULUM_SCORE.format(
+        strip_punct="regexp_replace(text, '[.,;:!?]', '', 'g')",
+        strip_digit="regexp_replace(text, '[0-9]', '', 'g')",
+    )
+    + """),
+    ranked AS (
+      SELECT *, row_number() OVER (ORDER BY points, n_chars, doc_id) AS rn,
+             count(*) OVER () AS n
+      FROM scored
+    ),
+    bucketed AS (
+      SELECT *, CAST((rn - 1) * 10 // n + 1 AS INT) AS decile FROM ranked
+    )
+"""
+    + _CURRICULUM_ROLLUP
+)
+
+QUERIES["q_quality_curriculum"] = QuerySpec(
+    spark=_quality_curriculum_spark,
+    oracle=_CURRICULUM_DUCK,
+    description=(
+        "exact global quality-decile curriculum schedule: integer quality "
+        "points, two-phase global rank (no single-task sort), per-decile "
+        "rollup"
+    ),
+)
+
+# ---------------------------------------------------------------------------
+# Token co-occurrence mining (PMI-style lift) over a BOUNDED vocabulary.
+#
+# The naive pair explosion is O(doc_len^2) and unshippable at 100 TB;
+# the standard fix is to mine pairs only over a bounded high-value
+# vocabulary.  vocab = top-32 tokens by document frequency (global
+# TopK — Spark plans take-ordered partial top-Ks per partition, no full
+# sort); each doc then contributes at most C(32,2) pairs regardless of
+# its length, so the explode is bounded and the pair shuffle carries
+# fixed-cardinality keys.  Association strength is reported as
+# lift_ppm = floor(1e6 * P(a,b) / (P(a) P(b))) — one double multiply
+# chain over exact integers, identical operation order both engines, so
+# the value hash holds without rounding tricks.  Support filter
+# c12 * 20 >= n (>= 5% of docs) in exact integer math.
+# ---------------------------------------------------------------------------
+
+_COOC_VOCAB_K = 32
+
+_COOC_BODY = """
+    WITH toks AS (
+      SELECT DISTINCT doc_id, token FROM (
+        SELECT doc_id, {tok} AS token FROM documents {gen}
+      ) u WHERE token <> ''
+    ),
+    dfreq AS (SELECT token, count(*) AS df FROM toks GROUP BY token),
+    vocab AS (
+      SELECT token, df FROM dfreq ORDER BY df DESC, token LIMIT {k}
+    ),
+    vtoks AS (
+      SELECT t.doc_id, t.token, v.df FROM toks t JOIN vocab v USING (token)
+    ),
+    nn AS (SELECT count(*) AS n FROM documents),
+    pairs AS (
+      SELECT a.token AS token_a, b.token AS token_b,
+             a.df AS df_a, b.df AS df_b, count(*) AS c12
+      FROM vtoks a JOIN vtoks b
+        ON a.doc_id = b.doc_id AND a.token < b.token
+      GROUP BY 1, 2, 3, 4
+    )
+    SELECT token_a, token_b,
+           CAST(c12 AS BIGINT) AS c12,
+           CAST(df_a AS BIGINT) AS df_a,
+           CAST(df_b AS BIGINT) AS df_b,
+           CAST(floor((1000000.0 * c12 * n) / (df_a * df_b)) AS BIGINT)
+             AS lift_ppm
+    FROM pairs CROSS JOIN nn
+    WHERE c12 * 20 >= n
+"""
+
+_q(
+    "q_cooccurrence",
+    _COOC_BODY.format(
+        tok="explode(split(lower(trim(text)), '\\\\s+'))",
+        gen="",
+        k=_COOC_VOCAB_K,
+    ),
+    _COOC_BODY.format(
+        tok="unnest(string_split_regex(lower(trim(text)), '\\s+'))",
+        gen="",
+        k=_COOC_VOCAB_K,
+    ),
+    f"token co-occurrence lift over the top-{_COOC_VOCAB_K} DF vocabulary: "
+    "bounded pair explosion, integer-exact support filter, "
+    "deterministic lift_ppm",
+)

@@ -111,7 +111,12 @@ def test_no_single_partition_window_in_prefix_queries(spark):
     from bsc_project_spark.queries import all_queries
 
     qs = all_queries()
-    for name in ("q_sort_rank", "q_sequence_pack", "q_corpus_curation"):
+    for name in (
+        "q_sort_rank",
+        "q_sequence_pack",
+        "q_corpus_curation",
+        "q_quality_curriculum",
+    ):
         plan = (
             qs[name].spark(spark, SF_DIR)
             ._jdf.queryExecution().executedPlan().toString()

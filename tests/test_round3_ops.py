@@ -274,3 +274,119 @@ def test_pagerank_matches_numpy_power_iteration(spark):
         gi, gr = got[doc]
         assert gi == in_deg[i]
         assert math.isclose(gr, round(r[i], 7), abs_tol=2e-7), doc
+
+
+# ---------------------------------------------------------------------------
+# Rollup / hopping windows / anchor text / curriculum / co-occurrence
+# (cross-engine parity is the oracle gate's job; these pin the SEMANTIC
+# invariants each op promises)
+# ---------------------------------------------------------------------------
+
+
+def test_rollup_internal_consistency():
+    """Leaf rows must roll up exactly into the subtotal and grand-total
+    rows, and GROUPING() markers must agree with the '(all)' fills."""
+    con = _duck()
+    from bsc_project_spark.queries.eventops import QUERIES
+
+    rows = con.execute(QUERIES["q_rollup_cube"].oracle).fetchall()
+    leaves = [r for r in rows if r[2] == 0 and r[3] == 0]
+    subtotals = {r[0]: r for r in rows if r[2] == 0 and r[3] == 1}
+    grand = [r for r in rows if r[2] == 1 and r[3] == 1]
+    assert len(grand) == 1
+    for r in rows:
+        assert (r[0] == "(all)") == (r[2] == 1)
+        assert (r[1] == "(all)") == (r[3] == 1)
+    for status, sub in subtotals.items():
+        mine = [r for r in leaves if r[0] == status]
+        assert sub[4] == sum(r[4] for r in mine)  # n_orders
+        assert sub[6] == pytest.approx(sum(r[6] for r in mine))  # sum_price
+    assert grand[0][4] == sum(r[4] for r in leaves)
+
+
+def test_hopping_windows_double_count_and_alignment():
+    """Width/slide = 2, so every event lands in exactly 2 windows, and
+    every window start is a 30-minute-aligned epoch."""
+    con = _duck()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM '"
+        + SF
+        + "/events.parquet'"
+    )
+    from bsc_project_spark.queries.eventops import QUERIES, _HOP_US
+
+    rows = con.execute(QUERIES["q_hopping_windows"].oracle).fetchall()
+    n_events = con.execute("SELECT count(*) FROM events").fetchone()[0]
+    assert sum(r[1] for r in rows) == 2 * n_events
+    assert all(r[0] % _HOP_US == 0 for r in rows)
+
+
+def test_anchor_text_counts_and_prefix_provenance(spark):
+    """in_links must total the (deduped) edge count; on a simple graph
+    (distinct src,dst) in_links == n_sources; every top_anchor must be
+    the 12-char lowered prefix of SOME document."""
+    from bsc_project_spark.queries.graphops import QUERIES
+
+    rows = QUERIES["q_anchor_text"].spark(spark, SF).collect()
+    assert rows
+    prefixes = {
+        (r.text or "").strip().lower()[:12]
+        for r in _duck().execute("SELECT text FROM documents").df().itertuples()
+    }
+    for r in rows:
+        assert r.in_links == r.n_sources  # edges are deduped pairs
+        assert r.top_anchor in prefixes
+
+
+def test_quality_curriculum_exact_decile_sizes():
+    """Deciles 1..10, sizes within 1 of each other, totalling the corpus."""
+    con = _duck()
+    from bsc_project_spark.queries.textops import QUERIES
+
+    rows = con.execute(QUERIES["q_quality_curriculum"].oracle).fetchall()
+    n = con.execute("SELECT count(*) FROM documents").fetchone()[0]
+    assert sorted(r[0] for r in rows) == list(range(1, 11))
+    sizes = [r[1] for r in rows]
+    assert sum(sizes) == n
+    assert max(sizes) - min(sizes) <= 1
+
+
+def test_cooccurrence_matches_independent_python():
+    """Full-parity recompute of the bounded-vocab pair mining in plain
+    Python (sets + Counter) — vocab cut, support filter, lift_ppm."""
+    import math
+    import re
+    from collections import Counter
+
+    con = _duck()
+    from bsc_project_spark.queries.textops import _COOC_VOCAB_K, QUERIES
+
+    docs = con.execute("SELECT doc_id, text FROM documents").fetchall()
+    n = len(docs)
+    toks = {
+        d: {t for t in re.split(r"\s+", text.strip().lower()) if t}
+        for d, text in docs
+    }
+    df = Counter(t for s in toks.values() for t in s)
+    vocab = dict(sorted(df.items(), key=lambda kv: (-kv[1], kv[0]))[:_COOC_VOCAB_K])
+    pairs: Counter = Counter()
+    for s in toks.values():
+        hits = sorted(t for t in s if t in vocab)
+        for i, a in enumerate(hits):
+            for b in hits[i + 1:]:
+                pairs[(a, b)] += 1
+    expected = {
+        (a, b): (
+            c12,
+            vocab[a],
+            vocab[b],
+            math.floor((1000000.0 * c12 * n) / (vocab[a] * vocab[b])),
+        )
+        for (a, b), c12 in pairs.items()
+        if c12 * 20 >= n
+    }
+    got = {
+        (r[0], r[1]): (r[2], r[3], r[4], r[5])
+        for r in con.execute(QUERIES["q_cooccurrence"].oracle).fetchall()
+    }
+    assert got == expected
