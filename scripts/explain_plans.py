@@ -93,6 +93,23 @@ def main() -> None:
          "benchmark is KB-scale at any corpus size), and the doc_id % 37 "
          "predicate reaches the parquet scan — the only wide shuffles are "
          "the per-doc gram DISTINCTs"),
+        ("q_rollup_cube", "OLAP ROLLUP: a single Expand feeds the partial/final "
+         "hash aggregate pair — each row fans out to its 3 grouping sets "
+         "MAP-side and combines before the one exchange; no extra shuffle "
+         "vs a plain GROUP BY"),
+        ("q_hopping_windows", "hopping windows: the window() fan-out is a "
+         "map-side Expand (2 windows/event) feeding partial aggregation — "
+         "ONE exchange keyed by window, never a range join against a "
+         "window table"),
+        ("q_cooccurrence", "bounded-vocab pair mining: the top-32 vocab cut is "
+         "a TakeOrderedAndProject (partial top-Ks, no global sort) arriving "
+         "via BroadcastHashJoin; the pair self-join is an equi-join on "
+         "doc_id whose input is capped at 32 rows/doc — the only "
+         "BroadcastNestedLoopJoin is the 1-row corpus-count cross join"),
+        ("q_quality_curriculum", "curriculum deciles: the two-phase .prefix "
+         "rank (range exchange + per-range window + broadcast offsets) — "
+         "NO SinglePartition exchange; the decile rollup is a 10-group "
+         "hash aggregate"),
     ]
     qs = all_queries()
     for name, note in picks:
