@@ -30,14 +30,25 @@ from pyspark.sql.types import (
 
 
 def windowed_event_counts(
-    events: DataFrame, window: str = "1 minute", watermark: str = "2 minutes"
+    events: DataFrame,
+    window: str = "1 minute",
+    watermark: str = "2 minutes",
+    slide: str | None = None,
 ) -> DataFrame:
-    """Tumbling-window counts/sums per event type with late-data watermark."""
+    """Tumbling-window counts/sums per event type with late-data watermark.
+
+    ``slide`` turns the window hopping (the streaming twin of the batch
+    ``q_hopping_windows``): each event lands in window/slide overlapping
+    windows, expanded MAP-side before the stateful aggregation — state is
+    keyed per (window, event_type) exactly as in the tumbling case, just
+    window/slide times as many keys, and the same watermark evicts each
+    window once its end passes the event-time horizon."""
     src = events.withColumn("ts", F.col("ts").cast("timestamp"))  # NTZ -> LTZ
     if events.isStreaming:
         src = src.withWatermark("ts", watermark)
+    win = F.window("ts", window, slide) if slide else F.window("ts", window)
     return (
-        src.groupBy(F.window("ts", window).alias("w"), "event_type")
+        src.groupBy(win.alias("w"), "event_type")
         .agg(F.count("*").alias("n_events"), F.sum("value").alias("sum_value"))
         .select(
             F.col("w.start").alias("window_start"),

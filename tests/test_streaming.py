@@ -341,3 +341,18 @@ def test_interval_join_randomized_out_of_order_matches_batch(spark, tmp_path, se
         output_mode="append", max_files_per_trigger=1,
     )
     assert tight.exceptAll(batch).count() == 0  # never invents pairs
+
+
+def test_sliding_windowed_counts_stream_equals_batch(spark):
+    """Hopping-window streaming agg (window=2min, slide=1min): drained
+    stream == batch plan, and every event is counted exactly
+    window/slide = 2 times across windows of its event type."""
+    slide = lambda df: windowed_event_counts(df, window="2 minutes", slide="1 minute")
+    got = run_stream_to_memory(
+        spark, EVENTS, slide, "slide_counts", output_mode="complete"
+    )
+    batch = slide(spark.read.parquet(EVENTS))
+    assert got.exceptAll(batch).count() == 0
+    assert batch.exceptAll(got).count() == 0
+    n_events = spark.read.parquet(EVENTS).count()
+    assert got.agg(F.sum("n_events")).collect()[0][0] == 2 * n_events
