@@ -107,6 +107,8 @@ _CHECK_FIRST = [
     "q_anchor_text",
     "q_quality_curriculum",
     "q_cooccurrence",
+    "q_bpe_tokens",
+    "q_weighted_sample",
 ]
 _CHECK_LAST = [
     # double-green in CORRECTNESS_r01 AND _r02, untouched since — deferred

@@ -1962,3 +1962,100 @@ _q(
     "bounded pair explosion, integer-exact support filter, "
     "deterministic lift_ppm",
 )
+
+# ---------------------------------------------------------------------------
+# BPE-ish regex token counting — the pre-tokenizer pass of a GPT-2-style
+# BPE pipeline (contractions | space-prefixed letter runs | digit runs |
+# punct runs), restricted to RE2-compatible syntax (no lookahead) so the
+# Spark (Java regex) and DuckDB (RE2) engines produce identical splits;
+# both are leftmost-first here.  Reported next to the whitespace count
+# with an integer-exact ppm ratio — the "how many training tokens is
+# this corpus" estimator that precedes any real tokenizer run.  Pure
+# native regexp on a projected column: embarrassingly parallel, no
+# shuffle at all until the (absent) aggregation — this is a map-only
+# query.
+# ---------------------------------------------------------------------------
+
+_BPE_PAT = r"''(s|t|re|ve|m|ll|d)| ?[a-z]+| ?[0-9]+| ?[^a-z0-9{ws}'']+"
+
+_BPE_BODY = """
+    WITH t AS (SELECT doc_id, lower(trim(text)) AS lt FROM documents)
+    SELECT doc_id,
+           CAST({n_bpe} AS BIGINT) AS n_bpe_tokens,
+           CAST(CASE WHEN length(lt) = 0 THEN 0
+                     ELSE {n_ws} END AS BIGINT) AS n_ws_tokens,
+           CAST(CASE WHEN length(lt) = 0 THEN 0
+                     ELSE ({n_bpe}) * 1000000 {intdiv} nullif({n_ws}, 0)
+                END AS BIGINT) AS bpe_per_ws_ppm
+    FROM t
+"""
+
+_q(
+    "q_bpe_tokens",
+    _BPE_BODY.format(
+        n_bpe="size(regexp_extract_all(lt, '" + _BPE_PAT.format(ws=r"\\s") + "', 0))",
+        n_ws="size(split(lt, '\\\\s+'))",
+        intdiv="DIV",
+    ),
+    _BPE_BODY.format(
+        n_bpe="len(regexp_extract_all(lt, '" + _BPE_PAT.format(ws=r"\s") + "'))",
+        n_ws=r"len(string_split_regex(lt, '\s+'))",
+        intdiv="//",
+    ),
+    "GPT-2-style BPE pre-tokenizer token count (RE2-compatible regex, "
+    "identical splits both engines) next to the whitespace count, with "
+    "an integer-exact ppm ratio — map-only, no shuffle",
+)
+
+# ---------------------------------------------------------------------------
+# Weighted sampling without replacement — Efraimidis–Spirakis A-ES with
+# DETERMINISTIC md5-derived uniforms, the third leg of the sampling
+# family (q_training_mix = Bernoulli rates, q_stratified_sample =
+# per-stratum top-k, this = global importance sampling by doc length).
+#
+# A-ES: draw u_i ~ U(0,1), key_i = u_i^(1/w_i); the k largest keys are
+# an exact weighted sample without replacement.  Maximizing u^(1/w) is
+# maximizing ln(u)/w, so the key never overflows.  u is derived from
+# md5(doc_id) (reproducible bit-for-bit, and independent of the weight),
+# so both engines draw the SAME sample; the float key itself never
+# leaves the query — output is (rank, doc_id, weight), rank from the
+# bounded 64-row top-k.
+#
+# Scale notes: ORDER BY key LIMIT k plans as TakeOrderedAndProject —
+# per-partition top-k folded on the driver, no global sort; the rank
+# window runs over the k surviving rows only.  This is exactly how a
+# 100 TB corpus draws a weighted eval slice in one pass.
+# ---------------------------------------------------------------------------
+
+_WSAMPLE_K = 64
+
+_WSAMPLE_BODY = """
+    WITH u AS (
+      SELECT doc_id, n_chars,
+             ({hex8} + 1.0) / 4294967297.0 AS u
+      FROM documents WHERE n_chars > 0
+    ),
+    keyed AS (SELECT doc_id, n_chars, ln(u) / n_chars AS k FROM u),
+    pick AS (
+      SELECT doc_id, n_chars, k FROM keyed
+      ORDER BY k DESC, doc_id LIMIT {k}
+    )
+    SELECT CAST(row_number() OVER (ORDER BY k DESC, doc_id) AS BIGINT)
+             AS sample_rank,
+           doc_id,
+           CAST(n_chars AS BIGINT) AS weight
+    FROM pick
+"""
+
+_q(
+    "q_weighted_sample",
+    _WSAMPLE_BODY.format(
+        hex8=_hex8_of("md5(CAST(doc_id AS STRING))"), k=_WSAMPLE_K
+    ),
+    _WSAMPLE_BODY.format(
+        hex8=_hex8_of("md5(CAST(doc_id AS VARCHAR))"), k=_WSAMPLE_K
+    ),
+    f"Efraimidis–Spirakis weighted sample (k={_WSAMPLE_K}, weight = "
+    "n_chars, deterministic md5 uniforms): TakeOrdered top-k, no global "
+    "sort; rank window bounded to the k survivors",
+)
