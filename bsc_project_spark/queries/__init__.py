@@ -109,6 +109,7 @@ _CHECK_FIRST = [
     "q_cooccurrence",
     "q_bpe_tokens",
     "q_weighted_sample",
+    "q_bm25",
 ]
 _CHECK_LAST = [
     # double-green in CORRECTNESS_r01 AND _r02, untouched since — deferred

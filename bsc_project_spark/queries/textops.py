@@ -2059,3 +2059,114 @@ _q(
     "n_chars, deterministic md5 uniforms): TakeOrdered top-k, no global "
     "sort; rank window bounded to the k survivors",
 )
+
+# ---------------------------------------------------------------------------
+# BM25 ranked retrieval — the scoring half of the retrieval family
+# (q_inverted_index builds the index; this ranks documents against a
+# query).  The query-term set is DERIVED from the corpus itself (df
+# ranks 5-8 among tokens of length >= 4, ties broken by token) so the
+# query never couples to fixture vocabulary, and both engines pick the
+# identical set via two nested bounded TakeOrdered steps (top-8, then
+# bottom-4 of those) — no OFFSET, no global window.
+#
+# Cross-engine float discipline: every per-term score is floored to an
+# integer ppm BEFORE the per-doc sum, so the only float expression is a
+# single identical multiply/divide/ln chain evaluated per (doc, term)
+# row — the sum itself is integer-exact and aggregation-order-
+# independent (the same trick as q_cooccurrence's lift_ppm).
+#
+# Shape at scale: ONE tokenize+groupBy materializes the (doc_id, token,
+# tf) term-frequency table — the relation a retrieval system keeps
+# anyway — and dl / df / avgdl / the score join all read it.  qterms
+# (4 rows) and stats (1 row) broadcast; the score join shuffles tf on
+# token once; the final ORDER BY ... LIMIT plans as TakeOrdered (driver
+# folds per-partition top-k, no global sort).
+# ---------------------------------------------------------------------------
+
+_BM25_TOPK = 16
+
+_BM25_TF_BODY = """
+    SELECT doc_id, t AS token, count(*) AS tf
+    FROM (SELECT doc_id, {split} AS a FROM {src} t0) t1 {gen}
+    WHERE length(t) >= 3
+    GROUP BY doc_id, t
+"""
+
+# k1 = 1.2, b = 0.75; (k1+1) = 2.2 and (1-b) = 0.25 pre-folded so both
+# engines evaluate the identical literal chain.  Every float literal is
+# written in EXPONENT notation (1e0, 5e-1, ...) — Spark parses plain
+# `1.0` as DECIMAL(2,1) and would run the whole chain in decimal
+# arithmetic (different rounding than DuckDB's doubles, few-ppm drift);
+# scientific notation is a DOUBLE literal in both engines.
+_BM25_TAIL = """
+    dl AS (SELECT doc_id, sum(tf) AS dl FROM {tf} GROUP BY doc_id),
+    stats AS (SELECT count(*) AS n_docs, sum(dl) * 1e0 / count(*) AS avgdl
+              FROM dl),
+    df AS (SELECT token, count(*) AS df FROM {tf} GROUP BY token),
+    qtop AS (SELECT token, df FROM df WHERE length(token) >= 4
+             ORDER BY df DESC, token LIMIT 8),
+    qterms AS (SELECT token, df FROM qtop ORDER BY df ASC, token DESC LIMIT 4),
+    scored AS (
+      SELECT t.doc_id,
+             CAST(floor(
+               1e6
+               * ln((s.n_docs - q.df + 5e-1) / (q.df + 5e-1) + 1e0)
+               * (t.tf * 2.2e0)
+               / (t.tf + 1.2e0 * (2.5e-1 + 7.5e-1 * d.dl / s.avgdl))
+             ) AS BIGINT) AS s_ppm
+      FROM {tf} t
+      JOIN qterms q ON t.token = q.token
+      JOIN dl d ON t.doc_id = d.doc_id
+      CROSS JOIN stats s
+    ),
+    agg AS (SELECT doc_id, sum(s_ppm) AS bm25_ppm, count(*) AS n_terms
+            FROM scored GROUP BY doc_id),
+    pick AS (SELECT doc_id, bm25_ppm, n_terms FROM agg
+             ORDER BY bm25_ppm DESC, doc_id LIMIT {topk})
+    SELECT CAST(row_number() OVER (ORDER BY bm25_ppm DESC, doc_id) AS BIGINT)
+             AS bm25_rank,
+           doc_id,
+           CAST(bm25_ppm AS BIGINT) AS bm25_ppm,
+           CAST(n_terms AS BIGINT) AS n_terms_matched
+    FROM pick
+"""
+
+_BM25_TF_SPARK = _BM25_TF_BODY.format(
+    src="bm25_docs",
+    split="split(lower(trim(text)), '\\\\s+')",
+    gen="LATERAL VIEW explode(a) g AS t",
+)
+
+
+def _bm25_spark(spark, sf_dir: str):
+    """Materialize the tf table ONCE (persisted temp view) — dl, df,
+    qterms and the score join are four references that would otherwise
+    each replan the scan+explode+groupBy subtree."""
+    register_views(spark, sf_dir)
+    n = spark.sparkContext.defaultParallelism
+    spark.table("documents").repartition(n).createOrReplaceTempView("bm25_docs")
+    tf = spark.sql(_BM25_TF_SPARK).persist()
+    tf.createOrReplaceTempView("bm25_tf")
+    return spark.sql("WITH " + _BM25_TAIL.format(tf="bm25_tf", topk=_BM25_TOPK))
+
+
+_BM25_DUCK = (
+    "WITH tf AS ("
+    + _BM25_TF_BODY.format(
+        src="documents",
+        split=r"string_split_regex(lower(trim(text)), '\s+')",
+        gen=", LATERAL (SELECT unnest(a) AS t) g",
+    )
+    + "), "
+    + _BM25_TAIL.format(tf="tf", topk=_BM25_TOPK)
+)
+
+QUERIES["q_bm25"] = QuerySpec(
+    spark=_bm25_spark,
+    oracle=_BM25_DUCK,
+    description=(
+        f"BM25 top-{_BM25_TOPK} retrieval (k1=1.2, b=0.75) for a corpus-"
+        "derived 4-term query: materialized tf table, integer-ppm "
+        "per-term scores summed exactly, bounded TakeOrdered everywhere"
+    ),
+)

@@ -390,3 +390,105 @@ def test_cooccurrence_matches_independent_python():
         for r in con.execute(QUERIES["q_cooccurrence"].oracle).fetchall()
     }
     assert got == expected
+
+
+def test_bpe_tokens_matches_python_re():
+    """Full-parity recompute of the BPE pre-tokenizer counts with
+    Python's `re` (leftmost-first alternation, same as Java regex and
+    RE2 on this lookahead-free pattern)."""
+    import re
+
+    con = _duck()
+    from bsc_project_spark.queries.textops import QUERIES
+
+    pat = re.compile(r"'(s|t|re|ve|m|ll|d)| ?[a-z]+| ?[0-9]+| ?[^a-z0-9\s']+")
+    docs = con.execute("SELECT doc_id, text FROM documents").fetchall()
+    expected = {}
+    for d, text in docs:
+        lt = text.strip().lower()
+        n_bpe = len(pat.findall(lt))
+        n_ws = 0 if not lt else len(re.split(r"\s+", lt))
+        ppm = 0 if not lt else (n_bpe * 1000000 // n_ws if n_ws else None)
+        expected[d] = (n_bpe, n_ws, ppm)
+    got = {
+        r[0]: (r[1], r[2], r[3])
+        for r in con.execute(QUERIES["q_bpe_tokens"].oracle).fetchall()
+    }
+    assert got == expected
+
+
+def test_weighted_sample_matches_python_aes():
+    """Independent Efraimidis-Spirakis recompute: same md5-derived
+    uniforms, ln(u)/w keys, top-64 — sample must match rank-for-rank."""
+    con = _duck()
+    from bsc_project_spark.queries.textops import _WSAMPLE_K, QUERIES
+
+    docs = con.execute(
+        "SELECT doc_id, n_chars FROM documents WHERE n_chars > 0"
+    ).fetchall()
+    keyed = []
+    for d, w in docs:
+        u = (int(_md5(str(d))[:8], 16) + 1.0) / 4294967297.0
+        keyed.append((math.log(u) / w, d, w))
+    keyed.sort(key=lambda t: (-t[0], t[1]))
+    expected = [
+        (rank + 1, d, w) for rank, (_, d, w) in enumerate(keyed[:_WSAMPLE_K])
+    ]
+    got = sorted(
+        (r[0], r[1], r[2])
+        for r in con.execute(QUERIES["q_weighted_sample"].oracle).fetchall()
+    )
+    assert got == expected
+
+
+def test_bm25_matches_python_recompute():
+    """Independent BM25 recompute (Counter-based tf/df/dl, float chain
+    in the same operation order) — top-16 must match rank-for-rank."""
+    import re
+    from collections import Counter
+
+    con = _duck()
+    from bsc_project_spark.queries.textops import _BM25_TOPK, QUERIES
+
+    docs = con.execute("SELECT doc_id, text FROM documents").fetchall()
+    tf: dict[int, Counter] = {}
+    for d, text in docs:
+        toks = [
+            t for t in re.split(r"\s+", text.strip().lower()) if len(t) >= 3
+        ]
+        tf[d] = Counter(toks)
+    dl = {d: sum(c.values()) for d, c in tf.items() if c}
+    n_docs = len(dl)
+    avgdl = sum(dl.values()) * 1.0 / n_docs
+    df = Counter(t for c in tf.values() for t in c)
+    qtop = sorted(
+        ((t, f) for t, f in df.items() if len(t) >= 4),
+        key=lambda kv: (-kv[1], kv[0]),
+    )[:8]
+    # df ASC, token DESC (two stable passes — token is a string, so no
+    # single-key negation)
+    qterms = sorted(qtop, key=lambda kv: kv[0], reverse=True)
+    qterms = sorted(qterms, key=lambda kv: kv[1])[:4]
+    scores: dict[int, list] = {}
+    for d, c in tf.items():
+        s = [
+            math.floor(
+                1e6
+                * math.log((n_docs - f + 5e-1) / (f + 5e-1) + 1e0)
+                * (c[t] * 2.2e0)
+                / (c[t] + 1.2e0 * (2.5e-1 + 7.5e-1 * dl[d] / avgdl))
+            )
+            for t, f in qterms
+            if c[t]
+        ]
+        if s:
+            scores[d] = (sum(s), len(s))
+    ranked = sorted(scores.items(), key=lambda kv: (-kv[1][0], kv[0]))
+    expected = [
+        (i + 1, d, s, n) for i, (d, (s, n)) in enumerate(ranked[:_BM25_TOPK])
+    ]
+    got = sorted(
+        (r[0], r[1], r[2], r[3])
+        for r in con.execute(QUERIES["q_bm25"].oracle).fetchall()
+    )
+    assert got == expected
