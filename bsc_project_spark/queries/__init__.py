@@ -110,6 +110,10 @@ _CHECK_FIRST = [
     "q_bpe_tokens",
     "q_weighted_sample",
     "q_bm25",
+    "q_funnel",
+    "q_cohort_retention",
+    "q_group_percentiles",
+    "q_fuzzy_join",
 ]
 _CHECK_LAST = [
     # double-green in CORRECTNESS_r01 AND _r02, untouched since — deferred

@@ -541,3 +541,106 @@ _q(
     "hopping 1h/30min sliding-window rollup via native window(); oracle "
     "replays the 2-window fan-out in integer microsecond math",
 )
+
+# ---------------------------------------------------------------------------
+# Funnel analysis: ordered view -> click -> purchase conversion.  Each
+# step is "first qualifying event STRICTLY AFTER the user completed the
+# previous step" (min-ts per user, then a per-user equi-join with a ts
+# inequality — NOT a range join: the join key is user_id, the inequality
+# is a residual filter on dim-sized per-user rows).  Output is the
+# 3-row funnel with integer-ppm step conversion — every count is a
+# user-grouped min/count, map-side combinable; the step frames shrink
+# monotonically so each later join is against a smaller build side.
+# ---------------------------------------------------------------------------
+
+_FUNNEL_BODY = """
+    WITH s1 AS (
+      SELECT user_id, min(ts) AS t FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    s2 AS (
+      SELECT e.user_id, min(e.ts) AS t
+      FROM events e JOIN s1 ON e.user_id = s1.user_id AND e.ts > s1.t
+      WHERE e.event_type = 'click' GROUP BY e.user_id
+    ),
+    s3 AS (
+      SELECT e.user_id, min(e.ts) AS t
+      FROM events e JOIN s2 ON e.user_id = s2.user_id AND e.ts > s2.t
+      WHERE e.event_type = 'purchase' GROUP BY e.user_id
+    ),
+    c AS (SELECT (SELECT count(*) FROM s1) AS c1,
+                 (SELECT count(*) FROM s2) AS c2,
+                 (SELECT count(*) FROM s3) AS c3)
+    SELECT * FROM (
+      SELECT 1 AS step_idx, 'view' AS step,
+             CAST(c1 AS BIGINT) AS n_users,
+             CAST(1000000 AS BIGINT) AS conv_from_prev_ppm
+      FROM c
+      UNION ALL
+      SELECT 2, 'view>click', CAST(c2 AS BIGINT),
+             CAST(c2 * 1000000 {intdiv} nullif(c1, 0) AS BIGINT)
+      FROM c
+      UNION ALL
+      SELECT 3, 'view>click>purchase', CAST(c3 AS BIGINT),
+             CAST(c3 * 1000000 {intdiv} nullif(c2, 0) AS BIGINT)
+      FROM c
+    ) x
+"""
+
+_q(
+    "q_funnel",
+    sql_query(_FUNNEL_BODY.format(intdiv="DIV")),
+    _FUNNEL_BODY.format(intdiv="//"),
+    "3-step ordered funnel (view -> click -> purchase, strictly-after "
+    "semantics) with integer-ppm step conversion; per-user min-ts "
+    "equi-joins, no range join",
+)
+
+# ---------------------------------------------------------------------------
+# Cohort retention: cohort = the Unix week of a user's FIRST event;
+# retention(cohort, offset) = users of that cohort active `offset`
+# weeks later, as an integer ppm of cohort size.  Week ids are exact
+# int64 epoch-microsecond division (both engines agree bit-for-bit,
+# same _SPARK_EPOCH_US discipline as sessionize).  Shape: one DISTINCT
+# (user, week) shuffle, a user-grouped min, then a user-keyed join and
+# a (cohort, offset) rollup — every agg map-side combinable, no skew
+# (cohort keys are calendar weeks).
+# ---------------------------------------------------------------------------
+
+_WEEK_US = 7 * 24 * 3600 * 1_000_000
+
+_COHORT_BODY = """
+    WITH w AS (
+      SELECT user_id, CAST({us} {intdiv} {week_us} AS BIGINT) AS week
+      FROM events
+    ),
+    a AS (SELECT DISTINCT user_id, week FROM w),
+    c AS (SELECT user_id, min(week) AS cohort_week FROM a GROUP BY user_id),
+    n0 AS (SELECT cohort_week, count(*) AS cohort_size FROM c
+           GROUP BY cohort_week),
+    act AS (
+      SELECT c.cohort_week, a.week - c.cohort_week AS week_offset,
+             count(*) AS active_users
+      FROM a JOIN c ON a.user_id = c.user_id
+      GROUP BY c.cohort_week, a.week - c.cohort_week
+    )
+    SELECT act.cohort_week,
+           CAST(act.week_offset AS BIGINT) AS week_offset,
+           CAST(act.active_users AS BIGINT) AS active_users,
+           CAST(n0.cohort_size AS BIGINT) AS cohort_size,
+           CAST(act.active_users * 1000000 {intdiv} n0.cohort_size AS BIGINT)
+             AS retention_ppm
+    FROM act JOIN n0 ON act.cohort_week = n0.cohort_week
+"""
+
+_q(
+    "q_cohort_retention",
+    sql_query(
+        _COHORT_BODY.format(
+            us=_SPARK_EPOCH_US.format(c="ts"), intdiv="DIV", week_us=_WEEK_US
+        )
+    ),
+    _COHORT_BODY.format(us="epoch_us(ts)", intdiv="//", week_us=_WEEK_US),
+    "weekly cohort retention matrix (cohort = week of first event) with "
+    "integer-ppm retention; exact int64 epoch-week ids both engines",
+)

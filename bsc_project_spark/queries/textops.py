@@ -2170,3 +2170,125 @@ QUERIES["q_bm25"] = QuerySpec(
         "per-term scores summed exactly, bounded TakeOrdered everywhere"
     ),
 )
+
+# ---------------------------------------------------------------------------
+# Per-group exact percentiles — the grouped twin of q_length_quantiles.
+# Exact order statistics (lower-median convention: the element at rank
+# ceil(q*n)) via windows that are ALL `PARTITION BY source` — per-group
+# state only, no global window, so the shape survives any number of
+# groups at 100 TB.  Integer-exact rank targets: ceil(q*n) computed as
+# (q_num*n + q_den-1) DIV q_den in int64, identical both engines; no
+# float interpolation anywhere (percentile_cont would drift
+# cross-engine).
+# ---------------------------------------------------------------------------
+
+_GROUP_PCT_BODY = """
+    WITH r AS (
+      SELECT source, n_chars,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY n_chars, doc_id) AS rn,
+             count(*) OVER (PARTITION BY source) AS n
+      FROM documents
+    )
+    SELECT source,
+           CAST(max(n) AS BIGINT) AS n_docs,
+           CAST(max(CASE WHEN rn = (n + 1) {intdiv} 2 THEN n_chars END)
+                AS BIGINT) AS p50,
+           CAST(max(CASE WHEN rn = (9 * n + 9) {intdiv} 10 THEN n_chars END)
+                AS BIGINT) AS p90,
+           CAST(max(CASE WHEN rn = n THEN n_chars END) AS BIGINT) AS p100
+    FROM r GROUP BY source
+"""
+
+_q(
+    "q_group_percentiles",
+    _GROUP_PCT_BODY.format(intdiv="DIV"),
+    _GROUP_PCT_BODY.format(intdiv="//"),
+    "exact per-source length percentiles (p50/p90/max, lower-median "
+    "rank convention) — all windows PARTITION BY source, integer-exact "
+    "rank targets, no float interpolation",
+)
+
+# ---------------------------------------------------------------------------
+# SymSpell-style fuzzy join: match a typo'd query set against the
+# corpus dictionary within edit distance 1, WITHOUT an all-pairs
+# comparison.  The query set is DERIVED deterministically from the
+# dictionary itself (each dict token with an interior character deleted
+# at an md5-chosen position — the planted-corpus pattern of the LSH
+# queries, so the match set is nonempty by construction on any corpus).
+# Candidate generation is the deletion neighborhood: each side emits
+# itself plus its single-char deletions; two strings within distance 1
+# always share a variant (identity/insertion/deletion directly,
+# substitution via same-position deletions), so an equi-join on the
+# variant finds every true pair and levenshtein() verifies (shared
+# variants also arise at distance 2 — e.g. transpositions — and are
+# filtered).  Dict is df-pruned (>= 3 docs) and length-banded (4..12)
+# so the variant explosion is <= 13x a bounded vocab.  At 100 TB this
+# is the canonical spell-correction join: both sides explode once,
+# candidates equi-join on the variant key, verification touches
+# candidates only.
+# ---------------------------------------------------------------------------
+
+_FUZZY_TYPO_POS = "(" + _hex8_of("md5(token)") + ") % (length(token) - 2) + 2"
+
+_FUZZY_BODY = """
+    WITH toks AS (
+      SELECT DISTINCT doc_id, t AS token
+      FROM (SELECT doc_id, {split} AS a FROM documents t0) t1 {gen}
+      WHERE length(t) BETWEEN 4 AND 12
+    ),
+    dict AS (
+      SELECT token, count(*) AS df FROM toks
+      GROUP BY token HAVING count(*) >= 3
+    ),
+    queries AS (
+      SELECT DISTINCT concat(substring(token, 1, p - 1), substring(token, p + 1))
+               AS qtok
+      FROM (SELECT token, {typo_pos} AS p FROM dict) tp
+    ),
+    qvars AS (
+      SELECT qtok,
+             CASE WHEN i = 0 THEN qtok
+                  ELSE concat(substring(qtok, 1, i - 1),
+                              substring(qtok, i + 1)) END AS v
+      FROM queries {gen_q}
+    ),
+    dvars AS (
+      SELECT token,
+             CASE WHEN i = 0 THEN token
+                  ELSE concat(substring(token, 1, i - 1),
+                              substring(token, i + 1)) END AS v
+      FROM dict {gen_d}
+    ),
+    cand AS (
+      SELECT DISTINCT q.qtok, d.token
+      FROM qvars q JOIN dvars d ON q.v = d.v
+    )
+    SELECT c.qtok AS query_token, c.token AS dict_token,
+           CAST(levenshtein(c.qtok, c.token) AS BIGINT) AS dist,
+           CAST(dd.df AS BIGINT) AS dict_df
+    FROM cand c JOIN dict dd ON dd.token = c.token
+    WHERE levenshtein(c.qtok, c.token) <= 1
+"""
+
+_q(
+    "q_fuzzy_join",
+    _FUZZY_BODY.format(
+        split="split(lower(trim(text)), '\\\\s+')",
+        gen="LATERAL VIEW explode(a) g AS t",
+        typo_pos=_FUZZY_TYPO_POS,
+        gen_q="LATERAL VIEW explode(sequence(0, length(qtok))) g2 AS i",
+        gen_d="LATERAL VIEW explode(sequence(0, length(token))) g3 AS i",
+    ),
+    _FUZZY_BODY.format(
+        split=r"string_split_regex(lower(trim(text)), '\s+')",
+        gen=", LATERAL (SELECT unnest(a) AS t) g",
+        typo_pos=_FUZZY_TYPO_POS,
+        gen_q=", LATERAL (SELECT unnest(generate_series(0, length(qtok))) AS i) g2",
+        gen_d=", LATERAL (SELECT unnest(generate_series(0, length(token))) AS i) g3",
+    ),
+    "SymSpell deletion-neighborhood fuzzy join: md5-planted typo "
+    "queries matched against the corpus dictionary within edit "
+    "distance 1 via variant equi-join + levenshtein verify — no "
+    "all-pairs comparison",
+)

@@ -492,3 +492,133 @@ def test_bm25_matches_python_recompute():
         for r in con.execute(QUERIES["q_bm25"].oracle).fetchall()
     )
     assert got == expected
+
+
+def _events():
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{SF}/events.parquet'"
+    )
+    return con
+
+
+def test_funnel_matches_python_recompute():
+    """Strictly-ordered view -> click -> purchase recompute per user."""
+    con = _events()
+    from bsc_project_spark.queries.eventops import QUERIES
+
+    rows = con.execute(
+        "SELECT user_id, event_type, ts FROM events ORDER BY user_id, ts"
+    ).fetchall()
+    by_user: dict = {}
+    for u, et, ts in rows:
+        by_user.setdefault(u, []).append((ts, et))
+    c1 = c2 = c3 = 0
+    for evs in by_user.values():
+        t1 = min((t for t, e in evs if e == "view"), default=None)
+        if t1 is None:
+            continue
+        c1 += 1
+        t2 = min((t for t, e in evs if e == "click" and t > t1), default=None)
+        if t2 is None:
+            continue
+        c2 += 1
+        if any(e == "purchase" and t > t2 for t, e in evs):
+            c3 += 1
+    got = {
+        r[0]: (r[2], r[3])
+        for r in con.execute(QUERIES["q_funnel"].oracle).fetchall()
+    }
+    assert got[1] == (c1, 1000000)
+    assert got[2] == (c2, c2 * 1000000 // c1)
+    assert got[3] == (c3, c3 * 1000000 // c2)
+
+
+def test_cohort_retention_matches_python_recompute():
+    con = _events()
+    from bsc_project_spark.queries.eventops import _WEEK_US, QUERIES
+
+    rows = con.execute(
+        "SELECT user_id, epoch_us(ts) FROM events"
+    ).fetchall()
+    weeks: dict = {}
+    for u, us in rows:
+        weeks.setdefault(u, set()).add(int(us) // (_WEEK_US))
+    cohort = {u: min(ws) for u, ws in weeks.items()}
+    size: dict = {}
+    for u, c in cohort.items():
+        size[c] = size.get(c, 0) + 1
+    act: dict = {}
+    for u, ws in weeks.items():
+        for w in ws:
+            key = (cohort[u], w - cohort[u])
+            act[key] = act.get(key, 0) + 1
+    expected = {
+        k: (n, size[k[0]], n * 1000000 // size[k[0]]) for k, n in act.items()
+    }
+    got = {
+        (r[0], r[1]): (r[2], r[3], r[4])
+        for r in con.execute(QUERIES["q_cohort_retention"].oracle).fetchall()
+    }
+    assert got == expected
+
+
+def test_group_percentiles_exact_rank_semantics():
+    """p50/p90/p100 equal the elements at ceil(q*n) in the per-source
+    sorted order (lower-median convention)."""
+    con = _duck()
+    from bsc_project_spark.queries.textops import QUERIES
+
+    docs = con.execute(
+        "SELECT source, n_chars, doc_id FROM documents"
+    ).fetchall()
+    groups: dict = {}
+    for s, n, d in docs:
+        groups.setdefault(s, []).append((n, d))
+    expected = {}
+    for s, vals in groups.items():
+        vals.sort()
+        n = len(vals)
+        expected[s] = (
+            n,
+            vals[(n + 1) // 2 - 1][0],
+            vals[(9 * n + 9) // 10 - 1][0],
+            vals[n - 1][0],
+        )
+    got = {
+        r[0]: (r[1], r[2], r[3], r[4])
+        for r in con.execute(QUERIES["q_group_percentiles"].oracle).fetchall()
+    }
+    assert got == expected
+
+
+def test_fuzzy_join_no_false_negatives_and_verified():
+    """Every planted typo finds its source dict token (the deletion
+    neighborhood has no false negatives at distance 1), and every
+    reported pair is levenshtein-verified <= 1."""
+    con = _duck()
+    from bsc_project_spark.queries.textops import QUERIES
+
+    rows = con.execute(QUERIES["q_fuzzy_join"].oracle).fetchall()
+    assert rows, "planted typo queries must produce matches"
+    assert all(r[2] <= 1 for r in rows)
+    # rebuild the planted query set and its source tokens
+    import re
+    from collections import Counter
+
+    docs = con.execute("SELECT doc_id, text FROM documents").fetchall()
+    df = Counter()
+    for _, text in docs:
+        df.update(
+            {
+                t
+                for t in re.split(r"\s+", text.strip().lower())
+                if 4 <= len(t) <= 12
+            }
+        )
+    dict_toks = {t for t, c in df.items() if c >= 3}
+    matched = {(r[0], r[1]) for r in rows}
+    for t in dict_toks:
+        p = int(_md5(t)[:8], 16) % (len(t) - 2) + 2
+        typo = t[: p - 1] + t[p:]
+        assert (typo, t) in matched, (typo, t)
