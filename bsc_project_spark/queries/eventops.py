@@ -587,13 +587,50 @@ _FUNNEL_BODY = """
     ) x
 """
 
+def _funnel_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each step frame is computed ONCE and persisted (the inlined-CTE
+    form re-derives s1 inside s2 inside s3 — 15 event scans in the
+    physical plan; this shape scans events exactly once per step, with
+    the event_type filter pushed to each scan).  The three counts are
+    bounded driver state (3 ints, same policy as the k-means k*d
+    partials); the 3-row result is assembled from them."""
+    register_views(spark, sf_dir)
+    ev = spark.table("events")
+
+    def step(event_type: str, prev: DataFrame | None) -> DataFrame:
+        e = ev.filter(F.col("event_type") == event_type)
+        if prev is not None:
+            e = e.join(
+                prev, (e.user_id == prev.u) & (e.ts > prev.t), "inner"
+            )
+        return (
+            e.groupBy(e.user_id.alias("u"))
+            .agg(F.min(e.ts).alias("t"))
+            .persist()
+        )
+
+    s1 = step("view", None)
+    s2 = step("click", s1)
+    s3 = step("purchase", s2)
+    c1, c2, c3 = s1.count(), s2.count(), s3.count()
+    rows = [
+        (1, "view", c1, 1000000),
+        (2, "view>click", c2, c2 * 1000000 // c1 if c1 else None),
+        (3, "view>click>purchase", c3, c3 * 1000000 // c2 if c2 else None),
+    ]
+    return spark.createDataFrame(
+        rows,
+        "step_idx int, step string, n_users bigint, conv_from_prev_ppm bigint",
+    )
+
+
 _q(
     "q_funnel",
-    sql_query(_FUNNEL_BODY.format(intdiv="DIV")),
+    _funnel_spark,
     _FUNNEL_BODY.format(intdiv="//"),
     "3-step ordered funnel (view -> click -> purchase, strictly-after "
     "semantics) with integer-ppm step conversion; per-user min-ts "
-    "equi-joins, no range join",
+    "equi-joins, no range join; one pushed-filter event scan per step",
 )
 
 # ---------------------------------------------------------------------------
@@ -633,14 +670,59 @@ _COHORT_BODY = """
     FROM act JOIN n0 ON act.cohort_week = n0.cohort_week
 """
 
+# NOTE: the Spark-side tail avoids WITH-CTEs.  Spark 4.1 fails to
+# cache-substitute a cached temp view from inside a WITH query when the
+# view's own definition contains a CTE (cte-id renumbering breaks
+# sameResult — see the fuzzy-join note in textops.py); derived tables
+# substitute unconditionally, so the tail uses only those.  Verified:
+# this form's physical plan reads both cached frames
+# (InMemoryTableScans) and scans events exactly once overall.
+_COHORT_TAIL = """
+    SELECT act.cohort_week,
+           CAST(act.week_offset AS BIGINT) AS week_offset,
+           CAST(act.active_users AS BIGINT) AS active_users,
+           CAST(n0.cohort_size AS BIGINT) AS cohort_size,
+           CAST(act.active_users * 1000000 DIV n0.cohort_size AS BIGINT)
+             AS retention_ppm
+    FROM (
+      SELECT c.cohort_week, a.week - c.cohort_week AS week_offset,
+             count(*) AS active_users
+      FROM cohort_activity a JOIN cohort_first c ON a.user_id = c.user_id
+      GROUP BY c.cohort_week, a.week - c.cohort_week
+    ) act JOIN (
+      SELECT cohort_week, count(*) AS cohort_size FROM cohort_first
+      GROUP BY cohort_week
+    ) n0 ON act.cohort_week = n0.cohort_week
+"""
+
+
+def _cohort_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialize the DISTINCT (user, week) activity frame ONCE (the
+    inlined-CTE form re-derives it inside c, n0 AND act — 6 event scans
+    in the physical plan; this shape scans events once) and the per-user
+    cohort frame once (referenced by both the numerator and the cohort
+    sizes).  Both are skinny int64 relations."""
+    register_views(spark, sf_dir)
+    a = spark.sql(
+        f"""SELECT DISTINCT user_id,
+                   CAST({_SPARK_EPOCH_US.format(c='ts')} DIV {_WEEK_US}
+                        AS BIGINT) AS week
+            FROM events"""
+    ).persist()
+    a.createOrReplaceTempView("cohort_activity")
+    c = spark.sql(
+        """SELECT user_id, min(week) AS cohort_week FROM cohort_activity
+           GROUP BY user_id"""
+    ).persist()
+    c.createOrReplaceTempView("cohort_first")
+    return spark.sql(_COHORT_TAIL)
+
+
 _q(
     "q_cohort_retention",
-    sql_query(
-        _COHORT_BODY.format(
-            us=_SPARK_EPOCH_US.format(c="ts"), intdiv="DIV", week_us=_WEEK_US
-        )
-    ),
+    _cohort_spark,
     _COHORT_BODY.format(us="epoch_us(ts)", intdiv="//", week_us=_WEEK_US),
     "weekly cohort retention matrix (cohort = week of first event) with "
-    "integer-ppm retention; exact int64 epoch-week ids both engines",
+    "integer-ppm retention; exact int64 epoch-week ids both engines; "
+    "activity frame materialized once",
 )

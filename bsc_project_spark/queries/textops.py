@@ -2231,17 +2231,18 @@ _q(
 
 _FUZZY_TYPO_POS = "(" + _hex8_of("md5(token)") + ") % (length(token) - 2) + 2"
 
-_FUZZY_BODY = """
+_FUZZY_DICT_BODY = """
     WITH toks AS (
       SELECT DISTINCT doc_id, t AS token
       FROM (SELECT doc_id, {split} AS a FROM documents t0) t1 {gen}
       WHERE length(t) BETWEEN 4 AND 12
-    ),
-    dict AS (
-      SELECT token, count(*) AS df FROM toks
-      GROUP BY token HAVING count(*) >= 3
-    ),
-    queries AS (
+    )
+    SELECT token, count(*) AS df FROM toks
+    GROUP BY token HAVING count(*) >= 3
+"""
+
+_FUZZY_TAIL = """
+    WITH queries AS (
       SELECT DISTINCT concat(substring(token, 1, p - 1), substring(token, p + 1))
                AS qtok
       FROM (SELECT token, {typo_pos} AS p FROM dict) tp
@@ -2271,24 +2272,82 @@ _FUZZY_BODY = """
     WHERE levenshtein(c.qtok, c.token) <= 1
 """
 
-_q(
-    "q_fuzzy_join",
-    _FUZZY_BODY.format(
-        split="split(lower(trim(text)), '\\\\s+')",
-        gen="LATERAL VIEW explode(a) g AS t",
-        typo_pos=_FUZZY_TYPO_POS,
-        gen_q="LATERAL VIEW explode(sequence(0, length(qtok))) g2 AS i",
-        gen_d="LATERAL VIEW explode(sequence(0, length(token))) g3 AS i",
-    ),
-    _FUZZY_BODY.format(
+# Spark-side tail: same algebra as _FUZZY_TAIL but with the CTEs
+# unrolled into derived tables.  Spark 4.1 cache-substitution gotcha
+# (bisected empirically): a cached temp view whose DEFINITION itself
+# contains a WITH-CTE (here: `WITH toks`) is NOT replaced by its
+# InMemoryRelation when referenced from inside another WITH query —
+# the outer/inner CTE merge renumbers cte ids so sameResult fails and
+# the dict is re-derived from 3 parquet scans.  References through
+# plain derived tables always substitute (verified: 3 InMemoryTableScans,
+# 0 fresh document scans in this form's physical plan).
+_FUZZY_TAIL_SPARK = f"""
+    SELECT c.qtok AS query_token, c.token AS dict_token,
+           CAST(levenshtein(c.qtok, c.token) AS BIGINT) AS dist,
+           CAST(dd.df AS BIGINT) AS dict_df
+    FROM (
+      SELECT DISTINCT q.qtok, d.token
+      FROM (
+        SELECT qtok,
+               CASE WHEN i = 0 THEN qtok
+                    ELSE concat(substring(qtok, 1, i - 1),
+                                substring(qtok, i + 1)) END AS v
+        FROM (
+          SELECT DISTINCT concat(substring(token, 1, p - 1),
+                                 substring(token, p + 1)) AS qtok
+          FROM (SELECT token, {_FUZZY_TYPO_POS} AS p FROM fuzzy_dict) tp
+        ) queries LATERAL VIEW explode(sequence(0, length(qtok))) g2 AS i
+      ) q JOIN (
+        SELECT token,
+               CASE WHEN i = 0 THEN token
+                    ELSE concat(substring(token, 1, i - 1),
+                                substring(token, i + 1)) END AS v
+        FROM fuzzy_dict
+        LATERAL VIEW explode(sequence(0, length(token))) g3 AS i
+      ) d ON q.v = d.v
+    ) c JOIN fuzzy_dict dd ON dd.token = c.token
+    WHERE levenshtein(c.qtok, c.token) <= 1
+"""
+
+
+def _fuzzy_join_spark(spark, sf_dir: str):
+    """Materialize the dictionary ONCE (persisted temp view): the
+    inlined-CTE form re-derives the scan+explode+df-groupBy dict
+    subtree for queries, dvars AND the df join — 6 document scans in
+    the physical plan; this shape tokenizes once and every reference
+    reads the cached skinny (token, df) frame."""
+    register_views(spark, sf_dir)
+    d = spark.sql(
+        _FUZZY_DICT_BODY.format(
+            split="split(lower(trim(text)), '\\\\s+')",
+            gen="LATERAL VIEW explode(a) g AS t",
+        )
+    ).persist()
+    d.createOrReplaceTempView("fuzzy_dict")
+    return spark.sql(_FUZZY_TAIL_SPARK)
+
+
+_FUZZY_DUCK = (
+    "WITH dict AS ("
+    + _FUZZY_DICT_BODY.format(
         split=r"string_split_regex(lower(trim(text)), '\s+')",
         gen=", LATERAL (SELECT unnest(a) AS t) g",
+    )
+    + "), "
+    + _FUZZY_TAIL.format(
         typo_pos=_FUZZY_TYPO_POS,
         gen_q=", LATERAL (SELECT unnest(generate_series(0, length(qtok))) AS i) g2",
         gen_d=", LATERAL (SELECT unnest(generate_series(0, length(token))) AS i) g3",
+    ).replace("WITH queries AS", "queries AS", 1)
+)
+
+QUERIES["q_fuzzy_join"] = QuerySpec(
+    spark=_fuzzy_join_spark,
+    oracle=_FUZZY_DUCK,
+    description=(
+        "SymSpell deletion-neighborhood fuzzy join: md5-planted typo "
+        "queries matched against the corpus dictionary within edit "
+        "distance 1 via variant equi-join + levenshtein verify — no "
+        "all-pairs comparison; dictionary materialized once"
     ),
-    "SymSpell deletion-neighborhood fuzzy join: md5-planted typo "
-    "queries matched against the corpus dictionary within edit "
-    "distance 1 via variant equi-join + levenshtein verify — no "
-    "all-pairs comparison",
 )
