@@ -545,12 +545,12 @@ _q(
 # ---------------------------------------------------------------------------
 # Funnel analysis: ordered view -> click -> purchase conversion.  Each
 # step is "first qualifying event STRICTLY AFTER the user completed the
-# previous step" (min-ts per user, then a per-user equi-join with a ts
-# inequality — NOT a range join: the join key is user_id, the inequality
-# is a residual filter on dim-sized per-user rows).  Output is the
-# 3-row funnel with integer-ppm step conversion — every count is a
-# user-grouped min/count, map-side combinable; the step frames shrink
-# monotonically so each later join is against a smaller build side.
+# previous step".  The oracle states it as min-ts per step with chained
+# strictly-after joins; the Spark plan computes the same thing in ONE
+# shuffle — per-user time-sorted event lists folded by a JVM-side
+# ``aggregate`` that advances a stage counter (no per-step joins, no
+# persisted frames, no driver counts).  Output is the 3-row funnel with
+# integer-ppm step conversion.
 # ---------------------------------------------------------------------------
 
 _FUNNEL_BODY = """
@@ -588,39 +588,60 @@ _FUNNEL_BODY = """
 """
 
 def _funnel_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Each step frame is computed ONCE and persisted (the inlined-CTE
-    form re-derives s1 inside s2 inside s3 — 15 event scans in the
-    physical plan; this shape scans events exactly once per step, with
-    the event_type filter pushed to each scan).  The three counts are
-    bounded driver state (3 ints, same policy as the k-means k*d
-    partials); the 3-row result is assembled from them."""
+    """Single-shuffle funnel: ONE groupBy(user_id) collects each user's
+    (ts, type) events time-sorted, then a JVM-side ``aggregate`` fold
+    walks them once, advancing the funnel stage exactly where the SQL's
+    min-ts-strictly-after joins would (stage gating + strict ``>`` make
+    equal-ts ties agree with the min-based oracle).  The per-user event
+    list is session-bounded upstream, so collect_list state is dim-sized
+    per key; the step-join form (3 persisted frames + 3 shuffles +
+    driver-side counts) is gone.  The 3-row result is assembled with
+    ``stack`` from the final 1-row count frame — no driver state at all."""
     register_views(spark, sf_dir)
-    ev = spark.table("events")
-
-    def step(event_type: str, prev: DataFrame | None) -> DataFrame:
-        e = ev.filter(F.col("event_type") == event_type)
-        if prev is not None:
-            e = e.join(
-                prev, (e.user_id == prev.u) & (e.ts > prev.t), "inner"
+    ev = spark.table("events").where(
+        F.col("event_type").isin("view", "click", "purchase")
+    )
+    us = F.expr(_SPARK_EPOCH_US.format(c="ts"))
+    per_user = ev.groupBy("user_id").agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(us.alias("us"), F.col("event_type").alias("et"))
             )
-        return (
-            e.groupBy(e.user_id.alias("u"))
-            .agg(F.min(e.ts).alias("t"))
-            .persist()
-        )
-
-    s1 = step("view", None)
-    s2 = step("click", s1)
-    s3 = step("purchase", s2)
-    c1, c2, c3 = s1.count(), s2.count(), s3.count()
-    rows = [
-        (1, "view", c1, 1000000),
-        (2, "view>click", c2, c2 * 1000000 // c1 if c1 else None),
-        (3, "view>click>purchase", c3, c3 * 1000000 // c2 if c2 else None),
-    ]
-    return spark.createDataFrame(
-        rows,
-        "step_idx int, step string, n_users bigint, conv_from_prev_ppm bigint",
+        ).alias("evs")
+    )
+    stage = F.aggregate(
+        "evs",
+        F.struct(F.lit(0).alias("s"), F.lit(0).cast("long").alias("t")),
+        lambda a, e: (
+            F.when(
+                (a["s"] == 0) & (e["et"] == "view"),
+                F.struct(F.lit(1).alias("s"), e["us"].alias("t")),
+            )
+            .when(
+                (a["s"] == 1) & (e["et"] == "click") & (e["us"] > a["t"]),
+                F.struct(F.lit(2).alias("s"), e["us"].alias("t")),
+            )
+            .when(
+                (a["s"] == 2) & (e["et"] == "purchase") & (e["us"] > a["t"]),
+                F.struct(F.lit(3).alias("s"), e["us"].alias("t")),
+            )
+            .otherwise(a)
+        ),
+        lambda a: a["s"],
+    )
+    counts = per_user.select(stage.alias("s")).agg(
+        F.coalesce(F.sum((F.col("s") >= 1).cast("long")), F.lit(0)).alias("c1"),
+        F.coalesce(F.sum((F.col("s") >= 2).cast("long")), F.lit(0)).alias("c2"),
+        F.coalesce(F.sum((F.col("s") >= 3).cast("long")), F.lit(0)).alias("c3"),
+    )
+    return counts.selectExpr(
+        """stack(3,
+             1, 'view', CAST(c1 AS BIGINT), CAST(1000000 AS BIGINT),
+             2, 'view>click', CAST(c2 AS BIGINT),
+                CAST(c2 * 1000000 DIV nullif(c1, 0) AS BIGINT),
+             3, 'view>click>purchase', CAST(c3 AS BIGINT),
+                CAST(c3 * 1000000 DIV nullif(c2, 0) AS BIGINT)
+           ) AS (step_idx, step, n_users, conv_from_prev_ppm)"""
     )
 
 
