@@ -114,6 +114,9 @@ _CHECK_FIRST = [
     "q_cohort_retention",
     "q_group_percentiles",
     "q_fuzzy_join",
+    "q_char_entropy",
+    "q_chunk_windows",
+    "q_decay_score",
 ]
 _CHECK_LAST = [
     # double-green in CORRECTNESS_r01 AND _r02, untouched since — deferred

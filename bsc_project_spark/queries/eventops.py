@@ -747,3 +747,52 @@ _q(
     "integer-ppm retention; exact int64 epoch-week ids both engines; "
     "activity frame materialized once",
 )
+
+# ---------------------------------------------------------------------------
+# Time-decayed engagement score: per user, the exponentially-decayed
+# sum of event values (half-life 7 days, anchored at the corpus max
+# timestamp) — the recency-weighted activity feature behind churn
+# models and freshness-weighted sampling of interaction data.
+#
+# Cross-engine float discipline: each event's contribution
+# value * 2^(-age/halflife) is floored to integer ppm BEFORE the
+# per-user sum (the q_bm25 trick), so aggregation order can't move the
+# result; ages are exact int64 epoch-microsecond differences.  The
+# corpus max timestamp is a scalar subquery — one broadcast value, no
+# join.
+#
+# Shape at scale: a single map-side-combinable groupBy(user_id) over a
+# projected (user_id, us, value) scan; no windows, no self-joins.
+# ---------------------------------------------------------------------------
+
+_DECAY_HL_US = 7 * 24 * 3600 * 1_000_000
+
+_DECAY_BODY = """
+    WITH t AS (
+      SELECT user_id, {us} AS us, value FROM events
+    ),
+    w AS (
+      SELECT user_id,
+             CAST(floor(
+               1e6 * value
+               * exp(-6.931471805599453e-1
+                     * ((SELECT max(us) FROM t) - us) / {hl})
+             ) AS BIGINT) AS w_ppm
+      FROM t
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(w_ppm) AS BIGINT) AS decay_score_ppm
+    FROM w GROUP BY user_id
+"""
+
+_q(
+    "q_decay_score",
+    sql_query(
+        _DECAY_BODY.format(us=_SPARK_EPOCH_US.format(c="ts"), hl=_DECAY_HL_US)
+    ),
+    _DECAY_BODY.format(us="epoch_us(ts)", hl=_DECAY_HL_US),
+    "per-user exponentially time-decayed engagement score (half-life "
+    "7d, integer-ppm contributions floored before the exact sum): one "
+    "map-side-combinable groupBy, scalar-subquery anchor, no windows",
+)

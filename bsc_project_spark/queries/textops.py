@@ -2366,3 +2366,115 @@ QUERIES["q_fuzzy_join"] = QuerySpec(
         "all-pairs comparison; dictionary materialized once"
     ),
 )
+
+# ---------------------------------------------------------------------------
+# Character-entropy quality signal: per-doc Shannon entropy of the
+# lowered character distribution.  Gibberish and keyboard-mash text
+# score anomalously high, template/repetition spam anomalously low —
+# a standard corpus-quality feature alongside q_quality_score's
+# length/punct ratios and q_char_lm_score's bigram LM.
+#
+# Cross-engine float discipline (same as q_bm25 / q_cooccurrence):
+# each per-character term  p*ln(1/p)  is floored to integer ppm-nats
+# BEFORE the per-doc sum, so the only float arithmetic is one short
+# identical chain per (doc, char) row and the sum itself is integer-
+# exact and aggregation-order-independent.
+#
+# Shape at scale: the position explode emits skinny (doc_id, ch)
+# pairs; both counts are map-side-combinable groupBys and the
+# cnt-tot join keys on doc_id — one shuffle family, no windows.
+# ---------------------------------------------------------------------------
+
+_ENTROPY_BODY = """
+    WITH src AS (
+      SELECT doc_id, lower(trim(text)) AS s
+      FROM documents WHERE n_chars > 0
+    ),
+    chars AS (
+      SELECT doc_id, substring(s, i, 1) AS ch FROM src {gen}
+    ),
+    cnt AS (SELECT doc_id, ch, count(*) AS c FROM chars GROUP BY doc_id, ch),
+    tot AS (SELECT doc_id, sum(c) AS n FROM cnt GROUP BY doc_id),
+    terms AS (
+      SELECT c.doc_id,
+             CAST(floor(
+               1e6 * (c.c * 1e0 / t.n) * ln(t.n * 1e0 / c.c)
+             ) AS BIGINT) AS e_ppm
+      FROM cnt c JOIN tot t ON c.doc_id = t.doc_id
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_unique_chars,
+           CAST(sum(e_ppm) AS BIGINT) AS entropy_ppm
+    FROM terms GROUP BY doc_id
+"""
+
+_q(
+    "q_char_entropy",
+    _ENTROPY_BODY.format(
+        gen="LATERAL VIEW explode(sequence(1, length(s))) g AS i"
+    ),
+    _ENTROPY_BODY.format(
+        gen=", LATERAL (SELECT unnest(generate_series(1, length(s))) AS i) g"
+    ),
+    "per-doc Shannon char entropy in integer ppm-nats (per-char terms "
+    "floored before the exact sum): skinny (doc_id, ch) explode, "
+    "map-side-combinable counts, doc_id-keyed join, no windows",
+)
+
+# ---------------------------------------------------------------------------
+# Sliding-window token chunking — the context-window preparation step
+# of every pretraining / RAG ingestion pipeline: split each document
+# into overlapping chunks of W tokens advancing by stride S, carrying
+# (doc_id, chunk_idx, token count, reassembled chunk text).
+#
+# Shape at scale: a pure NARROW flatMap — split, a bounded integer
+# sequence explode, slice, join — with ZERO shuffles in the physical
+# plan; the n_chars filter pushes to the parquet scan.  At 10^12 docs
+# this runs at scan speed and partitions never exchange.
+# ---------------------------------------------------------------------------
+
+_CHUNK_W = 32
+_CHUNK_S = 16
+
+_CHUNK_BODY = """
+    WITH toks AS (
+      SELECT doc_id, {split} AS a
+      FROM documents WHERE n_chars > 0
+    ),
+    chunks AS (
+      SELECT doc_id, i AS chunk_idx, {slice} AS c
+      FROM toks {gen}
+    )
+    SELECT doc_id,
+           CAST(chunk_idx AS BIGINT) AS chunk_idx,
+           CAST({csize} AS BIGINT) AS n_tokens,
+           {cjoin} AS chunk_text
+    FROM chunks
+"""
+
+_q(
+    "q_chunk_windows",
+    _CHUNK_BODY.format(
+        split="split(trim(text), '\\\\s+')",
+        gen=(
+            "LATERAL VIEW explode(sequence(0, "
+            f"CAST(floor((size(a) - 1) / {_CHUNK_S}) AS INT))) g AS i"
+        ),
+        slice=f"slice(a, i * {_CHUNK_S} + 1, {_CHUNK_W})",
+        csize="size(c)",
+        cjoin="array_join(c, ' ')",
+    ),
+    _CHUNK_BODY.format(
+        split=r"string_split_regex(trim(text), '\s+')",
+        gen=(
+            ", LATERAL (SELECT unnest(generate_series(0, "
+            f"CAST(floor((len(a) - 1) / {_CHUNK_S}) AS BIGINT))) AS i) g"
+        ),
+        slice=f"list_slice(a, i * {_CHUNK_S} + 1, i * {_CHUNK_S} + {_CHUNK_W})",
+        csize="len(c)",
+        cjoin="array_to_string(c, ' ')",
+    ),
+    f"sliding-window token chunking (W={_CHUNK_W}, stride={_CHUNK_S}) "
+    "for context-window prep: narrow flatMap, zero shuffles, filter "
+    "pushed to the scan",
+)

@@ -145,3 +145,16 @@ def test_global_cumsum_matches_window(spark):
     empty = global_cumsum(df.where("k < 0"), ["k"], "v", "cum")
     assert empty.count() == 0
     assert empty.schema["cum"].dataType.simpleString() == "bigint"
+
+
+def test_chunk_windows_has_zero_exchanges(spark):
+    """q_chunk_windows is a pure narrow flatMap (split -> bounded
+    sequence explode -> slice -> join): its physical plan must contain
+    NO Exchange at all — at 10^12 docs it runs at scan speed."""
+    from bsc_project_spark.queries.textops import QUERIES
+
+    plan = (
+        QUERIES["q_chunk_windows"].spark(spark, SF_DIR)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan

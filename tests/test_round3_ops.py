@@ -622,3 +622,88 @@ def test_fuzzy_join_no_false_negatives_and_verified():
         p = int(_md5(t)[:8], 16) % (len(t) - 2) + 2
         typo = t[: p - 1] + t[p:]
         assert (typo, t) in matched, (typo, t)
+
+
+# ---------------------------------------------------------------------------
+# q_char_entropy / q_chunk_windows / q_decay_score
+# ---------------------------------------------------------------------------
+
+
+def test_char_entropy_matches_python_recompute():
+    """Recompute the per-doc ppm-nat entropy in pure Python with the
+    same per-term floor discipline and compare every row."""
+    con = _duck()
+    from bsc_project_spark.queries.textops import QUERIES
+
+    got = {
+        r[0]: (r[1], r[2])
+        for r in con.execute(QUERIES["q_char_entropy"].oracle).fetchall()
+    }
+    docs = con.execute(
+        "SELECT doc_id, lower(trim(text)) FROM documents WHERE n_chars > 0"
+    ).fetchall()
+    assert len(got) == len(docs) > 0
+    for doc_id, s in docs:
+        counts: dict[str, int] = {}
+        for ch in s:
+            counts[ch] = counts.get(ch, 0) + 1
+        n = sum(counts.values())
+        e = sum(
+            math.floor(1e6 * (c * 1.0 / n) * math.log(n * 1.0 / c))
+            for c in counts.values()
+        )
+        assert got[doc_id] == (len(counts), e), doc_id
+
+
+def test_chunk_windows_cover_and_tile_tokens():
+    """Every token index is covered, chunk starts advance by the stride,
+    every chunk reassembles the exact token slice, and chunk counts
+    match ceil(n/S) semantics."""
+    import re
+
+    con = _duck()
+    from bsc_project_spark.queries.textops import (
+        QUERIES,
+        _CHUNK_S,
+        _CHUNK_W,
+    )
+
+    rows = con.execute(QUERIES["q_chunk_windows"].oracle).fetchall()
+    by_doc: dict[int, dict[int, tuple[int, str]]] = {}
+    for doc_id, ci, nt, text in rows:
+        by_doc.setdefault(doc_id, {})[ci] = (nt, text)
+    docs = con.execute(
+        "SELECT doc_id, trim(text) FROM documents WHERE n_chars > 0"
+    ).fetchall()
+    assert len(by_doc) == len(docs) > 0
+    for doc_id, s in docs:
+        toks = re.split(r"\s+", s)
+        n = len(toks)
+        expect_chunks = (n - 1) // _CHUNK_S + 1
+        chunks = by_doc[doc_id]
+        assert sorted(chunks) == list(range(expect_chunks)), doc_id
+        for ci, (nt, text) in chunks.items():
+            sl = toks[ci * _CHUNK_S : ci * _CHUNK_S + _CHUNK_W]
+            assert nt == len(sl) and text == " ".join(sl), (doc_id, ci)
+
+
+def test_decay_score_matches_python_recompute():
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM '{SF}/events.parquet'")
+    from bsc_project_spark.queries.eventops import QUERIES, _DECAY_HL_US
+
+    got = {
+        r[0]: (r[1], r[2])
+        for r in con.execute(QUERIES["q_decay_score"].oracle).fetchall()
+    }
+    evs = con.execute(
+        "SELECT user_id, epoch_us(ts), value FROM events"
+    ).fetchall()
+    tref = max(us for _, us, _ in evs)
+    expect: dict[int, list[int]] = {}
+    for uid, us, value in evs:
+        w = math.floor(
+            1e6 * value * math.exp(-math.log(2) * (tref - us) / _DECAY_HL_US)
+        )
+        expect.setdefault(uid, []).append(w)
+    assert got == {u: (len(ws), sum(ws)) for u, ws in expect.items()}
