@@ -117,6 +117,7 @@ _CHECK_FIRST = [
     "q_char_entropy",
     "q_chunk_windows",
     "q_decay_score",
+    "q_domain_cap",
 ]
 _CHECK_LAST = [
     # double-green in CORRECTNESS_r01 AND _r02, untouched since — deferred

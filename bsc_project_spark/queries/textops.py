@@ -2478,3 +2478,76 @@ _q(
     "for context-window prep: narrow flatMap, zero shuffles, filter "
     "pushed to the scan",
 )
+
+# ---------------------------------------------------------------------------
+# Per-domain cap — the "no domain may contribute more than K docs"
+# curation rule (the share-capping step web-corpus pipelines run after
+# dedup).  Selection is deterministic: each doc gets an md5 priority
+# and the K smallest (priority, doc_id) per source survive.
+#
+# SKEW-SAFE SHAPE: a naive row_number() OVER (PARTITION BY source) puts
+# a mega-domain's entire row set through one task.  The Spark side
+# instead runs per-group top-k in TWO phases: phase 1 ranks within
+# (source, salt) — 16 salted sub-partitions bound any single window
+# partition to 1/16 of the domain — and keeps K per sub-partition;
+# phase 2 re-ranks the <= 16*K survivors per source (a dim-sized
+# window whatever the domain size).  Same survivors as the flat
+# window because per-salt top-K is a superset of the global top-K.
+# The ORACLE states the rule as the plain single window — the gate
+# proves the salted plan equals the declarative spec.
+# ---------------------------------------------------------------------------
+
+_DCAP_K = 8
+_DCAP_SALTS = 16
+
+_DCAP_SPARK = f"""
+    WITH p AS (
+      SELECT source, doc_id,
+             {{hex8}} AS pri
+      FROM documents
+    ),
+    s1 AS (
+      SELECT source, doc_id, pri,
+             row_number() OVER (
+               PARTITION BY source, pmod(doc_id, {_DCAP_SALTS})
+               ORDER BY pri, doc_id
+             ) AS r1
+      FROM p
+    ),
+    s2 AS (
+      SELECT source, doc_id,
+             row_number() OVER (
+               PARTITION BY source ORDER BY pri, doc_id
+             ) AS cap_rank
+      FROM s1 WHERE r1 <= {_DCAP_K}
+    )
+    SELECT source, doc_id, CAST(cap_rank AS BIGINT) AS cap_rank
+    FROM s2 WHERE cap_rank <= {_DCAP_K}
+"""
+
+_DCAP_DUCK = f"""
+    WITH p AS (
+      SELECT source, doc_id,
+             {{hex8}} AS pri
+      FROM documents
+    ),
+    s AS (
+      SELECT source, doc_id,
+             row_number() OVER (
+               PARTITION BY source ORDER BY pri, doc_id
+             ) AS cap_rank
+      FROM p
+    )
+    SELECT source, doc_id, CAST(cap_rank AS BIGINT) AS cap_rank
+    FROM s WHERE cap_rank <= {_DCAP_K}
+"""
+
+_q(
+    "q_domain_cap",
+    _DCAP_SPARK.format(hex8=_hex8_of("md5(CAST(doc_id AS STRING))")),
+    _DCAP_DUCK.format(hex8=_hex8_of("md5(CAST(doc_id AS VARCHAR))")),
+    f"per-domain cap (K={_DCAP_K} docs/source by deterministic md5 "
+    f"priority): salted two-phase per-group top-k — {_DCAP_SALTS} "
+    "sub-partitions bound every window task regardless of domain skew; "
+    "oracle is the flat declarative window",
+)

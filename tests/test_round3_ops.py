@@ -707,3 +707,26 @@ def test_decay_score_matches_python_recompute():
         )
         expect.setdefault(uid, []).append(w)
     assert got == {u: (len(ws), sum(ws)) for u, ws in expect.items()}
+
+
+def test_domain_cap_salted_plan_equals_flat_window(spark):
+    """The skew-safe two-phase (salted) per-group top-k must select
+    exactly the rows of the naive flat window, and never leave more
+    than K docs per source."""
+    from bsc_project_spark.queries.textops import _DCAP_K, QUERIES
+    from bsc_project_spark.queries import register_views
+
+    register_views(spark, SF)
+    got = {
+        (r.source, r.doc_id, r.cap_rank)
+        for r in QUERIES["q_domain_cap"].spark(spark, SF).collect()
+    }
+    con = _duck()
+    expect = set(
+        map(tuple, con.execute(QUERIES["q_domain_cap"].oracle).fetchall())
+    )
+    assert got == expect and got
+    per_src: dict[str, int] = {}
+    for src, _, _ in got:
+        per_src[src] = per_src.get(src, 0) + 1
+    assert max(per_src.values()) <= _DCAP_K
