@@ -796,3 +796,50 @@ _q(
     "7d, integer-ppm contributions floored before the exact sum): one "
     "map-side-combinable groupBy, scalar-subquery anchor, no windows",
 )
+
+# ---------------------------------------------------------------------------
+# Last-touch attribution — assign each purchase to the user's most
+# recent STRICTLY-preceding view/click (the marketing-analytics twin of
+# the funnel: which touchpoint gets credit for the conversion).
+# Purchases with no preceding touch attribute to 'direct'.
+#
+# Cross-engine determinism: the event order key is (ts, event_id) — a
+# total order — and revenue is floored to integer cents per event
+# before the sum.  Shape at scale: ONE window partitioned by user_id
+# (the sessionize shuffle key), then a map-side-combinable groupBy on
+# the tiny channel dimension; no joins, no global ordering.
+# ---------------------------------------------------------------------------
+
+_ATTR_BODY = """
+    WITH e AS (
+      SELECT user_id, ts, event_id, event_type, value FROM events
+    ),
+    lt AS (
+      SELECT event_type, value,
+             {last_touch} OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ) AS touch
+      FROM e
+    )
+    SELECT coalesce(touch, 'direct') AS channel,
+           CAST(count(*) AS BIGINT) AS n_purchases,
+           CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+             AS revenue_cents
+    FROM lt
+    WHERE event_type = 'purchase'
+    GROUP BY coalesce(touch, 'direct')
+"""
+
+_TOUCH_CASE = (
+    "CASE WHEN event_type IN ('view', 'click') THEN event_type END"
+)
+
+_q(
+    "q_attribution",
+    sql_query(_ATTR_BODY.format(last_touch=f"last({_TOUCH_CASE}) IGNORE NULLS")),
+    _ATTR_BODY.format(last_touch=f"last_value({_TOUCH_CASE} IGNORE NULLS)"),
+    "last-touch purchase attribution: one user-partitioned IGNORE NULLS "
+    "window assigns each purchase to its latest preceding view/click, "
+    "revenue exact in integer cents — no joins, no global ordering",
+)

@@ -41,14 +41,15 @@ _ITERS = 5
 _FANOUT = 3
 
 
-def _pagerank_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _link_graph(spark: SparkSession, sf_dir: str):
+    """Shared derivation of the deterministic link graph: returns
+    (ids, n, edges) where ids = (doc_id, idx) with contiguous idx from
+    the two-phase global_row_number (never a single-task window), and
+    edges = distinct (src, dst) from the md5 fanout.  ids and edges are
+    persisted — every caller reuses them across multiple jobs."""
     register_views(spark, sf_dir)
     from .prefix import global_row_number
 
-    # contiguous node ids WITHOUT a global single-task window: the same
-    # two-phase row number q_sort_rank ships (range partition -> local
-    # window -> driver prefix over P subtotals).  Persisted because the
-    # iteration rebuilds ranks from `ids` every round.
     ids = (
         global_row_number(spark.table("documents").select("doc_id"), ["doc_id"], "rn")
         .select("doc_id", (F.col("rn") - 1).cast("long").alias("idx"))
@@ -56,26 +57,35 @@ def _pagerank_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n = ids.count()
     if n == 0:
-        return spark.createDataFrame([], "doc_id long, in_degree long, pagerank double")
+        return ids, 0, None
     hashed = _hex8_of("md5(concat(CAST(src AS STRING), ':', CAST(k AS STRING)))")
     edges = (
         ids.select(F.col("idx").alias("src"))
         .crossJoin(
-            F.broadcast(
-                spark.range(1, _FANOUT + 1).select(F.col("id").alias("k"))
-            )
+            F.broadcast(spark.range(1, _FANOUT + 1).select(F.col("id").alias("k")))
         )
         .select("src", F.expr(f"({hashed}) % {n}").alias("dst"))
         .distinct()
         .persist()
     )
-    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg")).persist()
+    return ids, n, edges
+
+
+def _pagerank_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ids, n, edges = _link_graph(spark, sf_dir)
+    if n == 0:
+        return spark.createDataFrame([], "doc_id long, in_degree long, pagerank double")
+    # degree pre-joined into the edge list ONCE (edges are static across
+    # rounds), saving one join per iteration; partitioned on src so every
+    # round's rank join reuses this exchange instead of reshuffling the
+    # edge list five times.
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    edges_deg = edges.join(deg, "src").repartition("src").persist()
     ranks = ids.select(F.col("idx").alias("v"), F.lit(1.0 / n).alias("rank"))
     base = (1.0 - _D) / n
     for _ in range(_ITERS):
         contribs = (
-            edges.join(deg, "src")
-            .join(ranks, edges.src == F.col("v"))
+            edges_deg.join(ranks, edges_deg.src == F.col("v"))
             .select(F.col("dst"), (F.col("rank") / F.col("deg")).alias("c"))
         )
         sums = contribs.groupBy(F.col("dst").alias("nv")).agg(F.sum("c").alias("s"))

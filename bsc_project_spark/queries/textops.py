@@ -2551,3 +2551,161 @@ _q(
     "sub-partitions bound every window task regardless of domain skew; "
     "oracle is the flat declarative window",
 )
+
+# ---------------------------------------------------------------------------
+# 2-D skyline (Pareto frontier) over (n_chars, distinct-word count):
+# the "keep only documents no other document dominates on BOTH length
+# and lexical diversity" curation cut.  A doc survives iff no other doc
+# has >= on both dims with > on at least one; duplicate (x, y) points
+# all survive (neither dominates the other).
+#
+# Shape at scale: the naive skyline is an all-pairs anti-join —
+# unshippable.  This plan collapses the corpus to ONE row per distinct
+# x (max y per x, a map-side-combinable groupBy), then takes a running
+# max over the collapsed frame ordered by x DESC.  That window IS
+# global-order, but it runs over the per-x frame whose cardinality is
+# bounded by the document-length domain (thousands of distinct values
+# at ANY corpus scale — 100 TB of docs still have < ~10^6 distinct
+# lengths), not by the row count; the full corpus only ever flows
+# through the groupBy and the final broadcast-sized semi-join back.
+# Survivor rule: y strictly above every ymax at larger x (a larger-x
+# point with equal y dominates), and y equal to its own x's max.
+# ---------------------------------------------------------------------------
+
+_SKYLINE_BODY = """
+    WITH feats AS (
+      SELECT doc_id, n_chars AS x, CAST({ywords} AS BIGINT) AS y
+      FROM documents WHERE n_chars > 0
+    ),
+    perx AS (SELECT x, max(y) AS ymax FROM feats GROUP BY x),
+    runmax AS (
+      SELECT x, ymax,
+             max(ymax) OVER (
+               ORDER BY x DESC ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ) AS bigger_x_ymax
+      FROM perx
+    ),
+    skyx AS (
+      SELECT x, ymax FROM runmax
+      WHERE bigger_x_ymax IS NULL OR ymax > bigger_x_ymax
+    )
+    SELECT f.doc_id, f.x AS n_chars, f.y AS n_distinct_words
+    FROM feats f JOIN skyx s ON f.x = s.x AND f.y = s.ymax
+"""
+
+_q(
+    "q_skyline",
+    _SKYLINE_BODY.format(
+        ywords="size(array_distinct(split(lower(trim(text)), '\\\\s+')))"
+    ),
+    _SKYLINE_BODY.format(
+        ywords=r"len(list_distinct(string_split_regex(lower(trim(text)), '\s+')))"
+    ),
+    "2-D Pareto skyline over (length, distinct words): corpus collapsed "
+    "to one row per distinct x before the running max, so the global "
+    "window runs over a domain-bounded frame, never the row count",
+)
+
+# ---------------------------------------------------------------------------
+# BPE first-merge pair statistics — the inner loop of byte-pair-encoding
+# tokenizer TRAINING: count adjacent character pairs inside words across
+# the corpus and rank the merge candidates.  The most frequent pair is
+# exactly the first merge BPE would perform.
+#
+# Shape at scale: explode to skinny (pair) rows whose cardinality is
+# bounded by alphabet^2, so the count is map-side combinable and the
+# shuffle carries at most |alphabet|^2 rows per partition; the top-32
+# plans as TakeOrdered (per-partition top-k folded on the driver), never
+# a global sort.
+# ---------------------------------------------------------------------------
+
+_BPE_PAIRS_BODY = """
+    WITH words AS (
+      SELECT w FROM (
+        SELECT {split} AS a FROM documents WHERE n_chars > 0
+      ) t {gen_w}
+    ),
+    pairs AS (
+      SELECT substring(w, i, 2) AS pair
+      FROM words {gen_i}
+      WHERE length(w) >= 2
+    ),
+    cnt AS (SELECT pair, count(*) AS c FROM pairs GROUP BY pair)
+    SELECT pair, CAST(c AS BIGINT) AS n_occurrences
+    FROM cnt ORDER BY n_occurrences DESC, pair LIMIT 32
+"""
+
+_q(
+    "q_bpe_pairs",
+    _BPE_PAIRS_BODY.format(
+        split="split(lower(trim(text)), '\\\\s+')",
+        gen_w="LATERAL VIEW explode(a) g AS w",
+        gen_i="LATERAL VIEW explode(sequence(1, length(w) - 1)) g2 AS i",
+    ),
+    _BPE_PAIRS_BODY.format(
+        split=r"string_split_regex(lower(trim(text)), '\s+')",
+        gen_w=", LATERAL (SELECT unnest(a) AS w) g",
+        gen_i=", LATERAL (SELECT unnest(generate_series(1, length(w) - 1)) AS i) g2",
+    ),
+    "BPE tokenizer-training first-merge statistics: adjacent in-word "
+    "char-pair counts (alphabet^2-bounded, map-side combinable), "
+    "top-32 merge candidates via TakeOrdered",
+)
+
+# ---------------------------------------------------------------------------
+# Robust per-source outlier detection via median/MAD — the
+# length-anomaly screen that catches truncated or concatenation-corrupt
+# documents without letting the outliers themselves poison the
+# threshold (the reason production curation uses MAD over stddev).
+# Exact integer medians by rank (lower-median convention, the
+# q_group_percentiles discipline — percentile_cont would interpolate
+# floats differently across engines).
+#
+# Shape at scale: every window PARTITIONs BY source — no global
+# ordering anywhere; two window passes + two source-keyed joins, all
+# shuffles on the source key.
+# ---------------------------------------------------------------------------
+
+_MAD_BODY = """
+    WITH r AS (
+      SELECT source, doc_id, n_chars,
+             row_number() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS rn,
+             count(*) OVER (PARTITION BY source) AS n
+      FROM documents
+    ),
+    med AS (
+      SELECT source, n_chars AS med FROM r
+      WHERE rn = CAST(floor((n + 1) / 2.0) AS BIGINT)
+    ),
+    d AS (
+      SELECT r.source, r.doc_id, abs(r.n_chars - m.med) AS dev, m.med
+      FROM r JOIN med m ON r.source = m.source
+    ),
+    r2 AS (
+      SELECT source, doc_id, dev, med,
+             row_number() OVER (PARTITION BY source ORDER BY dev, doc_id) AS rn,
+             count(*) OVER (PARTITION BY source) AS n
+      FROM d
+    ),
+    mad AS (
+      SELECT source, dev AS mad FROM r2
+      WHERE rn = CAST(floor((n + 1) / 2.0) AS BIGINT)
+    )
+    SELECT d.source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(min(d.med) AS BIGINT) AS median_chars,
+           CAST(min(m.mad) AS BIGINT) AS mad_chars,
+           CAST(sum(CASE WHEN d.dev > 3 * m.mad THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_outliers
+    FROM d JOIN mad m ON d.source = m.source
+    GROUP BY d.source
+"""
+
+_q(
+    "q_mad_outliers",
+    _MAD_BODY,
+    _MAD_BODY,
+    "per-source robust length-outlier screen: exact integer median + "
+    "MAD by rank (lower-median convention), flag |x-med| > 3*MAD — "
+    "all windows PARTITION BY source, shuffles only on the source key",
+)
