@@ -1,5 +1,6 @@
-"""Iterative graph analytics: PageRank over a deterministic document
-link graph.
+"""Graph analytics over a deterministic document link graph: PageRank
+(iterative), anchor-text aggregation, and triangle counting /
+clustering coefficients (degree-ordered compact-forward).
 
 The corpus tables carry no explicit link column, so the graph is derived
 deterministically INSIDE the query (same self-contained pattern as the
@@ -261,5 +262,154 @@ QUERIES["q_anchor_text"] = QuerySpec(
         "anchor-text aggregation over the deterministic link graph: "
         "per-target in-link count, distinct sources, first anchor "
         "phrase — the canonical web-graph reduce, one shuffle"
+    ),
+)
+
+# ---------------------------------------------------------------------------
+# Triangle counting with degree-ordered orientation — the classic
+# "compact-forward" algorithm (Latapy 2008), the shape every
+# distributed triangle count uses (Cohen's MapReduce formulation,
+# GraphX's TriangleCount).  The undirected graph is oriented along the
+# total order (degree, id): every edge points from the lower-degree
+# endpoint to the higher, so each triangle {x ≺ y ≺ z} materializes
+# EXACTLY once as the wedge x→y, x→z closed by y→z — no post-hoc /6
+# dedup, and the wedge fan-out per node is bounded by its out-degree,
+# which the orientation caps at O(sqrt(m)) — THE property that makes
+# the self-join shippable at 100 TB of edges (a high-degree hub never
+# becomes a wedge apex).
+#
+# Output per triangle-bearing node: undirected degree, triangle count,
+# and the local clustering coefficient in exact integer ppm
+# (2·T·10^6 div deg·(deg−1) — integer division, no float drift).
+# Scale notes: three shuffles (wedge self-join on the apex, closing
+# equi-join on the (y, z) pair, corner groupBy) — all equi-joins on
+# skew-bounded keys; ids from the two-phase global_row_number.
+# ---------------------------------------------------------------------------
+
+
+def _oriented_edges(und: DataFrame) -> DataFrame:
+    """Orient distinct undirected edges (a < b) along (degree, id)."""
+    deg = (
+        und.select(F.col("a").alias("v"))
+        .unionAll(und.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    da = deg.select(F.col("v").alias("a"), F.col("deg").alias("da"))
+    db = deg.select(F.col("v").alias("b"), F.col("deg").alias("db"))
+    a_first = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    return und.join(da, "a").join(db, "b").select(
+        F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("w"),
+    )
+
+
+def _triangles_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ids, n, edges = _link_graph(spark, sf_dir)
+    if n == 0:
+        return spark.createDataFrame(
+            [], "doc_id long, degree bigint, n_triangles bigint, clustering_ppm bigint"
+        )
+    und = (
+        edges.filter(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .distinct()
+        .persist()
+    )
+    deg = (
+        und.select(F.col("a").alias("v"))
+        .unionAll(und.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    o = _oriented_edges(und).persist()
+    e1 = o.select("u", F.col("w").alias("x"))
+    e2 = o.select("u", F.col("w").alias("y"))
+    closing = o.select(F.col("u").alias("x"), F.col("w").alias("y"))
+    tri = (
+        e1.join(e2, "u")
+        .filter(F.col("x") != F.col("y"))
+        .join(closing, ["x", "y"])
+    )
+    corners = (
+        tri.select(F.col("u").alias("v"))
+        .unionAll(tri.select(F.col("x").alias("v")))
+        .unionAll(tri.select(F.col("y").alias("v")))
+    )
+    tcnt = corners.groupBy("v").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_triangles")
+    )
+    return (
+        tcnt.join(deg, "v")
+        .join(ids, tcnt.v == ids.idx)
+        .select(
+            "doc_id",
+            F.col("deg").cast("bigint").alias("degree"),
+            "n_triangles",
+            F.expr("CAST((n_triangles * 1000000 * 2) div (deg * (deg - 1)) AS BIGINT)")
+            .alias("clustering_ppm"),
+        )
+    )
+
+
+def _triangles_oracle() -> str:
+    hashed = _hex8_of("md5(CAST(i.idx AS STRING) || ':' || CAST(g.k AS STRING))")
+    return f"""
+    WITH ids AS (
+      SELECT doc_id, CAST(row_number() OVER (ORDER BY doc_id) - 1 AS BIGINT) AS idx
+      FROM documents
+    ),
+    nn AS (SELECT count(*) AS n FROM ids),
+    edges AS (
+      SELECT DISTINCT i.idx AS src, ({hashed}) % (SELECT n FROM nn) AS dst
+      FROM ids i, (SELECT unnest(generate_series(1, {_FANOUT})) AS k) g
+    ),
+    und AS (
+      SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+      FROM edges WHERE src <> dst
+    ),
+    deg AS (
+      SELECT v, count(*) AS deg FROM (
+        SELECT a AS v FROM und UNION ALL SELECT b AS v FROM und
+      ) GROUP BY v
+    ),
+    o AS (
+      SELECT CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND u.a < u.b)
+                  THEN u.a ELSE u.b END AS u,
+             CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND u.a < u.b)
+                  THEN u.b ELSE u.a END AS w
+      FROM und u JOIN deg da ON da.v = u.a JOIN deg db ON db.v = u.b
+    ),
+    tri AS (
+      SELECT e1.u AS u, e1.w AS x, e2.w AS y
+      FROM o e1 JOIN o e2 ON e2.u = e1.u AND e1.w <> e2.w
+      JOIN o e3 ON e3.u = e1.w AND e3.w = e2.w
+    ),
+    corners AS (
+      SELECT u AS v FROM tri
+      UNION ALL SELECT x FROM tri
+      UNION ALL SELECT y FROM tri
+    ),
+    tc AS (SELECT v, count(*) AS n_triangles FROM corners GROUP BY v)
+    SELECT i.doc_id,
+           CAST(d.deg AS BIGINT) AS degree,
+           CAST(tc.n_triangles AS BIGINT) AS n_triangles,
+           CAST((tc.n_triangles * 1000000 * 2) // (d.deg * (d.deg - 1)) AS BIGINT)
+             AS clustering_ppm
+    FROM tc JOIN deg d ON d.v = tc.v JOIN ids i ON i.idx = tc.v
+"""
+
+
+QUERIES["q_triangle_count"] = QuerySpec(
+    spark=_triangles_spark,
+    oracle=_triangles_oracle(),
+    description=(
+        "triangle count + local clustering coefficient via degree-ordered "
+        "orientation (compact-forward): each triangle materializes exactly "
+        "once, wedge fan-out capped at O(sqrt(m)) per apex"
     ),
 )

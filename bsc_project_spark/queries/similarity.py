@@ -677,3 +677,112 @@ QUERIES["q_ivf_kmeans"] = QuerySpec(
     description="IVF with trained centroids: 3 Lloyd iterations, map-side "
     "partial sums, driver-folded k x d centroid state",
 )
+
+
+# ---------------------------------------------------------------------------
+# q_embed_covariance — the distributed Gram / covariance matrix, the
+# aggregation step of every large-scale PCA / whitening / linear-probe
+# pipeline: cov(X) assembled from MAP-SIDE PARTIAL X^T X blocks so the
+# shuffle carries O(partitions * d^2) numbers regardless of row count —
+# the textbook reduction that makes PCA feasible at 100 TB (the d x d
+# eigendecomposition then happens on the driver; see tests/test_round3_ops).
+#
+# Cross-engine exactness: components are quantized to integer
+# micro-units (floor(x * 1e6) in DOUBLE, float32 -> float64 promotion is
+# exact on both engines), so n / si / sj / sij are EXACT int64 sums —
+# per-Arrow-batch int64 matmul partials bounded by batch size, global
+# Spark SUM far from overflow (|q| <= 6e5 here -> sij <= 4e11 per row).
+# The covariance is then ONE identical double op chain both engines:
+# (n*sij - si*sj) / (n*(n-1)) / 1e6 / 1e6, rounded to 9 decimals.
+# ---------------------------------------------------------------------------
+
+_GRAM_SCHEMA = "i int, j int, n long, si long, sj long, sij long"
+
+
+def _gram_partials_fn(it):
+    for pdf in it:
+        if pdf.empty:
+            continue
+        m = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+        q = np.floor(m * 1e6).astype(np.int64)
+        n, d = q.shape
+        s = q.sum(axis=0)
+        g = q.T @ q
+        iu, ju = np.triu_indices(d)
+        yield pd.DataFrame(
+            {
+                "i": (iu + 1).astype(np.int32),
+                "j": (ju + 1).astype(np.int32),
+                "n": np.full(len(iu), n, dtype=np.int64),
+                "si": s[iu],
+                "sj": s[ju],
+                "sij": g[iu, ju],
+            }
+        )
+
+
+_COV_EXPR = (
+    "round((CAST(n_vecs AS DOUBLE) * CAST(sum_ij AS DOUBLE)"
+    " - CAST(s_i AS DOUBLE) * CAST(s_j AS DOUBLE))"
+    " / (CAST(n_vecs AS DOUBLE) * CAST(n_vecs - 1 AS DOUBLE))"
+    " / 1000000.0 / 1000000.0, 9)"
+)
+
+
+def _embed_cov_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    partials = (
+        spark.table("embeddings")
+        .select("embedding")
+        .mapInPandas(_gram_partials_fn, _GRAM_SCHEMA)
+    )
+    return (
+        partials.groupBy("i", "j")
+        .agg(
+            F.sum("n").alias("n_vecs"),
+            F.sum("si").alias("s_i"),
+            F.sum("sj").alias("s_j"),
+            F.sum("sij").alias("sum_ij"),
+        )
+        .filter(F.col("n_vecs") >= 2)
+        .select(
+            "i",
+            "j",
+            "n_vecs",
+            "sum_ij",
+            F.expr(_COV_EXPR).alias("cov"),
+        )
+    )
+
+
+_EMBED_COV_ORACLE = f"""
+    WITH x AS (
+      SELECT e.vec_id, CAST(g.i AS INTEGER) AS i,
+             CAST(floor(e.embedding[g.i]::DOUBLE * 1000000) AS BIGINT) AS q
+      FROM embeddings e,
+      LATERAL (SELECT unnest(generate_series(1, len(e.embedding))) AS i) g
+    ),
+    p AS (
+      SELECT a.i AS i, b.i AS j,
+             CAST(count(*) AS BIGINT) AS n_vecs,
+             CAST(sum(a.q) AS BIGINT) AS s_i,
+             CAST(sum(b.q) AS BIGINT) AS s_j,
+             CAST(sum(a.q * b.q) AS BIGINT) AS sum_ij
+      FROM x a JOIN x b ON a.vec_id = b.vec_id AND b.i >= a.i
+      GROUP BY a.i, b.i
+    )
+    SELECT i, j, n_vecs, sum_ij,
+           {_COV_EXPR} AS cov
+    FROM p WHERE n_vecs >= 2
+"""
+
+
+QUERIES["q_embed_covariance"] = QuerySpec(
+    spark=_embed_cov_spark,
+    oracle=_EMBED_COV_ORACLE,
+    description=(
+        "distributed covariance/Gram matrix for PCA: map-side partial "
+        "X^T X per Arrow batch (integer micro-unit exact), shuffle "
+        "carries O(partitions * d^2) — row count never crosses the wire"
+    ),
+)

@@ -730,3 +730,83 @@ def test_domain_cap_salted_plan_equals_flat_window(spark):
     for src, _, _ in got:
         per_src[src] = per_src.get(src, 0) + 1
     assert max(per_src.values()) <= _DCAP_K
+
+
+# ---------------------------------------------------------------------------
+# Triangle count
+# ---------------------------------------------------------------------------
+
+
+def test_triangle_count_matches_bruteforce(spark):
+    """Degree-ordered compact-forward result == brute-force enumeration
+    over the same md5-derived graph, per node: degree, triangle count,
+    and integer-ppm clustering coefficient."""
+    from itertools import combinations
+
+    from bsc_project_spark.queries.graphops import QUERIES, _FANOUT
+
+    got = {
+        r.doc_id: (r.degree, r.n_triangles, r.clustering_ppm)
+        for r in QUERIES["q_triangle_count"].spark(spark, SF).collect()
+    }
+    con = _duck()
+    ids = [d for (d,) in con.execute("SELECT doc_id FROM documents ORDER BY doc_id").fetchall()]
+    n = len(ids)
+    und = set()
+    for idx in range(n):
+        for k in range(1, _FANOUT + 1):
+            dst = int(_md5(f"{idx}:{k}")[:8], 16) % n
+            if dst != idx:
+                und.add((min(idx, dst), max(idx, dst)))
+    adj = {v: set() for v in range(n)}
+    for a, b in und:
+        adj[a].add(b)
+        adj[b].add(a)
+    tri = {v: 0 for v in range(n)}
+    for v in range(n):
+        for x, y in combinations(sorted(adj[v]), 2):
+            if y in adj[x]:
+                tri[v] += 1
+    want = {}
+    for v in range(n):
+        if tri[v]:
+            d = len(adj[v])
+            want[ids[v]] = (d, tri[v], tri[v] * 2_000_000 // (d * (d - 1)))
+    assert got == want
+    assert want, "fixture graph must contain triangles for this test to bite"
+
+
+# ---------------------------------------------------------------------------
+# Distributed covariance -> driver-side PCA
+# ---------------------------------------------------------------------------
+
+
+def test_embed_covariance_matches_numpy_and_supports_pca(spark):
+    """The map-side-partial Gram assembly == numpy's covariance of the
+    same micro-quantized data, exactly; the assembled d x d matrix is
+    PSD (up to fp tolerance) so the driver-side eigendecomposition —
+    the PCA step the op exists to feed — is well-posed."""
+    import pyarrow.parquet as pq
+
+    from bsc_project_spark.queries.similarity import QUERIES
+
+    rows = QUERIES["q_embed_covariance"].spark(spark, SF).collect()
+    emb = pq.read_table(f"{SF}/embeddings.parquet").to_pandas()
+    m = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
+    q = np.floor(m * 1e6).astype(np.int64)
+    n, d = q.shape
+    assert len(rows) == d * (d + 1) // 2
+    s = q.sum(axis=0)
+    g = q.T @ q
+    cov = np.zeros((d, d))
+    for r in rows:
+        i, j = r.i - 1, r.j - 1
+        assert r.n_vecs == n
+        assert r.sum_ij == g[i, j]
+        want = round((n * float(g[i, j]) - float(s[i]) * float(s[j]))
+                     / (n * float(n - 1)) / 1e6 / 1e6, 9)
+        assert r.cov == want, (r.i, r.j)
+        cov[i, j] = cov[j, i] = r.cov
+    evals = np.linalg.eigvalsh(cov)
+    assert evals.min() > -1e-9  # PSD -> PCA well-posed
+    assert evals.max() > 0
