@@ -843,3 +843,143 @@ _q(
     "window assigns each purchase to its latest preceding view/click, "
     "revenue exact in integer cents — no joins, no global ordering",
 )
+
+# ---------------------------------------------------------------------------
+# SCD type-2 history build — the slowly-changing-dimension pattern every
+# warehouse ingestion pipeline runs: compress a key's change stream into
+# versioned validity intervals (valid_from / valid_to / is_current),
+# collapsing consecutive periods with the same attribute value
+# (gaps-and-islands).  Here the change stream is each customer's order
+# status over time.
+#
+# Cross-engine determinism: the change stream is totally ordered by
+# (o_orderdate, o_orderkey); the island id is a running sum of change
+# flags (exact integers).  Shape at scale: every window PARTITIONs BY
+# custkey — the whole build is ONE shuffle on the key, no global
+# ordering, every aggregate map-side combinable.
+# ---------------------------------------------------------------------------
+
+_SCD2_SQL = """
+    WITH o AS (
+      SELECT o_custkey AS custkey, o_orderstatus AS status,
+             o_orderdate AS ts, o_orderkey AS k
+      FROM orders
+    ),
+    f AS (
+      SELECT custkey, status, ts, k,
+             CASE WHEN lag(status) OVER w IS NULL
+                       OR lag(status) OVER w <> status
+                  THEN 1 ELSE 0 END AS chg
+      FROM o
+      WINDOW w AS (PARTITION BY custkey ORDER BY ts, k)
+    ),
+    isl AS (
+      SELECT custkey, status, ts,
+             sum(chg) OVER (
+               PARTITION BY custkey ORDER BY ts, k
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS island
+      FROM f
+    ),
+    g AS (
+      SELECT custkey, island,
+             min(status) AS status,
+             min(ts) AS valid_from,
+             CAST(count(*) AS BIGINT) AS n_orders
+      FROM isl GROUP BY custkey, island
+    )
+    SELECT custkey,
+           CAST(island AS BIGINT) AS version,
+           status,
+           valid_from,
+           lead(valid_from) OVER v AS valid_to,
+           n_orders,
+           CAST(CASE WHEN lead(valid_from) OVER v IS NULL
+                     THEN 1 ELSE 0 END AS INT) AS is_current
+    FROM g
+    WINDOW v AS (PARTITION BY custkey ORDER BY island)
+"""
+
+_q(
+    "q_scd2_history",
+    sql_query(_SCD2_SQL),
+    _SCD2_SQL,
+    "SCD type-2 dimension history: gaps-and-islands compression of each "
+    "customer's status change stream into versioned validity intervals — "
+    "one custkey shuffle, every window key-partitioned",
+)
+
+# ---------------------------------------------------------------------------
+# Time-series gap fill (resample + forward fill) — the "regularize an
+# irregular event stream onto a daily grid" step every feature pipeline
+# runs before windowed models: per user, build the COMPLETE day range
+# between first and last activity, left-join the observed daily totals,
+# and forward-fill missing days with the last observed value.  The
+# result row is a per-user audit of the filled series (observed/filled
+# day counts + an exact integer checksum over the ENTIRE filled series,
+# so the gate hash-checks every filled cell without shipping the grid).
+#
+# Cross-engine determinism: days are exact int64 epoch-day numbers
+# (unix microseconds div 86400e6), daily totals are exact integer
+# cents floored per event.  Shape at scale: the grid explode is a
+# narrow per-user flatMap bounded by the user's own span; every window
+# PARTITIONs BY user_id — one shuffle key end to end.
+# ---------------------------------------------------------------------------
+
+_DAY_US = 86_400_000_000
+
+_GAP_FILL_BODY = f"""
+    WITH e AS (
+      SELECT user_id, {{epoch_us}} {{idiv}} {_DAY_US} AS day,
+             CAST(floor(value * 100) AS BIGINT) AS cents
+      FROM events
+    ),
+    daily AS (
+      SELECT user_id, day, sum(cents) AS cents
+      FROM e GROUP BY user_id, day
+    ),
+    span AS (
+      SELECT user_id, min(day) AS d0, max(day) AS d1
+      FROM daily GROUP BY user_id
+    ),
+    grid AS (
+      SELECT s.user_id, s.d0 + g.o AS day
+      FROM span s {{gen_o}}
+    ),
+    filled AS (
+      SELECT g.user_id, g.day, d.cents AS observed,
+             {{ffill}} OVER (
+               PARTITION BY g.user_id ORDER BY g.day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS cents
+      FROM grid g LEFT JOIN daily d
+        ON d.user_id = g.user_id AND d.day = g.day
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_days,
+           CAST(count(observed) AS BIGINT) AS n_observed,
+           CAST(count(*) - count(observed) AS BIGINT) AS n_filled,
+           CAST(sum(cents) AS BIGINT) AS series_checksum_cents
+    FROM filled
+    GROUP BY user_id
+"""
+
+_q(
+    "q_gap_fill",
+    sql_query(_GAP_FILL_BODY.format(
+        epoch_us=_SPARK_EPOCH_US.format(c="ts"),
+        idiv="div",
+        gen_o="LATERAL VIEW explode(sequence(0, s.d1 - s.d0)) g AS o",
+        ffill="last(d.cents) IGNORE NULLS",
+    )),
+    _GAP_FILL_BODY.format(
+        epoch_us="epoch_us(ts)",
+        idiv="//",
+        gen_o=", LATERAL (SELECT unnest(generate_series(0, s.d1 - s.d0)) AS o) g",
+        ffill="last_value(d.cents IGNORE NULLS)",
+    ),
+    "daily resample + forward fill per user: complete day grid between "
+    "first/last activity, last-observation-carried-forward, exact "
+    "integer checksum over the whole filled series — one user_id "
+    "shuffle, grid explode bounded by each user's own span",
+)

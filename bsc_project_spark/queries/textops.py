@@ -2709,3 +2709,134 @@ _q(
     "MAD by rank (lower-median convention), flag |x-med| > 3*MAD — "
     "all windows PARTITION BY source, shuffles only on the source key",
 )
+
+# ---------------------------------------------------------------------------
+# Set-similarity join via PREFIX FILTERING (AllPairs / PPJoin, Bayardo
+# et al. 2007; Chaudhuri et al. 2006) — the third classical scale path
+# to near-dup detection alongside MinHash-LSH (probabilistic) and
+# SimHash banding (bitwise), and the only EXACT one: every pair with
+# word-Jaccard >= t is guaranteed found (no-false-negative theorem:
+# two sets with Jaccard >= t MUST share a token within each one's first
+# |T| - ceil(t*|T|) + 1 tokens under any single global token order).
+#
+# The global order here is (document frequency ASC, token) — prefixes
+# are each doc's RAREST tokens, so the candidate equi-join fans out on
+# low-df keys only; a stopword shared by every document never becomes a
+# join key.  That df-ordering IS the skew control: candidate volume is
+# sum_t df_prefix(t)^2 over rare t, not corpus^2.  Verification is an
+# exact integer intersection count on candidates only; the threshold
+# compare (10*i >= 9*union for t = 0.9) and jaccard_ppm stay in int64 —
+# no float anywhere.  All heavy shuffles key on token or doc_id.
+# ---------------------------------------------------------------------------
+
+_PREFIX_JOIN_BODY = """
+    WITH tok AS (
+      SELECT DISTINCT doc_id, w AS tok FROM (
+        SELECT doc_id, {split} AS a FROM documents WHERE n_chars > 0
+      ) t {gen_w}
+      WHERE w <> ''
+    ),
+    df AS (SELECT tok, count(*) AS df FROM tok GROUP BY tok),
+    sz AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
+    r AS (
+      SELECT t.doc_id, t.tok, s.n,
+             row_number() OVER (
+               PARTITION BY t.doc_id ORDER BY d.df, t.tok
+             ) AS rn
+      FROM tok t JOIN df d ON d.tok = t.tok JOIN sz s ON s.doc_id = t.doc_id
+    ),
+    pref AS (
+      SELECT doc_id, tok FROM r
+      WHERE rn <= n - ((9 * n + 9) {idiv} 10) + 1
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+      FROM pref a JOIN pref b ON b.tok = a.tok AND b.doc_id > a.doc_id
+    ),
+    inter AS (
+      SELECT c.a, c.b, count(*) AS i
+      FROM cand c
+      JOIN tok ta ON ta.doc_id = c.a
+      JOIN tok tb ON tb.doc_id = c.b AND tb.tok = ta.tok
+      GROUP BY c.a, c.b
+    )
+    SELECT x.a AS doc_a, x.b AS doc_b,
+           CAST(x.i AS BIGINT) AS n_common,
+           CAST(sa.n + sb.n - x.i AS BIGINT) AS n_union,
+           CAST((x.i * 1000000) {idiv} (sa.n + sb.n - x.i) AS BIGINT)
+             AS jaccard_ppm
+    FROM inter x
+    JOIN sz sa ON sa.doc_id = x.a
+    JOIN sz sb ON sb.doc_id = x.b
+    WHERE 10 * x.i >= 9 * (sa.n + sb.n - x.i)
+"""
+
+_q(
+    "q_prefix_join",
+    _PREFIX_JOIN_BODY.format(
+        split="split(lower(trim(text)), '\\\\s+')",
+        gen_w="LATERAL VIEW explode(a) g AS w",
+        idiv="div",
+    ),
+    _PREFIX_JOIN_BODY.format(
+        split=r"string_split_regex(lower(trim(text)), '\s+')",
+        gen_w=", LATERAL (SELECT unnest(a) AS w) g",
+        idiv="//",
+    ),
+    "exact set-similarity join (word-Jaccard >= 0.9) via prefix "
+    "filtering on df-ascending token order: candidates join only on "
+    "each doc's rarest tokens, exact integer verify on candidates only",
+)
+
+# ---------------------------------------------------------------------------
+# Vocabulary coverage / OOV rate — the "how much of this source does my
+# tokenizer's vocab actually cover" screen run before training on a new
+# source mix: build the corpus top-256 vocabulary by total occurrences
+# (ties broken lexically — deterministic), then measure each source's
+# out-of-vocabulary token rate in exact integer ppm.
+#
+# Shape at scale: the vocab is a TakeOrdered top-k (per-partition heaps
+# folded on the driver, never a global sort) and is broadcast into the
+# coverage join; token instances shuffle once on the token only for the
+# map-side-combinable counts.  No windows.
+# ---------------------------------------------------------------------------
+
+_OOV_BODY = """
+    WITH inst AS (
+      SELECT source, w FROM (
+        SELECT source, {split} AS a FROM documents WHERE n_chars > 0
+      ) t {gen_w}
+      WHERE w <> ''
+    ),
+    vocab AS (
+      SELECT w FROM (
+        SELECT w, count(*) AS c FROM inst GROUP BY w
+        ORDER BY c DESC, w LIMIT 256
+      ) v
+    )
+    SELECT i.source,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(sum(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_oov,
+           CAST((sum(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END) * 1000000)
+                {idiv} count(*) AS BIGINT) AS oov_ppm
+    FROM inst i LEFT JOIN vocab v ON v.w = i.w
+    GROUP BY i.source
+"""
+
+_q(
+    "q_oov_rate",
+    _OOV_BODY.format(
+        split="split(lower(trim(text)), '\\\\s+')",
+        gen_w="LATERAL VIEW explode(a) g AS w",
+        idiv="div",
+    ),
+    _OOV_BODY.format(
+        split=r"string_split_regex(lower(trim(text)), '\s+')",
+        gen_w=", LATERAL (SELECT unnest(a) AS w) g",
+        idiv="//",
+    ),
+    "per-source out-of-vocabulary rate vs the corpus top-256 vocab: "
+    "TakeOrdered vocab broadcast into the coverage join, exact integer "
+    "ppm — no global sort, no windows",
+)

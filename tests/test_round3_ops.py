@@ -810,3 +810,37 @@ def test_embed_covariance_matches_numpy_and_supports_pca(spark):
     evals = np.linalg.eigvalsh(cov)
     assert evals.min() > -1e-9  # PSD -> PCA well-posed
     assert evals.max() > 0
+
+
+# ---------------------------------------------------------------------------
+# Prefix-filtering set-similarity join
+# ---------------------------------------------------------------------------
+
+
+def test_prefix_join_equals_bruteforce_all_pairs(spark):
+    """Prefix filtering's no-false-negative theorem: the candidate-pruned
+    join returns EXACTLY the pairs a brute-force all-pairs word-Jaccard
+    scan finds at t = 0.9 (same integer threshold arithmetic)."""
+    from itertools import combinations
+
+    from bsc_project_spark.queries.textops import QUERIES
+
+    got = {
+        (r.doc_a, r.doc_b): (r.n_common, r.n_union, r.jaccard_ppm)
+        for r in QUERIES["q_prefix_join"].spark(spark, SF).collect()
+    }
+    con = _duck()
+    docs = con.execute(
+        "SELECT doc_id, lower(trim(text)) FROM documents WHERE n_chars > 0"
+    ).fetchall()
+    toks = {d: set(t.split()) - {""} for d, t in docs}
+    want = {}
+    for (a, ta), (b, tb) in combinations(sorted((d, toks[d]) for d in toks), 2):
+        if not ta or not tb:
+            continue
+        i = len(ta & tb)
+        u = len(ta) + len(tb) - i
+        if 10 * i >= 9 * u:
+            want[(a, b)] = (i, u, i * 1_000_000 // u)
+    assert got == want
+    assert want, "fixture corpus must contain high-Jaccard pairs"
