@@ -2715,49 +2715,49 @@ _q(
 # et al. 2007; Chaudhuri et al. 2006) — the third classical scale path
 # to near-dup detection alongside MinHash-LSH (probabilistic) and
 # SimHash banding (bitwise), and the only EXACT one: every pair with
-# word-Jaccard >= t is guaranteed found (no-false-negative theorem:
-# two sets with Jaccard >= t MUST share a token within each one's first
-# |T| - ceil(t*|T|) + 1 tokens under any single global token order).
+# shingle-Jaccard >= t is guaranteed found (no-false-negative theorem:
+# two sets with Jaccard >= t MUST share an element within each one's
+# first |T| - ceil(t*|T|) + 1 elements under any single global order).
+# It runs over the SAME char-8-gram shingle sets as MinHash/SimHash, so
+# the trio answers the same question at three accuracy/cost points —
+# this one exactly.
 #
-# The global order here is (document frequency ASC, token) — prefixes
-# are each doc's RAREST tokens, so the candidate equi-join fans out on
-# low-df keys only; a stopword shared by every document never becomes a
-# join key.  That df-ordering IS the skew control: candidate volume is
-# sum_t df_prefix(t)^2 over rare t, not corpus^2.  Verification is an
-# exact integer intersection count on candidates only; the threshold
-# compare (10*i >= 9*union for t = 0.9) and jaccard_ppm stay in int64 —
-# no float anywhere.  All heavy shuffles key on token or doc_id.
+# The global order is (document frequency ASC, shingle) — prefixes are
+# each doc's RAREST shingles, so the candidate equi-join fans out on
+# low-df keys only; a boilerplate shingle shared by every document
+# never becomes a join key.  That df-ordering IS the skew control:
+# candidate volume is sum_s df_prefix(s)^2 over rare s, not corpus^2.
+# (Unigram WORD sets are deliberately NOT used: on a bounded vocabulary
+# they saturate — nearly every doc pair clears 0.9 — which is exactly
+# the quadratic blow-up prefix filtering exists to avoid.)  Exact
+# integer verify on candidates only; threshold compare (10*i >= 9*u)
+# and jaccard_ppm stay in int64 — no float anywhere.
 # ---------------------------------------------------------------------------
 
 _PREFIX_JOIN_BODY = """
-    WITH tok AS (
-      SELECT DISTINCT doc_id, w AS tok FROM (
-        SELECT doc_id, {split} AS a FROM documents WHERE n_chars > 0
-      ) t {gen_w}
-      WHERE w <> ''
-    ),
-    df AS (SELECT tok, count(*) AS df FROM tok GROUP BY tok),
+    WITH tok AS ({shingles}),
+    df AS (SELECT s, count(*) AS df FROM tok GROUP BY s),
     sz AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
     r AS (
-      SELECT t.doc_id, t.tok, s.n,
+      SELECT t.doc_id, t.s, z.n,
              row_number() OVER (
-               PARTITION BY t.doc_id ORDER BY d.df, t.tok
+               PARTITION BY t.doc_id ORDER BY d.df, t.s
              ) AS rn
-      FROM tok t JOIN df d ON d.tok = t.tok JOIN sz s ON s.doc_id = t.doc_id
+      FROM tok t JOIN df d ON d.s = t.s JOIN sz z ON z.doc_id = t.doc_id
     ),
     pref AS (
-      SELECT doc_id, tok FROM r
+      SELECT doc_id, s FROM r
       WHERE rn <= n - ((9 * n + 9) {idiv} 10) + 1
     ),
     cand AS (
       SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
-      FROM pref a JOIN pref b ON b.tok = a.tok AND b.doc_id > a.doc_id
+      FROM pref a JOIN pref b ON b.s = a.s AND b.doc_id > a.doc_id
     ),
     inter AS (
       SELECT c.a, c.b, count(*) AS i
       FROM cand c
       JOIN tok ta ON ta.doc_id = c.a
-      JOIN tok tb ON tb.doc_id = c.b AND tb.tok = ta.tok
+      JOIN tok tb ON tb.doc_id = c.b AND tb.s = ta.s
       GROUP BY c.a, c.b
     )
     SELECT x.a AS doc_a, x.b AS doc_b,
@@ -2771,21 +2771,72 @@ _PREFIX_JOIN_BODY = """
     WHERE 10 * x.i >= 9 * (sa.n + sb.n - x.i)
 """
 
-_q(
-    "q_prefix_join",
-    _PREFIX_JOIN_BODY.format(
-        split="split(lower(trim(text)), '\\\\s+')",
-        gen_w="LATERAL VIEW explode(a) g AS w",
-        idiv="div",
+_PREFIX_JOIN_VERIFY = """
+    WITH sz AS (SELECT doc_id, count(*) AS n FROM pj_tok GROUP BY doc_id),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+      FROM pj_pref a JOIN pj_pref b ON b.s = a.s AND b.doc_id > a.doc_id
     ),
-    _PREFIX_JOIN_BODY.format(
-        split=r"string_split_regex(lower(trim(text)), '\s+')",
-        gen_w=", LATERAL (SELECT unnest(a) AS w) g",
-        idiv="//",
+    inter AS (
+      SELECT c.a, c.b, count(*) AS i
+      FROM cand c
+      JOIN pj_tok ta ON ta.doc_id = c.a
+      JOIN pj_tok tb ON tb.doc_id = c.b AND tb.s = ta.s
+      GROUP BY c.a, c.b
+    )
+    SELECT x.a AS doc_a, x.b AS doc_b,
+           CAST(x.i AS BIGINT) AS n_common,
+           CAST(sa.n + sb.n - x.i AS BIGINT) AS n_union,
+           CAST((x.i * 1000000) {idiv} (sa.n + sb.n - x.i) AS BIGINT)
+             AS jaccard_ppm
+    FROM inter x
+    JOIN sz sa ON sa.doc_id = x.a
+    JOIN sz sb ON sb.doc_id = x.b
+    WHERE 10 * x.i >= 9 * (sa.n + sb.n - x.i)
+"""
+
+
+def _prefix_join_spark(spark, sf_dir: str):
+    """Materialize the shingle-set frame ONCE (the body references it six
+    times: df, sz x2, rank, and twice in the verify join) and the ranked
+    prefix frame once (referenced on both sides of the candidate join).
+    Both are persisted AND eagerly materialized: persist() alone does not
+    help when one plan hits the cache six times before any task has
+    populated it — every subtree raced to recompute the explode+distinct
+    (measured: 15.8 s -> ~5 s at sf0.1).  Same discipline as mh_wide."""
+    register_views(spark, sf_dir)
+    tok = spark.sql(_SHINGLES_SPARK.format(src="documents")).persist()
+    tok.count()
+    tok.createOrReplaceTempView("pj_tok")
+    pref = spark.sql(
+        """
+        WITH sz AS (SELECT doc_id, count(*) AS n FROM pj_tok GROUP BY doc_id),
+        r AS (
+          SELECT t.doc_id, t.s,
+                 row_number() OVER (
+                   PARTITION BY t.doc_id ORDER BY d.df, t.s
+                 ) AS rn, z.n
+          FROM pj_tok t
+          JOIN (SELECT s, count(*) AS df FROM pj_tok GROUP BY s) d ON d.s = t.s
+          JOIN sz z ON z.doc_id = t.doc_id
+        )
+        SELECT doc_id, s FROM r WHERE rn <= n - ((9 * n + 9) div 10) + 1
+        """
+    ).persist()
+    pref.createOrReplaceTempView("pj_pref")
+    return spark.sql(_PREFIX_JOIN_VERIFY.format(idiv="div"))
+
+
+QUERIES["q_prefix_join"] = QuerySpec(
+    spark=_prefix_join_spark,
+    oracle=_PREFIX_JOIN_BODY.format(
+        shingles=_SHINGLES_DUCK.format(src="documents"), idiv="//"
     ),
-    "exact set-similarity join (word-Jaccard >= 0.9) via prefix "
-    "filtering on df-ascending token order: candidates join only on "
-    "each doc's rarest tokens, exact integer verify on candidates only",
+    description=(
+        "exact set-similarity join (char-8-gram shingle Jaccard >= 0.9) via "
+        "prefix filtering on df-ascending order: candidates join only on "
+        "each doc's rarest shingles, exact integer verify on candidates only"
+    ),
 )
 
 # ---------------------------------------------------------------------------

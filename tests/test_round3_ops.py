@@ -819,8 +819,9 @@ def test_embed_covariance_matches_numpy_and_supports_pca(spark):
 
 def test_prefix_join_equals_bruteforce_all_pairs(spark):
     """Prefix filtering's no-false-negative theorem: the candidate-pruned
-    join returns EXACTLY the pairs a brute-force all-pairs word-Jaccard
-    scan finds at t = 0.9 (same integer threshold arithmetic)."""
+    join returns EXACTLY the pairs a brute-force all-pairs char-8-gram
+    shingle-Jaccard scan finds at t = 0.9 (same integer arithmetic,
+    same stride-4 shingle substrate as MinHash/SimHash)."""
     from itertools import combinations
 
     from bsc_project_spark.queries.textops import QUERIES
@@ -830,17 +831,16 @@ def test_prefix_join_equals_bruteforce_all_pairs(spark):
         for r in QUERIES["q_prefix_join"].spark(spark, SF).collect()
     }
     con = _duck()
-    docs = con.execute(
-        "SELECT doc_id, lower(trim(text)) FROM documents WHERE n_chars > 0"
-    ).fetchall()
-    toks = {d: set(t.split()) - {""} for d, t in docs}
+    docs = con.execute("SELECT doc_id, text FROM documents").fetchall()
+    sets = {
+        d: {t[i : i + 8] for i in range(0, max(len(t) - 7, 1), 4)}
+        for d, t in docs
+    }
     want = {}
-    for (a, ta), (b, tb) in combinations(sorted((d, toks[d]) for d in toks), 2):
-        if not ta or not tb:
-            continue
+    for (a, ta), (b, tb) in combinations(sorted(sets.items()), 2):
         i = len(ta & tb)
         u = len(ta) + len(tb) - i
-        if 10 * i >= 9 * u:
+        if u and 10 * i >= 9 * u:
             want[(a, b)] = (i, u, i * 1_000_000 // u)
     assert got == want
     assert want, "fixture corpus must contain high-Jaccard pairs"
