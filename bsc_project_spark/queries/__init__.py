@@ -125,8 +125,9 @@ _CHECK_FIRST = [
     "q_scd2_history",
     "q_gap_fill",
     # ---- 50-row prefix boundary ----
-    # 51-55: new ops deferred because an independent recompute test pins
+    # 51-56: new ops deferred because an independent recompute test pins
     # each one's values beyond the oracle gate (tests/test_round3_ops.py)
+    "q_ann_recall",
     "q_pagerank",
     "q_triangle_count",
     "q_prefix_join",

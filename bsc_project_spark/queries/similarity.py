@@ -786,3 +786,197 @@ QUERIES["q_embed_covariance"] = QuerySpec(
         "carries O(partitions * d^2) — row count never crosses the wire"
     ),
 )
+
+
+# ---------------------------------------------------------------------------
+# q_ann_recall — the index SELF-MEASUREMENT query: the recall@k / scan-
+# cost TRADE-OFF CURVE of banded random-hyperplane LSH against the
+# exact brute-force top-k, swept over band configurations derived from
+# the SAME 24 projection bits ((2 bands x 12 bits) = the near-dup
+# config, (4 x 6) and (8 x 3) = progressively recall-biased kNN
+# configs).  This is the table a 100 TB deployment computes on a sample
+# to PICK the (bands, bits) knob before committing to an index build:
+# more, shorter bands -> higher recall AND more candidates scanned —
+# the curve makes the trade explicit and checked (n_candidates IS the
+# per-query scan cost).
+#
+# Both rankings use the identical scoring chain (round(dot/(nq*nc), 5),
+# ties on c_id) so the comparison is engine-exact; recall_ppm is exact
+# integer arithmetic.  Scale shape: features (bits + vector) computed
+# once into a persisted frame; candidates are (cfg, band, bucket)
+# equi-joins; only the tiny query set is broadcast into scoring.
+# ---------------------------------------------------------------------------
+
+_RECALL_CONFIGS = ((2, 12), (4, 6), (8, 3))
+
+
+def _cfg_stack_expr(bits_col: str) -> str:
+    """Spark stack() emitting (cfg, band, bucket) rows for every config."""
+    parts = []
+    n_rows = 0
+    for nb, bb in _RECALL_CONFIGS:
+        for b in range(nb):
+            parts.append(
+                f"'{nb}x{bb}', {b}, substring({bits_col}, {b * bb + 1}, {bb})"
+            )
+            n_rows += 1
+    return f"stack({n_rows}, {', '.join(parts)})"
+
+
+def _ann_recall_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    emb = spark.table("embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    feat = emb.select("vec_id", "v", _lsh_bits_udf("v").alias("bits")).persist()
+    feat.count()
+    feat.createOrReplaceTempView("ar_feat")
+    dot = _SPARK_DOT.format(a="q.v", b="c.v")
+    nrm_q = _SPARK_DOT.format(a="q.v", b="q.v")
+    nrm_c = _SPARK_DOT.format(a="c.v", b="c.v")
+    return spark.sql(
+        f"""
+        WITH qf AS (SELECT * FROM ar_feat WHERE vec_id < {_N_QUERIES}),
+        exact AS (
+          SELECT q_id, c_id FROM (
+            SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+                   row_number() OVER (
+                     PARTITION BY q.vec_id
+                     ORDER BY round({dot} / (sqrt({nrm_q}) * sqrt({nrm_c})), 5)
+                       DESC, c.vec_id
+                   ) AS rn
+            FROM ar_feat c CROSS JOIN qf q WHERE c.vec_id <> q.vec_id
+          ) WHERE rn <= {_TOPK}
+        ),
+        qb AS (SELECT vec_id AS q_id, {_cfg_stack_expr('bits')} AS (cfg, band, bucket) FROM qf),
+        cb AS (SELECT vec_id AS c_id, {_cfg_stack_expr('bits')} AS (cfg, band, bucket) FROM ar_feat),
+        cand AS (
+          SELECT DISTINCT qb.cfg, qb.q_id, cb.c_id
+          FROM qb JOIN cb ON cb.cfg = qb.cfg AND cb.band = qb.band
+                         AND cb.bucket = qb.bucket
+          WHERE cb.c_id <> qb.q_id
+        ),
+        approx AS (
+          SELECT cfg, q_id, c_id FROM (
+            SELECT x.cfg, x.q_id, x.c_id,
+                   row_number() OVER (
+                     PARTITION BY x.cfg, x.q_id
+                     ORDER BY round({dot} / (sqrt({nrm_q}) * sqrt({nrm_c})), 5)
+                       DESC, x.c_id
+                   ) AS rn
+            FROM cand x
+            JOIN ar_feat c ON c.vec_id = x.c_id
+            JOIN qf q ON q.vec_id = x.q_id
+          ) WHERE rn <= {_TOPK}
+        ),
+        grid AS (
+          SELECT g.cfg, q.vec_id AS q_id
+          FROM qf q CROSS JOIN (SELECT DISTINCT cfg FROM qb) g
+        ),
+        nc AS (
+          SELECT g.cfg, g.q_id, count(c.c_id) AS n_candidates
+          FROM grid g LEFT JOIN cand c ON c.cfg = g.cfg AND c.q_id = g.q_id
+          GROUP BY g.cfg, g.q_id
+        ),
+        hits AS (
+          SELECT a.cfg, e.q_id, count(*) AS n_hits
+          FROM exact e JOIN approx a ON a.q_id = e.q_id AND a.c_id = e.c_id
+          GROUP BY a.cfg, e.q_id
+        )
+        SELECT n.cfg, n.q_id,
+               CAST(n.n_candidates AS BIGINT) AS n_candidates,
+               CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+               CAST(coalesce(h.n_hits, 0) * 1000000 div {_TOPK} AS BIGINT)
+                 AS recall_ppm
+        FROM nc n LEFT JOIN hits h ON h.cfg = n.cfg AND h.q_id = n.q_id
+        """
+    )
+
+
+def _duck_cfg_bands() -> str:
+    sels = []
+    for nb, bb in _RECALL_CONFIGS:
+        for b in range(nb):
+            cols = ", ".join(f"b{j}" for j in range(b * bb, (b + 1) * bb))
+            sels.append(
+                f"SELECT vec_id, '{nb}x{bb}' AS cfg, {b} AS band, "
+                f"concat({cols}) AS bucket FROM bits"
+            )
+    return " UNION ALL ".join(sels)
+
+
+_ANN_RECALL_DUCK = f"""
+    WITH pos AS (
+      SELECT vec_id, g.i AS i, embedding[g.i]::DOUBLE AS x
+      FROM embeddings e,
+      LATERAL (SELECT unnest(generate_series(1, len(e.embedding))) AS i) g
+    ),
+    bits AS (SELECT vec_id, {_DUCK_BITS} FROM pos GROUP BY vec_id),
+    bands AS ({_duck_cfg_bands()}),
+    vq AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv
+           FROM embeddings WHERE vec_id < {_N_QUERIES}),
+    vc AS (SELECT vec_id AS c_id, embedding::DOUBLE[] AS cv FROM embeddings),
+    exact AS (
+      SELECT q_id, c_id FROM (
+        SELECT q.q_id, c.c_id,
+               row_number() OVER (
+                 PARTITION BY q.q_id
+                 ORDER BY round(list_dot_product(qv, cv)
+                   / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))), 5)
+                   DESC, c.c_id
+               ) AS rn
+        FROM vc c CROSS JOIN vq q WHERE c.c_id <> q.q_id
+      ) t WHERE rn <= {_TOPK}
+    ),
+    cand AS (
+      SELECT DISTINCT qb.cfg, qb.vec_id AS q_id, cb.vec_id AS c_id
+      FROM bands qb JOIN bands cb
+        ON cb.cfg = qb.cfg AND cb.band = qb.band AND cb.bucket = qb.bucket
+      WHERE qb.vec_id < {_N_QUERIES} AND cb.vec_id <> qb.vec_id
+    ),
+    approx AS (
+      SELECT cfg, q_id, c_id FROM (
+        SELECT x.cfg, x.q_id, x.c_id,
+               row_number() OVER (
+                 PARTITION BY x.cfg, x.q_id
+                 ORDER BY round(list_dot_product(q.qv, c.cv)
+                   / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(c.cv, c.cv))), 5)
+                   DESC, x.c_id
+               ) AS rn
+        FROM cand x
+        JOIN vc c ON c.c_id = x.c_id
+        JOIN vq q ON q.q_id = x.q_id
+      ) t WHERE rn <= {_TOPK}
+    ),
+    grid AS (
+      SELECT g.cfg, q.q_id
+      FROM vq q CROSS JOIN (SELECT DISTINCT cfg FROM bands) g
+    ),
+    nc AS (
+      SELECT g.cfg, g.q_id, count(c.c_id) AS n_candidates
+      FROM grid g LEFT JOIN cand c ON c.cfg = g.cfg AND c.q_id = g.q_id
+      GROUP BY g.cfg, g.q_id
+    ),
+    hits AS (
+      SELECT a.cfg, e.q_id, count(*) AS n_hits
+      FROM exact e JOIN approx a ON a.q_id = e.q_id AND a.c_id = e.c_id
+      GROUP BY a.cfg, e.q_id
+    )
+    SELECT n.cfg, n.q_id,
+           CAST(n.n_candidates AS BIGINT) AS n_candidates,
+           CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+           CAST(coalesce(h.n_hits, 0) * 1000000 // {_TOPK} AS BIGINT)
+             AS recall_ppm
+    FROM nc n LEFT JOIN hits h ON h.cfg = n.cfg AND h.q_id = n.q_id
+"""
+
+
+QUERIES["q_ann_recall"] = QuerySpec(
+    spark=_ann_recall_spark,
+    oracle=_ANN_RECALL_DUCK,
+    description=(
+        "LSH recall@5 / scan-cost trade-off curve vs exact top-5, swept "
+        "over band configs (2x12, 4x6, 8x3) from the same 24 projection "
+        "bits — the knob-tuning table a 100 TB index build reads first"
+    ),
+)

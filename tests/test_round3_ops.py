@@ -844,3 +844,51 @@ def test_prefix_join_equals_bruteforce_all_pairs(spark):
             want[(a, b)] = (i, u, i * 1_000_000 // u)
     assert got == want
     assert want, "fixture corpus must contain high-Jaccard pairs"
+
+
+# ---------------------------------------------------------------------------
+# ANN recall/cost curve
+# ---------------------------------------------------------------------------
+
+
+def test_ann_recall_matches_numpy_recompute(spark):
+    """The swept recall/cost table == an independent numpy recompute:
+    same sign matrix, same band slicing, same rounded-cosine ranking."""
+    import pyarrow.parquet as pq
+
+    from bsc_project_spark.queries.similarity import (
+        QUERIES, _N_QUERIES, _RECALL_CONFIGS, _TOPK, _sign_matrix,
+    )
+
+    got = {
+        (r.cfg, r.q_id): (r.n_candidates, r.n_hits, r.recall_ppm)
+        for r in QUERIES["q_ann_recall"].spark(spark, SF).collect()
+    }
+    emb = pq.read_table(f"{SF}/embeddings.parquet").to_pandas()
+    ids = emb["vec_id"].to_numpy()
+    m = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
+    bits = (m @ _sign_matrix(m.shape[1]) >= 0.0)
+    norms = np.sqrt((m * m).sum(axis=1))
+    qidx = {int(i): k for k, i in enumerate(ids) if i < _N_QUERIES}
+
+    def topk(q, pool):
+        cos = [
+            (round(float(m[q] @ m[c]) / float(norms[q] * norms[c]), 5), -int(ids[c]))
+            for c in pool
+        ]
+        order = sorted(zip(cos, pool), key=lambda t: t[0], reverse=True)
+        return {int(ids[c]) for _, c in order[:_TOPK]}
+
+    want = {}
+    for qi, q in qidx.items():
+        exact = topk(q, [c for c in range(len(ids)) if c != q])
+        for nb, bb in _RECALL_CONFIGS:
+            cfg = f"{nb}x{bb}"
+            cand = set()
+            for b in range(nb):
+                sig = bits[:, b * bb : (b + 1) * bb]
+                same = (sig == sig[q]).all(axis=1)
+                cand |= {c for c in np.nonzero(same)[0] if c != q}
+            hits = len(topk(q, sorted(cand)) & exact) if cand else 0
+            want[(cfg, qi)] = (len(cand), hits, hits * 1_000_000 // _TOPK)
+    assert got == want
