@@ -130,6 +130,9 @@ _CHECK_FIRST = [
     "q_ann_recall",
     "q_pagerank",
     "q_triangle_count",
+    "q_bfs_distance",
+    "q_zorder_layout",
+    "q_url_canon",
     "q_prefix_join",
     "q_embed_covariance",
     "q_cooccurrence",

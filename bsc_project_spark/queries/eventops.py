@@ -983,3 +983,77 @@ _q(
     "integer checksum over the whole filled series — one user_id "
     "shuffle, grid explode bounded by each user's own span",
 )
+
+# ---------------------------------------------------------------------------
+# Z-order (Morton-curve) data layout — the multi-dimensional clustering
+# every large-table engine uses for 2-D pruning (Delta Lake Z-ORDER,
+# Iceberg sort-order binpacking).  Each event is keyed by two pruning
+# dims (user bucket x = user_id mod 1024, day bucket y = epoch-day mod
+# 1024); the 20-bit Morton code interleaves their bits, and z div 4096
+# assigns the target file.  The checked result is the per-file min/max
+# column statistics a scan planner would prune on, plus the bbox area —
+# the locality metric that makes Z-order beat lexicographic layout (a
+# Morton range covers a COMPACT rectangle, so both x-predicates and
+# y-predicates skip most files).
+#
+# Bit extraction is pure integer modulo-compare (CASE WHEN v % 2p >= p),
+# identical in both dialects — no engine bit-op intrinsics, no floats.
+# Scale notes: the Morton code is a map-only projection; the only shuffle
+# is the file_id stats rollup (map-side combinable min/max/count).  At
+# 100 TB this is exactly the OPTIMIZE ZORDER write path: code -> range
+# partition by z -> per-file stats for the manifest.
+# ---------------------------------------------------------------------------
+
+_ZBITS = 10  # 10 bits per dim -> 20-bit Morton code
+_Z_FILE_SHIFT = 4096  # z div 4096 -> at most 256 files
+
+
+def _zbit(col: str, i: int) -> str:
+    p = 1 << i
+    return f"(CASE WHEN {col} % {2 * p} >= {p} THEN 1 ELSE 0 END)"
+
+
+_Z_EXPR = " + ".join(
+    f"{_zbit('x', i)} * {4 ** i} + {_zbit('y', i)} * {2 * 4 ** i}"
+    for i in range(_ZBITS)
+)
+
+_ZORDER_BODY = """
+    WITH dims AS (
+      SELECT user_id % 1024 AS x,
+             ({epoch_us} {idiv} 86400000000) % 1024 AS y
+      FROM events
+    ),
+    zed AS (
+      SELECT x, y, ({z}) {idiv} {shift} AS file_id FROM dims
+    )
+    SELECT CAST(file_id AS BIGINT) AS file_id,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(min(x) AS BIGINT) AS min_x,
+           CAST(max(x) AS BIGINT) AS max_x,
+           CAST(min(y) AS BIGINT) AS min_y,
+           CAST(max(y) AS BIGINT) AS max_y,
+           CAST((max(x) - min(x) + 1) * (max(y) - min(y) + 1) AS BIGINT)
+             AS bbox_area
+    FROM zed
+    GROUP BY file_id
+"""
+
+_q(
+    "q_zorder_layout",
+    sql_query(_ZORDER_BODY.format(
+        epoch_us=_SPARK_EPOCH_US.format(c="ts"),
+        idiv="div",
+        z=_Z_EXPR,
+        shift=_Z_FILE_SHIFT,
+    )),
+    _ZORDER_BODY.format(
+        epoch_us="epoch_us(ts)",
+        idiv="//",
+        z=_Z_EXPR,
+        shift=_Z_FILE_SHIFT,
+    ),
+    "Z-order (Morton) layout: 20-bit interleaved (user-bucket, day-bucket) "
+    "code assigns files; checked output is the per-file min/max pruning "
+    "stats + bbox area — map-only code, one combinable stats rollup",
+)

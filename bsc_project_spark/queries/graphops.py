@@ -413,3 +413,99 @@ QUERIES["q_triangle_count"] = QuerySpec(
         "once, wedge fan-out capped at O(sqrt(m)) per apex"
     ),
 )
+
+# ---------------------------------------------------------------------------
+# Multi-source BFS hop distance — the frontier-expansion primitive under
+# every graph-reachability job (crawl-depth labeling, link-spam radius,
+# seed-set influence).  Seeds = every 97th node id; 4 rounds of
+# frontier -> neighbor expansion label each reachable node with its first
+# (= minimum) hop count, the textbook layered BFS.
+#
+# The SPARK side expands ONLY the newly-discovered frontier each round
+# (the anti-join keeps visited nodes out), so per-round work is
+# O(frontier-adjacent edges), not O(all edges x rounds) — the invariant
+# that makes iterative BFS shippable when the reachable set is a small
+# slice of a 10^12-node graph.  Each round is one equi-join shuffle on
+# src plus one anti-join on the visited set; localCheckpoint truncates
+# lineage so the plan stays O(1) deep.  The ORACLE unrolls 4 relaxation
+# rounds (d_r = min(d_{r-1}, min over edges of d_{r-1}(u) + 1)) as
+# nested CTEs — relaxation over the full set and frontier-only expansion
+# provably agree (BFS layer monotonicity), so the gate checks the
+# frontier optimization against declarative semantics.
+# ---------------------------------------------------------------------------
+
+_SEED_MOD = 97
+_BFS_HOPS = 4
+
+
+def _bfs_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ids, n, edges = _link_graph(spark, sf_dir)
+    if n == 0:
+        return spark.createDataFrame([], "doc_id long, hops bigint")
+    dist = (
+        ids.filter(F.col("idx") % _SEED_MOD == 0)
+        .select(F.col("idx").alias("v"), F.lit(0).cast("bigint").alias("hops"))
+        .persist()
+    )
+    frontier = dist
+    for r in range(1, _BFS_HOPS + 1):
+        reached = (
+            edges.join(frontier, edges.src == frontier.v)
+            .select(F.col("dst").alias("nv"))
+            .distinct()
+        )
+        newly = (
+            reached.join(dist, reached.nv == dist.v, "left_anti")
+            .select(F.col("nv").alias("v"), F.lit(r).cast("bigint").alias("hops"))
+            .localCheckpoint(eager=False)
+        )
+        dist = dist.unionAll(newly)
+        frontier = newly
+    return ids.join(dist, ids.idx == dist.v).select("doc_id", "hops")
+
+
+def _bfs_oracle() -> str:
+    hashed = _hex8_of("md5(CAST(i.idx AS STRING) || ':' || CAST(g.k AS STRING))")
+    prev = "d0"
+    rounds = []
+    for r in range(1, _BFS_HOPS + 1):
+        rounds.append(
+            f"""d{r} AS (
+      SELECT v, min(hops) AS hops FROM (
+        SELECT v, hops FROM {prev}
+        UNION ALL
+        SELECT e.dst AS v, p.hops + 1 AS hops
+        FROM edges e JOIN {prev} p ON p.v = e.src
+      ) GROUP BY v
+    )"""
+        )
+        prev = f"d{r}"
+    rounds_sql = ",\n    ".join(rounds)
+    return f"""
+    WITH ids AS (
+      SELECT doc_id, CAST(row_number() OVER (ORDER BY doc_id) - 1 AS BIGINT) AS idx
+      FROM documents
+    ),
+    nn AS (SELECT count(*) AS n FROM ids),
+    edges AS (
+      SELECT DISTINCT i.idx AS src, ({hashed}) % (SELECT n FROM nn) AS dst
+      FROM ids i, (SELECT unnest(generate_series(1, {_FANOUT})) AS k) g
+    ),
+    d0 AS (
+      SELECT idx AS v, CAST(0 AS BIGINT) AS hops FROM ids WHERE idx % {_SEED_MOD} = 0
+    ),
+    {rounds_sql}
+    SELECT i.doc_id, CAST(d.hops AS BIGINT) AS hops
+    FROM {prev} d JOIN ids i ON i.idx = d.v
+"""
+
+
+QUERIES["q_bfs_distance"] = QuerySpec(
+    spark=_bfs_spark,
+    oracle=_bfs_oracle(),
+    description=(
+        "multi-source layered BFS (4 rounds) over the deterministic link "
+        "graph: frontier-only expansion with anti-join visited set vs an "
+        "unrolled relaxation-CTE oracle"
+    ),
+)

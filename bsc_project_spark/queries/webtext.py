@@ -500,3 +500,67 @@ _q(
     "interval range join: 6h-bucket equi-join + exact us-range filter "
     "(Spark) vs declarative IEJoin (oracle)",
 )
+
+# ---------------------------------------------------------------------------
+# URL canonicalization + dedup — the crawl-frontier / WARC-index step every
+# web corpus runs before content dedup (CommonCrawl URL normalization,
+# surt-style canonical forms): the same page arrives as HTTPS://WWW.HOST,
+# host/path/, host/path?utm_source=..., host/path#fragment, and the
+# canonicalizer must fold all surface forms to one key.  The fixture corpus
+# carries no URL column, so each doc derives one deterministically from
+# doc_id (5 surface-form variants over 13 hosts x 7 pages; 91 mod 5 = 1, so
+# consecutive docs of one canonical group cycle through ALL five forms); the operator under test is the
+# normalization chain + the group-fold after it.
+#
+# Chain (each step portable scalar SQL, no UDF): lowercase -> strip
+# #fragment (instr/substring) -> strip trailing utm_* query (anchored
+# regexp_replace — at most one match, so Spark's replace-all and DuckDB's
+# replace-first agree) -> fold ://www. -> trim trailing '/'.
+# Scale notes: canonicalization is map-only; the only shuffle is the
+# canonical-key rollup (count / distinct-forms / min-keeper all map-side
+# combinable).  At 10^12 URLs this is the standard pre-shuffle key fold.
+# ---------------------------------------------------------------------------
+
+_URL_BODY = """
+    WITH urls AS (
+      SELECT doc_id, concat(
+        CASE WHEN doc_id % 5 = 1 THEN 'HTTPS://WWW.EXAMPLE' ELSE 'https://example' END,
+        CAST(doc_id % 13 AS {st}),
+        CASE WHEN doc_id % 5 = 1 THEN '.COM/page/' ELSE '.com/page/' END,
+        CAST(doc_id % 7 AS {st}),
+        CASE doc_id % 5 WHEN 2 THEN '/' WHEN 3 THEN '?utm_source=feed'
+                        WHEN 4 THEN '#section-2' ELSE '' END
+      ) AS url FROM documents
+    ),
+    c1 AS (SELECT doc_id, url, lower(url) AS u FROM urls),
+    c2 AS (
+      SELECT doc_id, url,
+             CASE WHEN instr(u, '#') > 0 THEN substring(u, 1, instr(u, '#') - 1)
+                  ELSE u END AS u
+      FROM c1
+    ),
+    c3 AS (
+      SELECT doc_id, url,
+             regexp_replace(u, '[?]utm_[a-z_]+=[a-z0-9]*$', '') AS u
+      FROM c2
+    ),
+    c4 AS (SELECT doc_id, url, replace(u, '://www.', '://') AS u FROM c3),
+    c5 AS (
+      SELECT doc_id, url, trim(TRAILING '/' FROM u) AS canonical_url FROM c4
+    )
+    SELECT canonical_url,
+           CAST(count(*) AS BIGINT) AS n_dups,
+           CAST(count(DISTINCT url) AS BIGINT) AS n_forms,
+           CAST(min(doc_id) AS BIGINT) AS keep_doc
+    FROM c5
+    GROUP BY canonical_url
+"""
+
+_q(
+    "q_url_canon",
+    _URL_BODY.format(st="STRING"),
+    _URL_BODY.format(st="VARCHAR"),
+    "URL canonicalization + dedup: lowercase / fragment strip / utm strip "
+    "/ www fold / trailing-slash trim, then a canonical-key rollup — "
+    "map-only normalize, one combinable shuffle",
+)

@@ -892,3 +892,116 @@ def test_ann_recall_matches_numpy_recompute(spark):
             hits = len(topk(q, sorted(cand)) & exact) if cand else 0
             want[(cfg, qi)] = (len(cand), hits, hits * 1_000_000 // _TOPK)
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# Multi-source BFS
+# ---------------------------------------------------------------------------
+
+
+def test_bfs_distance_matches_python_bfs(spark):
+    """Frontier-expansion BFS over the md5-derived graph == a plain
+    Python layered BFS from the same seed set: every reachable node
+    within 4 hops, labeled with its exact first-visit layer."""
+    from bsc_project_spark.queries.graphops import _BFS_HOPS, _FANOUT, _SEED_MOD, QUERIES
+
+    got = {
+        r.doc_id: r.hops
+        for r in QUERIES["q_bfs_distance"].spark(spark, SF).collect()
+    }
+    con = _duck()
+    ids = [d for (d,) in con.execute("SELECT doc_id FROM documents ORDER BY doc_id").fetchall()]
+    n = len(ids)
+    adj: dict[int, set[int]] = {v: set() for v in range(n)}
+    for idx in range(n):
+        for k in range(1, _FANOUT + 1):
+            adj[idx].add(int(_md5(f"{idx}:{k}")[:8], 16) % n)
+    dist = {v: 0 for v in range(n) if v % _SEED_MOD == 0}
+    frontier = set(dist)
+    for hop in range(1, _BFS_HOPS + 1):
+        nxt = {w for v in frontier for w in adj[v] if w not in dist}
+        for w in nxt:
+            dist[w] = hop
+        frontier = nxt
+    want = {ids[v]: h for v, h in dist.items()}
+    assert got == want
+    assert set(dist.values()) == set(range(_BFS_HOPS + 1)), (
+        "fixture graph must populate every BFS layer for this test to bite"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Z-order layout
+# ---------------------------------------------------------------------------
+
+
+def test_zorder_layout_matches_python_morton(spark):
+    """Per-file pruning stats == a Python recompute of the 20-bit Morton
+    code over the same (user-bucket, day-bucket) dims; bit interleaving
+    is checked against int bit-twiddling rather than the SQL's
+    modulo-compare formulation."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from bsc_project_spark.queries.eventops import _Z_FILE_SHIFT, _ZBITS, QUERIES
+
+    got = {
+        r.file_id: (r.n_rows, r.min_x, r.max_x, r.min_y, r.max_y, r.bbox_area)
+        for r in QUERIES["q_zorder_layout"].spark(spark, SF).collect()
+    }
+    tbl = pq.read_table(f"{SF}/events.parquet", columns=["user_id", "ts"])
+    us = pc.cast(pc.cast(tbl["ts"], "timestamp[us]"), "int64").to_pylist()
+    users = tbl["user_id"].to_pylist()
+    files: dict[int, list[tuple[int, int]]] = {}
+    for u, t in zip(users, us):
+        x, y = u % 1024, (t // 86_400_000_000) % 1024
+        z = 0
+        for i in range(_ZBITS):
+            z |= ((x >> i) & 1) << (2 * i)
+            z |= ((y >> i) & 1) << (2 * i + 1)
+        files.setdefault(z // _Z_FILE_SHIFT, []).append((x, y))
+    want = {}
+    for f, pts in files.items():
+        xs, ys = [p[0] for p in pts], [p[1] for p in pts]
+        want[f] = (
+            len(pts), min(xs), max(xs), min(ys), max(ys),
+            (max(xs) - min(xs) + 1) * (max(ys) - min(ys) + 1),
+        )
+    assert got == want
+
+
+# ---------------------------------------------------------------------------
+# URL canonicalization
+# ---------------------------------------------------------------------------
+
+
+def test_url_canon_folds_every_surface_form(spark):
+    """Python recompute of the synthesis + canonicalization chain agrees
+    per canonical group, and the chain genuinely folds multiple surface
+    forms (some group must carry >= 3 distinct raw forms)."""
+    from bsc_project_spark.queries.webtext import QUERIES
+
+    got = {
+        r.canonical_url: (r.n_dups, r.n_forms, r.keep_doc)
+        for r in QUERIES["q_url_canon"].spark(spark, SF).collect()
+    }
+    con = _duck()
+    ids = [d for (d,) in con.execute("SELECT doc_id FROM documents").fetchall()]
+    groups: dict[str, set] = {}
+    counts: dict[str, list] = {}
+    for d in ids:
+        g, p, v = d % 13, d % 7, d % 5
+        if v == 1:
+            raw = f"HTTPS://WWW.EXAMPLE{g}.COM/page/{p}"
+        else:
+            raw = f"https://example{g}.com/page/{p}" + {
+                2: "/", 3: "?utm_source=feed", 4: "#section-2"
+            }.get(v, "")
+        canon = f"https://example{g}.com/page/{p}"
+        groups.setdefault(canon, set()).add(raw)
+        counts.setdefault(canon, []).append(d)
+    want = {
+        c: (len(counts[c]), len(groups[c]), min(counts[c])) for c in groups
+    }
+    assert got == want
+    assert max(n_forms for _, n_forms, _ in got.values()) >= 3
