@@ -133,6 +133,8 @@ _CHECK_FIRST = [
     "q_bfs_distance",
     "q_zorder_layout",
     "q_url_canon",
+    "q_markov_transitions",
+    "q_random_walks",
     "q_prefix_join",
     "q_embed_covariance",
     "q_cooccurrence",

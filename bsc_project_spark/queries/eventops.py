@@ -1057,3 +1057,50 @@ _q(
     "code assigns files; checked output is the per-file min/max pruning "
     "stats + bbox area — map-only code, one combinable stats rollup",
 )
+
+# ---------------------------------------------------------------------------
+# Per-user event-type transition matrix (first-order Markov estimate) —
+# the sequence-bigram statistic behind next-event prediction features,
+# session-flow dashboards, and behavioral embeddings.  Each user's
+# time-ordered event stream contributes its consecutive (from -> to)
+# type pairs; the output is the global transition-count matrix with the
+# row-conditional probability in exact integer ppm (count * 10^6 div
+# row-total — no float division, so the gate hash-checks the matrix).
+#
+# Scale notes: one shuffle on user_id for the lead() window (each user's
+# stream sorts independently — no global order), then one map-side-
+# combinable rollup on the (from, to) pair.  Ties inside a user's stream
+# break on event_id, so the pairing is deterministic under any executor
+# count.  The |types|^2-sized result is driver-safe by construction.
+# ---------------------------------------------------------------------------
+
+_MARKOV_BODY = """
+    WITH seq AS (
+      SELECT event_type AS from_type,
+             lead(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ) AS to_type
+      FROM events
+    ),
+    pairs AS (
+      SELECT from_type, to_type, count(*) AS n
+      FROM seq WHERE to_type IS NOT NULL
+      GROUP BY from_type, to_type
+    ),
+    totals AS (
+      SELECT from_type, sum(n) AS row_n FROM pairs GROUP BY from_type
+    )
+    SELECT p.from_type, p.to_type,
+           CAST(p.n AS BIGINT) AS n_transitions,
+           CAST((p.n * 1000000) {idiv} t.row_n AS BIGINT) AS prob_ppm
+    FROM pairs p JOIN totals t ON t.from_type = p.from_type
+"""
+
+_q(
+    "q_markov_transitions",
+    sql_query(_MARKOV_BODY.format(idiv="div")),
+    _MARKOV_BODY.format(idiv="//"),
+    "first-order event-type transition matrix: per-user lead() pairing "
+    "(one user_id shuffle), global (from,to) rollup, row-conditional "
+    "probability in exact integer ppm",
+)

@@ -509,3 +509,124 @@ QUERIES["q_bfs_distance"] = QuerySpec(
         "unrolled relaxation-CTE oracle"
     ),
 )
+
+# ---------------------------------------------------------------------------
+# Deterministic random-walk corpus generation — the sampling primitive
+# under DeepWalk/node2vec-style graph embeddings: each seed emits one
+# fixed-length walk, and the walk rows ARE the training corpus the
+# skip-gram stage consumes.  Seeds = every 31st node; 4 steps; the step-t
+# "coin" is hex8(md5(cur || '#' || t)) mod outdeg(cur), indexing the
+# current node's dst-sorted neighbor list — fully deterministic, so the
+# gate hash-checks every visited position.
+#
+# The SPARK side ranks each node's neighbors once (row_number + count
+# windows PARTITIONED BY src — never global), persists the ranked edge
+# list, then advances all walks in lockstep: one equi-join per step on
+# (src = cur, rnk = coin), localCheckpoint truncating lineage.  Per-step
+# work is O(|frontier|) joined rows — at 10^12 nodes with a seed sample
+# this is the standard embarrassingly-parallel walk batch.  The ORACLE
+# unrolls the same 4 steps as nested CTEs.
+# ---------------------------------------------------------------------------
+
+_WALK_SEED_MOD = 31
+_WALK_STEPS = 4
+
+
+def _walk_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ids, n, edges = _link_graph(spark, sf_dir)
+    if n == 0:
+        return spark.createDataFrame(
+            [], "seed_doc long, step bigint, node_doc long"
+        )
+    w = Window.partitionBy("src").orderBy("dst")
+    ranked = (
+        edges.select(
+            "src",
+            "dst",
+            (F.row_number().over(w) - 1).cast("bigint").alias("rnk"),
+            F.count(F.lit(1)).over(Window.partitionBy("src")).cast("bigint").alias("deg"),
+        )
+        .persist()
+    )
+    state = ids.filter(F.col("idx") % _WALK_SEED_MOD == 0).select(
+        F.col("idx").alias("seed"), F.col("idx").alias("cur")
+    )
+    positions = [state.select("seed", F.lit(0).cast("bigint").alias("step"), F.col("cur").alias("node"))]
+    for t in range(1, _WALK_STEPS + 1):
+        coin = _hex8_of(f"md5(concat(CAST(cur AS STRING), '#', '{t}'))")
+        state = (
+            state.join(ranked, state.cur == ranked.src)
+            .filter(F.col("rnk") == F.expr(f"({coin}) % deg"))
+            .select("seed", F.col("dst").alias("cur"))
+            .localCheckpoint(eager=False)
+        )
+        positions.append(
+            state.select("seed", F.lit(t).cast("bigint").alias("step"), F.col("cur").alias("node"))
+        )
+    walk = positions[0]
+    for p in positions[1:]:
+        walk = walk.unionAll(p)
+    i_s = ids.select(F.col("idx").alias("seed"), F.col("doc_id").alias("seed_doc"))
+    i_n = ids.select(F.col("idx").alias("node"), F.col("doc_id").alias("node_doc"))
+    return (
+        walk.join(i_s, "seed").join(i_n, "node").select("seed_doc", "step", "node_doc")
+    )
+
+
+def _walk_oracle() -> str:
+    hashed = _hex8_of("md5(CAST(i.idx AS STRING) || ':' || CAST(g.k AS STRING))")
+    prev = "w0"
+    steps, unions = [], ["SELECT seed, CAST(0 AS BIGINT) AS step, cur FROM w0"]
+    for t in range(1, _WALK_STEPS + 1):
+        coin = _hex8_of(f"md5(CAST(p.cur AS STRING) || '#' || '{t}')")
+        steps.append(
+            f"""w{t} AS (
+      SELECT p.seed, r.dst AS cur
+      FROM {prev} p JOIN ranked r
+        ON r.src = p.cur AND r.rnk = ({coin}) % r.deg
+    )"""
+        )
+        unions.append(f"SELECT seed, CAST({t} AS BIGINT) AS step, cur FROM w{t}")
+        prev = f"w{t}"
+    steps_sql = ",\n    ".join(steps)
+    unions_sql = "\n      UNION ALL ".join(unions)
+    return f"""
+    WITH ids AS (
+      SELECT doc_id, CAST(row_number() OVER (ORDER BY doc_id) - 1 AS BIGINT) AS idx
+      FROM documents
+    ),
+    nn AS (SELECT count(*) AS n FROM ids),
+    edges AS (
+      SELECT DISTINCT i.idx AS src, ({hashed}) % (SELECT n FROM nn) AS dst
+      FROM ids i, (SELECT unnest(generate_series(1, {_FANOUT})) AS k) g
+    ),
+    ranked AS (
+      SELECT src, dst,
+             CAST(row_number() OVER (PARTITION BY src ORDER BY dst) - 1 AS BIGINT) AS rnk,
+             CAST(count(*) OVER (PARTITION BY src) AS BIGINT) AS deg
+      FROM edges
+    ),
+    w0 AS (
+      SELECT idx AS seed, idx AS cur FROM ids WHERE idx % {_WALK_SEED_MOD} = 0
+    ),
+    {steps_sql},
+    walk AS (
+      {unions_sql}
+    )
+    SELECT i_s.doc_id AS seed_doc, w.step, i_n.doc_id AS node_doc
+    FROM walk w JOIN ids i_s ON i_s.idx = w.seed JOIN ids i_n ON i_n.idx = w.cur
+"""
+
+
+QUERIES["q_random_walks"] = QuerySpec(
+    spark=_walk_spark,
+    oracle=_walk_oracle(),
+    description=(
+        "deterministic DeepWalk-style walk corpus (4 steps from every "
+        "31st node, md5-coin neighbor choice): lockstep per-step "
+        "equi-joins over a rank-indexed neighbor list vs an unrolled-CTE "
+        "oracle"
+    ),
+)

@@ -1005,3 +1005,80 @@ def test_url_canon_folds_every_surface_form(spark):
     }
     assert got == want
     assert max(n_forms for _, n_forms, _ in got.values()) >= 3
+
+
+# ---------------------------------------------------------------------------
+# Markov transition matrix
+# ---------------------------------------------------------------------------
+
+
+def test_markov_transitions_matches_python_recompute(spark):
+    """Global (from, to) transition counts + integer-ppm row-conditional
+    probabilities == a Python fold over each user's time-sorted stream."""
+    import pyarrow.parquet as pq
+
+    from bsc_project_spark.queries.eventops import QUERIES
+
+    got = {
+        (r.from_type, r.to_type): (r.n_transitions, r.prob_ppm)
+        for r in QUERIES["q_markov_transitions"].spark(spark, SF).collect()
+    }
+    tbl = pq.read_table(
+        f"{SF}/events.parquet", columns=["user_id", "ts", "event_id", "event_type"]
+    ).to_pylist()
+    streams: dict[int, list] = {}
+    for r in tbl:
+        streams.setdefault(r["user_id"], []).append(
+            (r["ts"], r["event_id"], r["event_type"])
+        )
+    pairs: dict[tuple, int] = {}
+    for evs in streams.values():
+        evs.sort()
+        for (_, _, a), (_, _, b) in zip(evs, evs[1:]):
+            pairs[(a, b)] = pairs.get((a, b), 0) + 1
+    row_n: dict[str, int] = {}
+    for (a, _), n in pairs.items():
+        row_n[a] = row_n.get(a, 0) + n
+    want = {k: (n, n * 1_000_000 // row_n[k[0]]) for k, n in pairs.items()}
+    assert got == want
+    assert len({a for a, _ in got}) >= 4, "matrix must span several event types"
+
+
+# ---------------------------------------------------------------------------
+# Random walks
+# ---------------------------------------------------------------------------
+
+
+def test_random_walks_match_python_walker(spark):
+    """Lockstep join-advanced walks == a Python walker over the same
+    md5-derived graph with the same md5-coin neighbor choice; every walk
+    has exactly STEPS+1 positions and starts at its seed."""
+    from bsc_project_spark.queries.graphops import (
+        _FANOUT,
+        _WALK_SEED_MOD,
+        _WALK_STEPS,
+        QUERIES,
+    )
+
+    got = {
+        (r.seed_doc, r.step): r.node_doc
+        for r in QUERIES["q_random_walks"].spark(spark, SF).collect()
+    }
+    con = _duck()
+    ids = [d for (d,) in con.execute("SELECT doc_id FROM documents ORDER BY doc_id").fetchall()]
+    n = len(ids)
+    nbrs: dict[int, list[int]] = {}
+    for idx in range(n):
+        s = {int(_md5(f"{idx}:{k}")[:8], 16) % n for k in range(1, _FANOUT + 1)}
+        nbrs[idx] = sorted(s)
+    want = {}
+    for seed in range(0, n, _WALK_SEED_MOD):
+        cur = seed
+        want[(ids[seed], 0)] = ids[cur]
+        for t in range(1, _WALK_STEPS + 1):
+            lst = nbrs[cur]
+            cur = lst[int(_md5(f"{cur}#{t}")[:8], 16) % len(lst)]
+            want[(ids[seed], t)] = ids[cur]
+    assert got == want
+    n_seeds = (n + _WALK_SEED_MOD - 1) // _WALK_SEED_MOD
+    assert len(got) == n_seeds * (_WALK_STEPS + 1)
