@@ -135,6 +135,10 @@ _CHECK_FIRST = [
     "q_url_canon",
     "q_markov_transitions",
     "q_random_walks",
+    "q_window_dedup",
+    "q_grid_radius_join",
+    "q_label_prop",
+    "q_source_kl",
     "q_prefix_join",
     "q_embed_covariance",
     "q_cooccurrence",

@@ -1104,3 +1104,46 @@ _q(
     "(one user_id shuffle), global (from,to) rollup, row-conditional "
     "probability in exact integer ppm",
 )
+
+# ---------------------------------------------------------------------------
+# Debounce dedup — the batch twin of the streaming dedup-in-watermark
+# path (streaming/events.py): an event is kept iff it is the first of
+# its (user, type) key or arrived more than 1 h after its immediate
+# predecessor, the standard repeat-suppression rule for telemetry /
+# notification streams (and the exact-dup collapse for re-delivered
+# batches).  lag() per key-ordered stream, one shuffle on the key; ties
+# break on event_id so the keep-set is deterministic under any executor
+# count.  Scale notes: the window PARTITIONs BY (user_id, event_type) —
+# per-key streams sort independently, no global order anywhere.
+# ---------------------------------------------------------------------------
+
+_DEBOUNCE_GAP_US = 3_600_000_000
+
+_DEBOUNCE_BODY = """
+    WITH t AS (
+      SELECT event_id, user_id, event_type, {epoch_us} AS us FROM events
+    ),
+    lagged AS (
+      SELECT event_id, user_id, event_type, us,
+             lag(us) OVER (
+               PARTITION BY user_id, event_type ORDER BY us, event_id
+             ) AS prev_us
+      FROM t
+    )
+    SELECT CAST(event_id AS BIGINT) AS event_id,
+           CAST(user_id AS BIGINT) AS user_id,
+           event_type,
+           CAST(us AS BIGINT) AS us
+    FROM lagged WHERE prev_us IS NULL OR us - prev_us > {gap}
+"""
+
+_q(
+    "q_window_dedup",
+    sql_query(_DEBOUNCE_BODY.format(
+        epoch_us=_SPARK_EPOCH_US.format(c="ts"), gap=_DEBOUNCE_GAP_US
+    )),
+    _DEBOUNCE_BODY.format(epoch_us="epoch_us(ts)", gap=_DEBOUNCE_GAP_US),
+    "debounce dedup: keep an event iff first of its (user, type) key or "
+    "> 1 h after its predecessor — one key-partitioned lag() window, "
+    "deterministic tie-break on event_id",
+)

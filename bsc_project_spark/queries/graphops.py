@@ -630,3 +630,134 @@ QUERIES["q_random_walks"] = QuerySpec(
         "oracle"
     ),
 )
+
+# ---------------------------------------------------------------------------
+# Label propagation community detection (synchronous, 3 rounds) — the
+# cheap community primitive (Raghavan et al. 2007) behind host-level
+# spam clustering and topic-neighborhood grouping.  Distinct from the
+# connected-components fixpoint (min-label) and from PageRank (weighted
+# mass): each round every node adopts the MODE of its neighbors' labels
+# (argmax count, ties broken by the smaller label), which needs a
+# grouped count + per-node top-1 — the argmax-per-key shape.
+#
+# Determinism: synchronous updates + total tie order (count DESC, label
+# ASC) make round t a pure function of round t-1, so Spark's loop and
+# the oracle's 3 unrolled CTE rounds agree exactly.  Scale notes: per
+# round one (v, label) count shuffle + one top-1 window PARTITIONED BY v
+# (never global); localCheckpoint truncates lineage per round.
+# ---------------------------------------------------------------------------
+
+_LP_ROUNDS = 3
+
+
+def _lp_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ids, n, edges = _link_graph(spark, sf_dir)
+    if n == 0:
+        return spark.createDataFrame(
+            [], "doc_id long, community long, community_size bigint"
+        )
+    und = (
+        edges.filter(F.col("src") != F.col("dst"))
+        .select(F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b"))
+        .distinct()
+    )
+    nbrs = (
+        und.select(F.col("a").alias("v"), F.col("b").alias("u"))
+        .unionAll(und.select(F.col("b").alias("v"), F.col("a").alias("u")))
+        .persist()
+    )
+    labels = ids.select(F.col("idx").alias("v"), F.col("idx").alias("lbl"))
+    top1 = Window.partitionBy("v").orderBy(F.desc("cnt"), F.asc("lbl"))
+    for _ in range(_LP_ROUNDS):
+        votes = (
+            nbrs.join(labels.select(F.col("v").alias("u"), "lbl"), "u")
+            .groupBy("v", "lbl")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        picked = (
+            votes.withColumn("rn", F.row_number().over(top1))
+            .filter(F.col("rn") == 1)
+            .select("v", "lbl")
+        )
+        labels = (
+            ids.select(F.col("idx").alias("v"))
+            .join(picked, "v", "left")
+            .select("v", F.coalesce(F.col("lbl"), F.col("v")).alias("lbl"))
+            .localCheckpoint(eager=False)
+        )
+    sizes = labels.groupBy("lbl").agg(F.count(F.lit(1)).cast("bigint").alias("community_size"))
+    lbl_doc = ids.select(F.col("idx").alias("lbl"), F.col("doc_id").alias("community"))
+    return (
+        labels.join(sizes, "lbl")
+        .join(lbl_doc, "lbl")
+        .join(ids, labels.v == ids.idx)
+        .select("doc_id", "community", "community_size")
+    )
+
+
+def _lp_oracle() -> str:
+    hashed = _hex8_of("md5(CAST(i.idx AS STRING) || ':' || CAST(g.k AS STRING))")
+    prev = "l0"
+    rounds = []
+    for t in range(1, _LP_ROUNDS + 1):
+        rounds.append(
+            f"""v{t} AS (
+      SELECT nb.v, l.lbl, count(*) AS cnt
+      FROM nbrs nb JOIN {prev} l ON l.v = nb.u
+      GROUP BY nb.v, l.lbl
+    ),
+    p{t} AS (
+      SELECT v, lbl FROM (
+        SELECT v, lbl,
+               row_number() OVER (PARTITION BY v ORDER BY cnt DESC, lbl ASC) AS rn
+        FROM v{t}
+      ) WHERE rn = 1
+    ),
+    l{t} AS (
+      SELECT i.idx AS v, coalesce(p.lbl, i.idx) AS lbl
+      FROM ids i LEFT JOIN p{t} p ON p.v = i.idx
+    )"""
+        )
+        prev = f"l{t}"
+    rounds_sql = ",\n    ".join(rounds)
+    return f"""
+    WITH ids AS (
+      SELECT doc_id, CAST(row_number() OVER (ORDER BY doc_id) - 1 AS BIGINT) AS idx
+      FROM documents
+    ),
+    nn AS (SELECT count(*) AS n FROM ids),
+    edges AS (
+      SELECT DISTINCT i.idx AS src, ({hashed}) % (SELECT n FROM nn) AS dst
+      FROM ids i, (SELECT unnest(generate_series(1, {_FANOUT})) AS k) g
+    ),
+    und AS (
+      SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+      FROM edges WHERE src <> dst
+    ),
+    nbrs AS (
+      SELECT a AS v, b AS u FROM und UNION ALL SELECT b AS v, a AS u FROM und
+    ),
+    l0 AS (SELECT idx AS v, idx AS lbl FROM ids),
+    {rounds_sql},
+    sizes AS (SELECT lbl, CAST(count(*) AS BIGINT) AS community_size FROM {prev} GROUP BY lbl)
+    SELECT i.doc_id,
+           li.doc_id AS community,
+           s.community_size
+    FROM {prev} l
+    JOIN ids i ON i.idx = l.v
+    JOIN ids li ON li.idx = l.lbl
+    JOIN sizes s ON s.lbl = l.lbl
+"""
+
+
+QUERIES["q_label_prop"] = QuerySpec(
+    spark=_lp_spark,
+    oracle=_lp_oracle(),
+    description=(
+        "synchronous label propagation (3 rounds, argmax-count with "
+        "deterministic ties): per-round grouped vote + per-node top-1 "
+        "window vs 3 unrolled CTE rounds"
+    ),
+)

@@ -980,3 +980,82 @@ QUERIES["q_ann_recall"] = QuerySpec(
         "bits — the knob-tuning table a 100 TB index build reads first"
     ),
 )
+
+
+# ---------------------------------------------------------------------------
+# Grid-bucketed spatial radius self-join — the 2-D epsilon-neighborhood
+# primitive under DBSCAN, geo near-duplicate detection, and UMAP/t-SNE
+# diagnostics: all point pairs within radius r of each other.  The naive
+# form is the O(n^2) cross join that cannot ship at 10^12 points; the
+# grid decomposition (cell side = r, each point probes its 3x3 cell
+# neighborhood) bounds candidates to local density and turns the search
+# into one equi-join on cell coordinates — the same
+# bucket-the-metric-space move as the LSH/IVF paths above, here with a
+# GUARANTEE (no false negatives: dist < r implies cell offset <= 1, so
+# the 3x3 probe covers every qualifying pair exactly once — b's home
+# cell is unique, so no post-join dedup is needed either).
+#
+# Points are the first two embedding dims; dist^2 is two double
+# multiplies + one add from float32-cast inputs (identical IEEE sequence
+# both engines), reported floored to integer e-12 so the gate
+# hash-checks the geometry.  Scale notes: one 9x skinny-row explode
+# (map-side), one equi-join shuffle on (cx, cy); skew = local density,
+# bounded for any corpus an epsilon-join is meaningful on.
+# ---------------------------------------------------------------------------
+
+_GRID_R = "5.0e-2"
+_GRID_R2 = "2.5e-3"
+
+_GRID_BODY = """
+    WITH p AS (
+      SELECT vec_id,
+             CAST(embedding[{i1}] AS DOUBLE) AS x,
+             CAST(embedding[{i2}] AS DOUBLE) AS y
+      FROM embeddings
+    ),
+    cells AS (
+      SELECT vec_id, x, y,
+             CAST(floor(x / {r}) AS BIGINT) AS cx,
+             CAST(floor(y / {r}) AS BIGINT) AS cy
+      FROM p
+    ),
+    probes AS (
+      SELECT vec_id, x, y, cx + dx AS px, cy + dy AS py
+      FROM cells {gen_offsets}
+    )
+    SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+           CAST(floor(
+             ((a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)) * 1.0e12
+           ) AS BIGINT) AS dist2_e12
+    FROM probes a JOIN cells b
+      ON b.cx = a.px AND b.cy = a.py AND a.vec_id < b.vec_id
+    WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) < {r2}
+"""
+
+_GRID_SPARK = _GRID_BODY.format(
+    i1=0, i2=1, r=_GRID_R, r2=_GRID_R2,
+    gen_offsets=(
+        "LATERAL VIEW explode(array(-1, 0, 1)) gx AS dx "
+        "LATERAL VIEW explode(array(-1, 0, 1)) gy AS dy"
+    ),
+)
+
+_GRID_DUCK = _GRID_BODY.format(
+    i1=1, i2=2, r=_GRID_R, r2=_GRID_R2,
+    gen_offsets=(
+        ", LATERAL (SELECT unnest([-1, 0, 1]) AS dx) gx"
+        ", LATERAL (SELECT unnest([-1, 0, 1]) AS dy) gy"
+    ),
+)
+
+from . import sql_query as _sql_query  # noqa: E402  (module-tail query registration)
+
+QUERIES["q_grid_radius_join"] = QuerySpec(
+    spark=_sql_query(_GRID_SPARK),
+    oracle=_GRID_DUCK,
+    description=(
+        "grid-bucketed epsilon-neighborhood self-join (cell = r, 3x3 "
+        "probe): no-false-negative spatial candidates via one (cx, cy) "
+        "equi-join — the DBSCAN/geo near-dup primitive, never O(n^2)"
+    ),
+)

@@ -2891,3 +2891,72 @@ _q(
     "TakeOrdered vocab broadcast into the coverage join, exact integer "
     "ppm — no global sort, no windows",
 )
+
+# ---------------------------------------------------------------------------
+# Corpus drift: pairwise KL divergence between per-source token
+# distributions — the distribution-shift check run before mixing crawl
+# snapshots / domains into one training corpus (and the alarm that a
+# source's content changed under you).  Vocabulary is BOUNDED: the
+# global top-32 tokens (count desc, token asc — total order), so the
+# per-source distribution is a 32-vector regardless of corpus size and
+# the pairwise table is |sources|^2 rows — driver-safe by construction.
+#
+# Add-one smoothing keeps every vocab token strictly positive in every
+# source, so ln(p/q) is total.  Each KL term p*ln(p/q) is floored to
+# integer ppm-nats BEFORE the per-pair sum (the q_char_entropy / q_bm25
+# float discipline): the sum is an exact integer fold, order-independent
+# under any partitioning.  Scale notes: one token-count shuffle + a
+# top-32 TakeOrdered (no global window), then everything downstream is
+# vocab-bounded; the pair join fans out 32 rows per source pair.
+# ---------------------------------------------------------------------------
+
+_SOURCE_KL_BODY = """
+    WITH tok AS (
+      SELECT source, t AS token FROM (
+        SELECT source, {explode_t} FROM documents
+      ) raw WHERE length(t) > 0
+    ),
+    vocab AS (
+      SELECT token FROM (
+        SELECT token, count(*) AS cnt FROM tok GROUP BY token
+        ORDER BY cnt DESC, token ASC LIMIT 32
+      ) top32
+    ),
+    srcs AS (SELECT DISTINCT source FROM documents),
+    vt AS (SELECT s.source, v.token FROM srcs s CROSS JOIN vocab v),
+    cnts AS (
+      SELECT t.source, t.token, count(*) AS cnt
+      FROM tok t JOIN vocab v ON v.token = t.token
+      GROUP BY t.source, t.token
+    ),
+    filled AS (
+      SELECT vt.source, vt.token, coalesce(c.cnt, 0) + 1 AS k
+      FROM vt LEFT JOIN cnts c ON c.source = vt.source AND c.token = vt.token
+    ),
+    norms AS (SELECT source, sum(k) AS n FROM filled GROUP BY source),
+    probs AS (
+      SELECT f.source, f.token, CAST(f.k AS DOUBLE) / CAST(n.n AS DOUBLE) AS p
+      FROM filled f JOIN norms n ON n.source = f.source
+    )
+    SELECT a.source AS src_a, b.source AS src_b,
+           CAST(sum(CAST(floor(a.p * ln(a.p / b.p) * 1.0e6) AS BIGINT)) AS BIGINT)
+             AS kl_ppm
+    FROM probs a JOIN probs b ON b.token = a.token AND a.source <> b.source
+    GROUP BY a.source, b.source
+"""
+
+_SOURCE_KL_SPARK = _SOURCE_KL_BODY.format(
+    explode_t="explode(split(lower(trim(text)), '\\\\s+')) AS t"
+)
+_SOURCE_KL_DUCK = _SOURCE_KL_BODY.format(
+    explode_t=r"unnest(string_split_regex(lower(trim(text)), '\s+')) AS t"
+)
+
+_q(
+    "q_source_kl",
+    _SOURCE_KL_SPARK,
+    _SOURCE_KL_DUCK,
+    "pairwise per-source KL divergence over the global top-32 token "
+    "vocab (add-one smoothed, integer ppm-nat terms floored before the "
+    "sum) — the corpus drift / mixing diagnostic, vocab-bounded end to end",
+)

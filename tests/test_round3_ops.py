@@ -1082,3 +1082,165 @@ def test_random_walks_match_python_walker(spark):
     assert got == want
     n_seeds = (n + _WALK_SEED_MOD - 1) // _WALK_SEED_MOD
     assert len(got) == n_seeds * (_WALK_STEPS + 1)
+
+
+# ---------------------------------------------------------------------------
+# Debounce dedup
+# ---------------------------------------------------------------------------
+
+
+def test_window_dedup_matches_python_debounce(spark):
+    """Keep-set == a Python debounce fold per (user, type) stream, and
+    the rule genuinely drops something at this SF."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from bsc_project_spark.queries.eventops import _DEBOUNCE_GAP_US, QUERIES
+
+    got = {
+        r.event_id: (r.user_id, r.event_type, r.us)
+        for r in QUERIES["q_window_dedup"].spark(spark, SF).collect()
+    }
+    tbl = pq.read_table(
+        f"{SF}/events.parquet", columns=["event_id", "user_id", "event_type", "ts"]
+    )
+    us = pc.cast(pc.cast(tbl["ts"], "timestamp[us]"), "int64").to_pylist()
+    rows = sorted(
+        zip(tbl["user_id"].to_pylist(), tbl["event_type"].to_pylist(),
+            us, tbl["event_id"].to_pylist()),
+        key=lambda r: (r[0], r[1], r[2], r[3]),
+    )
+    want, prev = {}, {}
+    for u, ty, t, eid in rows:
+        k = (u, ty)
+        if k not in prev or t - prev[k] > _DEBOUNCE_GAP_US:
+            want[eid] = (u, ty, t)
+        prev[k] = t  # lag() semantics: compare to IMMEDIATE predecessor
+    assert got == want
+    assert len(got) < len(rows), "debounce must drop at least one event"
+
+
+# ---------------------------------------------------------------------------
+# Grid radius join
+# ---------------------------------------------------------------------------
+
+
+def test_grid_radius_join_equals_bruteforce_all_pairs(spark):
+    """Grid-bucketed candidates == the O(n^2) numpy brute force: no
+    false negatives (dist < r never crosses more than one cell) and no
+    duplicates (each pair matched via b's unique home cell)."""
+    import pyarrow.parquet as pq
+
+    from bsc_project_spark.queries.similarity import QUERIES
+
+    got = {
+        (r.a_id, r.b_id): r.dist2_e12
+        for r in QUERIES["q_grid_radius_join"].spark(spark, SF).collect()
+    }
+    tbl = pq.read_table(f"{SF}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ids = tbl["vec_id"].to_pylist()
+    emb = tbl["embedding"].to_pylist()
+    pts = {i: (float(np.float32(e[0])), float(np.float32(e[1]))) for i, e in zip(ids, emb)}
+    want = {}
+    for i in ids:
+        for j in ids:
+            if i < j:
+                d2 = (pts[i][0] - pts[j][0]) ** 2 + (pts[i][1] - pts[j][1]) ** 2
+                if d2 < 2.5e-3:
+                    want[(i, j)] = math.floor(d2 * 1.0e12)
+    assert got == want
+    assert len(got) > 100, "radius must capture a meaningful pair set"
+
+
+# ---------------------------------------------------------------------------
+# Label propagation
+# ---------------------------------------------------------------------------
+
+
+def test_label_prop_matches_python_sync_rounds(spark):
+    """3 synchronous argmax rounds in Spark == a Python recompute with
+    the same (count desc, label asc) tie order; communities must be
+    non-trivial (some size > 1) and not fully collapsed."""
+    from bsc_project_spark.queries.graphops import _FANOUT, _LP_ROUNDS, QUERIES
+
+    got = {
+        r.doc_id: (r.community, r.community_size)
+        for r in QUERIES["q_label_prop"].spark(spark, SF).collect()
+    }
+    con = _duck()
+    ids = [d for (d,) in con.execute("SELECT doc_id FROM documents ORDER BY doc_id").fetchall()]
+    n = len(ids)
+    und = set()
+    for idx in range(n):
+        for k in range(1, _FANOUT + 1):
+            dst = int(_md5(f"{idx}:{k}")[:8], 16) % n
+            if dst != idx:
+                und.add((min(idx, dst), max(idx, dst)))
+    adj: dict[int, list[int]] = {v: [] for v in range(n)}
+    for a, b in und:
+        adj[a].append(b)
+        adj[b].append(a)
+    lbl = list(range(n))
+    for _ in range(_LP_ROUNDS):
+        nxt = list(lbl)
+        for v in range(n):
+            if adj[v]:
+                cnt: dict[int, int] = {}
+                for u in adj[v]:
+                    cnt[lbl[u]] = cnt.get(lbl[u], 0) + 1
+                nxt[v] = min(cnt, key=lambda c: (-cnt[c], c))
+        lbl = nxt
+    sizes: dict[int, int] = {}
+    for c in lbl:
+        sizes[c] = sizes.get(c, 0) + 1
+    want = {ids[v]: (ids[lbl[v]], sizes[lbl[v]]) for v in range(n)}
+    assert got == want
+    assert max(s for _, s in got.values()) > 1
+    assert len({c for c, _ in got.values()}) > 1
+
+
+# ---------------------------------------------------------------------------
+# Source KL drift
+# ---------------------------------------------------------------------------
+
+
+def test_source_kl_matches_python_recompute(spark):
+    """Pairwise KL over the top-32 vocab == a Python recompute with the
+    same smoothing, term flooring, and tie order; KL(p||p) pairs are
+    absent and some pair must show genuine drift (> 0 ppm-nats)."""
+    import re
+
+    from bsc_project_spark.queries.textops import QUERIES
+
+    got = {
+        (r.src_a, r.src_b): r.kl_ppm
+        for r in QUERIES["q_source_kl"].spark(spark, SF).collect()
+    }
+    con = _duck()
+    rows = con.execute("SELECT source, lower(trim(text)) FROM documents").fetchall()
+    tok_counts: dict[str, dict[str, int]] = {}
+    glob: dict[str, int] = {}
+    for src, txt in rows:
+        for t in re.split(r"\s+", txt):
+            if t:
+                tok_counts.setdefault(src, {})[t] = tok_counts.setdefault(src, {}).get(t, 0) + 1
+                glob[t] = glob.get(t, 0) + 1
+    vocab = sorted(glob, key=lambda t: (-glob[t], t))[:32]
+    probs = {
+        src: {
+            t: (c.get(t, 0) + 1) / (sum(c.get(t, 0) + 1 for t in vocab))
+            for t in vocab
+        }
+        for src, c in tok_counts.items()
+    }
+    want = {}
+    for a in probs:
+        for b in probs:
+            if a != b:
+                want[(a, b)] = sum(
+                    math.floor(probs[a][t] * math.log(probs[a][t] / probs[b][t]) * 1.0e6)
+                    for t in vocab
+                )
+    assert got == want
+    assert all(a != b for a, b in got)
+    assert max(got.values()) > 0
