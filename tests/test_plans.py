@@ -158,3 +158,45 @@ def test_chunk_windows_has_zero_exchanges(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "Exchange" not in plan
+
+
+def test_grid_radius_join_is_equi_join_not_nested_loop(spark):
+    """The epsilon self-join must plan as an equi-join on the grid cell
+    keys — never BroadcastNestedLoopJoin / CartesianProduct, the O(n^2)
+    shapes the grid decomposition exists to avoid."""
+    from bsc_project_spark.queries.similarity import QUERIES
+
+    plan = (
+        QUERIES["q_grid_radius_join"].spark(spark, SF_DIR)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_new_graph_and_stream_ops_avoid_global_windows(spark):
+    """The round-3 additions that use windows must PARTITION them
+    (markov: user_id; window_dedup: (user, type); label_prop: per-node
+    top-1; random_walks: per-src neighbor rank) — no Exchange
+    SinglePartition anywhere in their physical plans."""
+    from bsc_project_spark.queries import all_queries
+
+    qs = all_queries()
+    for name in (
+        "q_markov_transitions",
+        "q_window_dedup",
+        "q_label_prop",
+        "q_random_walks",
+        "q_bfs_distance",
+        "q_zorder_layout",
+        "q_url_canon",
+        # q_source_kl's vocab LIMIT plans as TakeOrdered (no global
+        # window) and its srcs x vocab cross join broadcasts the
+        # 32-row vocab side — a bounded dim, not an O(n^2) shape.
+        "q_source_kl",
+    ):
+        plan = (
+            qs[name].spark(spark, SF_DIR)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "SinglePartition" not in plan, f"{name} funnels through one task"
