@@ -139,6 +139,8 @@ _CHECK_FIRST = [
     "q_grid_radius_join",
     "q_label_prop",
     "q_source_kl",
+    "q_robots_filter",
+    "q_quantized_ann",
     "q_prefix_join",
     "q_embed_covariance",
     "q_cooccurrence",

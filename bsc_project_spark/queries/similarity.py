@@ -1059,3 +1059,94 @@ QUERIES["q_grid_radius_join"] = QuerySpec(
         "equi-join — the DBSCAN/geo near-dup primitive, never O(n^2)"
     ),
 )
+
+# ---------------------------------------------------------------------------
+# Scalar-quantized (int8) ANN scoring — the memory-bound trick every
+# production vector index ships (FAISS SQ8, Lucene/HNSW int8): store
+# 64 bytes instead of 256 per vector and score in integer arithmetic.
+# Per-dim symmetric scale = max|x_d| / 127 over the corpus; code =
+# floor(x / scale + 0.5) (explicit half-up — both engines' round()
+# disagree on ties, floor(+0.5) does not).  The checked result is the
+# quantized top-5 per probe vector with its INTEGER dot product —
+# bit-exact across engines because every post-quantization op is int64
+# (the float stays confined to the scale division).  Recall vs the
+# exact float ranking is pinned separately in tests/test_round3_ops.py.
+#
+# Scale notes: the per-dim max is one skinny explode + 64-group rollup;
+# codes reassemble per vector (array_sort of (i, q) structs — order
+# restored explicitly, collect_list alone is unordered); scoring is a
+# broadcast of the 4 probe codes across the corpus — O(N) work, no
+# per-dim shuffle join, the exact shape a 10^12-vector scan wants.
+# ---------------------------------------------------------------------------
+
+_SQ8_BODY = """
+    WITH qe AS (
+      SELECT vec_id, {i_col} AS i, {x_col} AS x
+      FROM embeddings {explode}
+    ),
+    dims AS (
+      SELECT i, max(abs(CAST(x AS DOUBLE))) AS mx FROM qe GROUP BY i
+    ),
+    quant AS (
+      SELECT q.vec_id, q.i,
+             CASE WHEN d.mx = 0.0e0 THEN CAST(0 AS BIGINT)
+                  ELSE CAST(floor(CAST(q.x AS DOUBLE) / (d.mx / 1.27e2) + 5.0e-1)
+                            AS BIGINT) END AS qv
+      FROM qe q JOIN dims d ON d.i = q.i
+    ),
+    codes AS (
+      SELECT vec_id, {code_agg} AS code FROM quant GROUP BY vec_id
+    ),
+    probes AS (
+      SELECT vec_id AS qid, code AS qcode FROM codes
+      WHERE vec_id IN (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 4)
+    ),
+    dots AS (
+      SELECT p.qid, c.vec_id AS cid, {int_dot} AS dot
+      FROM probes p CROSS JOIN codes c
+      WHERE c.vec_id <> p.qid
+    ),
+    ranked AS (
+      SELECT qid, cid, dot,
+             row_number() OVER (
+               PARTITION BY qid ORDER BY dot DESC, cid ASC
+             ) AS rnk
+      FROM dots
+    )
+    SELECT CAST(qid AS BIGINT) AS qid,
+           CAST(rnk AS BIGINT) AS rnk,
+           CAST(cid AS BIGINT) AS cid,
+           CAST(dot AS BIGINT) AS dot
+    FROM ranked WHERE rnk <= 5
+"""
+
+_SQ8_SPARK = _SQ8_BODY.format(
+    i_col="t.i",
+    x_col="t.x",
+    explode="LATERAL VIEW posexplode(embedding) t AS i, x",
+    code_agg="transform(array_sort(collect_list(struct(i, qv))), s -> s.qv)",
+    int_dot=(
+        "aggregate(zip_with(p.qcode, c.code, (x, y) -> x * y), "
+        "CAST(0 AS BIGINT), (a, b) -> a + b)"
+    ),
+)
+
+_SQ8_DUCK = _SQ8_BODY.format(
+    i_col="g.i",
+    x_col="embedding[g.i]",
+    explode=", LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i) g",
+    code_agg="list(qv ORDER BY i)",
+    int_dot=(
+        "CAST(list_dot_product(p.qcode::DOUBLE[], c.code::DOUBLE[]) AS BIGINT)"
+    ),
+)
+
+QUERIES["q_quantized_ann"] = QuerySpec(
+    spark=_sql_query(_SQ8_SPARK),
+    oracle=_SQ8_DUCK,
+    description=(
+        "int8 scalar-quantized ANN: per-dim symmetric corpus scale, "
+        "explicit half-up codes, integer dot top-5 per probe — 4x "
+        "memory cut with bit-exact cross-engine scoring"
+    ),
+)

@@ -564,3 +564,76 @@ _q(
     "/ www fold / trailing-slash trim, then a canonical-key rollup — "
     "map-only normalize, one combinable shuffle",
 )
+
+# ---------------------------------------------------------------------------
+# Robots-rule filtering with longest-prefix-match semantics — the crawl
+# politeness step between URL canonicalization and fetch: each host
+# carries a rule set (prefix -> allow/deny) and a URL's verdict comes
+# from its LONGEST matching rule (RFC 9309's most-specific-wins), not
+# from any single join hit.  Rules are synthesized deterministically per
+# host: every host allows '/' and carries a host-specific '/page/<k>'
+# rule; every third host flips polarity (deny '/page/' broadly, allow
+# only its specific page), so the most-specific rule genuinely overrides
+# a broader one in both directions — a plain "any deny rule matched"
+# join would get those hosts wrong.
+#
+# LPM shape: prefix match via substring equality (no LIKE-escape
+# hazards), then a per-URL top-1 window ordered by rule length DESC
+# (PARTITIONed BY doc_id — never global).  Scale notes: the rules side
+# is O(hosts) and broadcast-sized; candidates per URL are bounded by
+# that host's rule count, so the join fan-out is constant per URL.
+# ---------------------------------------------------------------------------
+
+_ROBOTS_BODY = """
+    WITH urls AS (
+      SELECT doc_id,
+             concat('example', CAST(doc_id % 13 AS {st})) AS host,
+             concat('/page/', CAST(doc_id % 7 AS {st})) AS path
+      FROM documents
+    ),
+    hosts AS (SELECT h FROM ({hseries}) hs),
+    rules AS (
+      SELECT concat('example', CAST(h AS {st})) AS host, '/' AS prefix,
+             'allow' AS action FROM hosts
+      UNION ALL
+      SELECT concat('example', CAST(h AS {st})) AS host,
+             concat('/page/', CAST(h % 7 AS {st})) AS prefix,
+             CASE WHEN h % 3 = 0 THEN 'allow' ELSE 'deny' END AS action
+      FROM hosts
+      UNION ALL
+      SELECT concat('example', CAST(h AS {st})) AS host, '/page/' AS prefix,
+             'deny' AS action
+      FROM hosts WHERE h % 3 = 0
+    ),
+    matched AS (
+      SELECT u.doc_id, u.host, u.path, r.prefix, r.action
+      FROM urls u JOIN rules r
+        ON r.host = u.host
+       AND substring(u.path, 1, length(r.prefix)) = r.prefix
+    ),
+    ranked AS (
+      SELECT doc_id, host, path, action,
+             row_number() OVER (
+               PARTITION BY doc_id ORDER BY length(prefix) DESC, prefix ASC
+             ) AS rn
+      FROM matched
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id, host, path,
+           action AS verdict
+    FROM ranked WHERE rn = 1
+"""
+
+_q(
+    "q_robots_filter",
+    _ROBOTS_BODY.format(
+        st="STRING",
+        hseries="SELECT explode(sequence(0, 12)) AS h",
+    ),
+    _ROBOTS_BODY.format(
+        st="VARCHAR",
+        hseries="SELECT unnest(generate_series(0, 12)) AS h",
+    ),
+    "robots-rule URL filtering with RFC 9309 longest-prefix-match: "
+    "broadcast-sized rule table, substring prefix join, per-URL "
+    "most-specific-wins top-1 window (partitioned, never global)",
+)

@@ -1244,3 +1244,94 @@ def test_source_kl_matches_python_recompute(spark):
     assert got == want
     assert all(a != b for a, b in got)
     assert max(got.values()) > 0
+
+
+# ---------------------------------------------------------------------------
+# Robots longest-prefix-match
+# ---------------------------------------------------------------------------
+
+
+def test_robots_filter_lpm_semantics(spark):
+    """Verdicts == a Python longest-prefix-match evaluator over the same
+    rule synthesis, and BOTH override directions occur: a specific allow
+    beating a broad deny (h % 3 == 0 hosts) and a specific deny beating
+    the root allow."""
+    from bsc_project_spark.queries.webtext import QUERIES
+
+    got = {
+        r.doc_id: (r.host, r.path, r.verdict)
+        for r in QUERIES["q_robots_filter"].spark(spark, SF).collect()
+    }
+    con = _duck()
+    ids = [d for (d,) in con.execute("SELECT doc_id FROM documents").fetchall()]
+    rules: dict[str, list[tuple[str, str]]] = {}
+    for h in range(13):
+        host = f"example{h}"
+        rules[host] = [("/", "allow"),
+                       (f"/page/{h % 7}", "allow" if h % 3 == 0 else "deny")]
+        if h % 3 == 0:
+            rules[host].append(("/page/", "deny"))
+    want = {}
+    flavors = set()
+    for d in ids:
+        host, path = f"example{d % 13}", f"/page/{d % 7}"
+        cands = [(p, a) for p, a in rules[host] if path.startswith(p)]
+        p, a = min(cands, key=lambda r: (-len(r[0]), r[0]))
+        want[d] = (host, path, a)
+        if len(p) > 1:
+            flavors.add((a, d % 13 % 3 == 0))
+    assert got == want
+    assert ("allow", True) in flavors, "specific allow must override broad deny"
+    assert ("deny", False) in flavors, "specific deny must override root allow"
+
+
+# ---------------------------------------------------------------------------
+# Quantized ANN
+# ---------------------------------------------------------------------------
+
+
+def test_quantized_ann_matches_numpy_and_keeps_recall(spark):
+    """Integer top-5 == a numpy recompute of the same SQ8 scheme, and
+    quantization keeps recall@5 >= 3/5 per probe vs the exact float
+    dot-product ranking (the property the 4x memory cut must preserve)."""
+    import pyarrow.parquet as pq
+
+    from bsc_project_spark.queries.similarity import QUERIES
+
+    got: dict[int, list] = {}
+    for r in QUERIES["q_quantized_ann"].spark(spark, SF).collect():
+        got.setdefault(r.qid, []).append((r.rnk, r.cid, r.dot))
+    tbl = pq.read_table(f"{SF}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ids = tbl["vec_id"].to_pylist()
+    X = np.array(tbl["embedding"].to_pylist(), dtype=np.float32).astype(np.float64)
+    order = np.argsort(ids)
+    ids = [ids[i] for i in order]
+    X = X[order]
+    mx = np.abs(X).max(axis=0)
+    scale = np.where(mx == 0, 1.0, mx / 127.0)
+    Q = np.floor(X / scale + 0.5).astype(np.int64)
+    Q[:, mx == 0] = 0
+    probes = ids[:4]
+    want: dict[int, list] = {}
+    recall_ok = True
+    for qi, qid in enumerate(probes):
+        dots = Q @ Q[qi]
+        cands = sorted(
+            ((int(dots[j]), ids[j]) for j in range(len(ids)) if ids[j] != qid),
+            key=lambda t: (-t[0], t[1]),
+        )[:5]
+        want[qid] = [(r + 1, cid, d) for r, (d, cid) in enumerate(cands)]
+        exact = X @ X[qi]
+        etop = {
+            ids[j]
+            for j in sorted(
+                (j for j in range(len(ids)) if ids[j] != qid),
+                key=lambda j: (-exact[j], ids[j]),
+            )[:5]
+        }
+        hits = len(etop & {cid for _, cid, _ in want[qid]})
+        recall_ok = recall_ok and hits >= 3
+    assert {k: sorted(v) for k, v in got.items()} == {
+        k: sorted(v) for k, v in want.items()
+    }
+    assert recall_ok, "SQ8 must keep recall@5 >= 3/5 on every probe"
