@@ -110,6 +110,16 @@ def main() -> None:
          "rank (range exchange + per-range window + broadcast offsets) — "
          "NO SinglePartition exchange; the decile rollup is a 10-group "
          "hash aggregate"),
+        ("q_grid_radius_join", "epsilon radius self-join: the 3x3 grid "
+         "probe turns the O(n^2) neighborhood search into ONE equi-join "
+         "on (cx, cy) — no BroadcastNestedLoopJoin / CartesianProduct "
+         "anywhere; the 9x probe fan-out is a narrow Generate over "
+         "skinny (id, x, y, cell) rows"),
+        ("q_quantized_ann", "int8-quantized ANN scan: per-dim scale is a "
+         "64-group rollup of a narrow posexplode; code reassembly is an "
+         "ordered array_sort (collect_list alone is unordered); the "
+         "probe side (4 codes) broadcasts across the corpus — O(N) scan, "
+         "no per-dim shuffle join"),
     ]
     qs = all_queries()
     for name, note in picks:
