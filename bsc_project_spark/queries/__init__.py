@@ -141,6 +141,8 @@ _CHECK_FIRST = [
     "q_source_kl",
     "q_robots_filter",
     "q_quantized_ann",
+    "q_shard_assign",
+    "q_chi2_independence",
     "q_prefix_join",
     "q_embed_covariance",
     "q_cooccurrence",

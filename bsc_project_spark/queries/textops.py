@@ -2960,3 +2960,121 @@ _q(
     "vocab (add-one smoothed, integer ppm-nat terms floored before the "
     "sum) — the corpus drift / mixing diagnostic, vocab-bounded end to end",
 )
+
+# ---------------------------------------------------------------------------
+# Rendezvous (highest-random-weight) shard assignment — the consistent
+# sharding primitive a 10^12-doc corpus uses to place documents on
+# storage/compute shards so that GROWING the shard count moves only
+# ~1/(n+1) of the data (vs ~all of it under mod-n hashing).  Each doc
+# scores every shard with hex8(md5(doc_id @ shard)) and lands on the
+# argmax; the query assigns the SAME corpus under 8 and under 9 shards
+# and reports the (shard8, shard9) transition matrix — the diagonal is
+# the untouched mass, the single off-diagonal column (-> new shard 8)
+# is the moved mass, and any other off-diagonal cell would be a bug in
+# the argmax (HRW never reshuffles between surviving shards).
+#
+# Scale notes: the score fan-out is a bounded 9x narrow explode per doc
+# (shards are O(1), broadcast literal range); the argmax is a
+# PARTITION-BY-doc top-1 window; the matrix rollup is map-side
+# combinable.  All integer md5 math — the gate hash-checks placement.
+# ---------------------------------------------------------------------------
+
+_HRW_BODY = """
+    WITH shards AS (SELECT s FROM ({sseries}) ss),
+    scored AS (
+      SELECT d.doc_id, sh.s,
+             ({score}) AS w
+      FROM documents d CROSS JOIN shards sh
+    ),
+    ranked AS (
+      SELECT doc_id, s, w,
+             row_number() OVER (
+               PARTITION BY doc_id ORDER BY w DESC, s ASC
+             ) AS rn
+      FROM scored
+    ),
+    top8 AS (
+      SELECT doc_id, s AS shard8 FROM (
+        SELECT doc_id, s,
+               row_number() OVER (
+                 PARTITION BY doc_id ORDER BY w DESC, s ASC
+               ) AS rn
+        FROM scored WHERE s < 8
+      ) r8 WHERE rn = 1
+    ),
+    top9 AS (SELECT doc_id, s AS shard9 FROM ranked WHERE rn = 1)
+    SELECT CAST(t8.shard8 AS BIGINT) AS shard8,
+           CAST(t9.shard9 AS BIGINT) AS shard9,
+           CAST(count(*) AS BIGINT) AS n_docs
+    FROM top8 t8 JOIN top9 t9 ON t9.doc_id = t8.doc_id
+    GROUP BY t8.shard8, t9.shard9
+"""
+
+
+def _hrw_sql(st: str, sseries: str) -> str:
+    score = _hex8_of(
+        f"md5(CAST(d.doc_id AS {st}) || '@' || CAST(sh.s AS {st}))"
+    )
+    return _HRW_BODY.format(sseries=sseries, score=score)
+
+
+_HRW_SPARK = _hrw_sql("STRING", "SELECT explode(sequence(0, 8)) AS s")
+_HRW_DUCK = _hrw_sql("VARCHAR", "SELECT unnest(generate_series(0, 8)) AS s")
+
+_q(
+    "q_shard_assign",
+    _HRW_SPARK,
+    _HRW_DUCK,
+    "rendezvous (HRW) consistent sharding: argmax-of-md5 placement under "
+    "8 and 9 shards, reported as the transition matrix — off-diagonal "
+    "mass may only flow to the NEW shard; bounded 9x explode + per-doc "
+    "top-1 window",
+)
+
+# ---------------------------------------------------------------------------
+# Chi-square independence scan (lang x source contingency) — the
+# statistical QA check a corpus mix runs to catch confounded sampling
+# ("is language independent of source, or did one crawl bring all the
+# German?").  Output is the full contingency table with each cell's
+# expected count and chi-square contribution, so the hot cells are
+# directly readable; the test aggregates them into the statistic.
+#
+# Exactness: expected_ppm = row*col*10^6 div n is pure int64;
+# the contribution (o*n - row*col)^2 / (n*row*col) is evaluated in
+# doubles whose INPUTS are exact integers well under 2^53 at any SF the
+# gate runs (diff <= n*min(row,col)), and the op sequence is identical
+# in both engines, so floor(...*1e6) is drift-free.  Scale notes: one
+# (lang, source) rollup + two broadcast-sized marginal joins — the
+# contingency table is |langs| x |sources|, driver-safe by construction.
+# ---------------------------------------------------------------------------
+
+_CHI2_BODY = """
+    WITH cells AS (
+      SELECT lang, source, count(*) AS o FROM documents GROUP BY lang, source
+    ),
+    rowm AS (SELECT lang, sum(o) AS r FROM cells GROUP BY lang),
+    colm AS (SELECT source, sum(o) AS c FROM cells GROUP BY source),
+    nn AS (SELECT sum(o) AS n FROM cells)
+    SELECT ce.lang, ce.source,
+           CAST(ce.o AS BIGINT) AS observed,
+           CAST((rm.r * cm.c * 1000000) {idiv} nn.n AS BIGINT) AS expected_ppm,
+           CAST(floor(
+             (CAST(ce.o * nn.n - rm.r * cm.c AS DOUBLE)
+              * CAST(ce.o * nn.n - rm.r * cm.c AS DOUBLE))
+             / (CAST(nn.n AS DOUBLE) * CAST(rm.r AS DOUBLE) * CAST(cm.c AS DOUBLE))
+             * 1.0e6
+           ) AS BIGINT) AS contrib_ppm
+    FROM cells ce
+    JOIN rowm rm ON rm.lang = ce.lang
+    JOIN colm cm ON cm.source = ce.source
+    CROSS JOIN nn
+"""
+
+_q(
+    "q_chi2_independence",
+    _CHI2_BODY.format(idiv="div"),
+    _CHI2_BODY.format(idiv="//"),
+    "chi-square independence scan over the lang x source contingency "
+    "table: exact integer expected_ppm, drift-free double contributions "
+    "— one rollup + broadcast marginals, result bounded by |langs|x|sources|",
+)

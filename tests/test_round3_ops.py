@@ -1335,3 +1335,72 @@ def test_quantized_ann_matches_numpy_and_keeps_recall(spark):
         k: sorted(v) for k, v in want.items()
     }
     assert recall_ok, "SQ8 must keep recall@5 >= 3/5 on every probe"
+
+
+# ---------------------------------------------------------------------------
+# Rendezvous sharding
+# ---------------------------------------------------------------------------
+
+
+def test_shard_assign_hrw_stability(spark):
+    """Transition matrix == a Python HRW recompute, off-diagonal mass
+    flows ONLY to the new shard 8, and the moved fraction is near the
+    theoretical 1/9 (between 2% and 25%)."""
+    from bsc_project_spark.queries.textops import QUERIES
+
+    got = {
+        (r.shard8, r.shard9): r.n_docs
+        for r in QUERIES["q_shard_assign"].spark(spark, SF).collect()
+    }
+    con = _duck()
+    ids = [d for (d,) in con.execute("SELECT doc_id FROM documents").fetchall()]
+    want: dict[tuple, int] = {}
+    for d in ids:
+        scores = {s: int(_md5(f"{d}@{s}")[:8], 16) for s in range(9)}
+        s8 = min(range(8), key=lambda s: (-scores[s], s))
+        s9 = min(range(9), key=lambda s: (-scores[s], s))
+        want[(s8, s9)] = want.get((s8, s9), 0) + 1
+    assert got == want
+    assert all(a == b or b == 8 for a, b in got), (
+        "HRW must never move a doc between surviving shards"
+    )
+    moved = sum(n for (a, b), n in got.items() if a != b)
+    assert 0.02 < moved / len(ids) < 0.25
+
+
+# ---------------------------------------------------------------------------
+# Chi-square independence
+# ---------------------------------------------------------------------------
+
+
+def test_chi2_independence_matches_python(spark):
+    """Per-cell expected/contribution == a Python recompute; the summed
+    statistic is positive (the fixture mix is not perfectly uniform)."""
+    from bsc_project_spark.queries.textops import QUERIES
+
+    got = {
+        (r.lang, r.source): (r.observed, r.expected_ppm, r.contrib_ppm)
+        for r in QUERIES["q_chi2_independence"].spark(spark, SF).collect()
+    }
+    con = _duck()
+    rows = con.execute(
+        "SELECT lang, source, count(*) FROM documents GROUP BY lang, source"
+    ).fetchall()
+    rowm: dict[str, int] = {}
+    colm: dict[str, int] = {}
+    n = 0
+    for lg, src, o in rows:
+        rowm[lg] = rowm.get(lg, 0) + o
+        colm[src] = colm.get(src, 0) + o
+        n += o
+    want = {}
+    for lg, src, o in rows:
+        r, c = rowm[lg], colm[src]
+        diff = float(o * n - r * c)
+        want[(lg, src)] = (
+            o,
+            (r * c * 1_000_000) // n,
+            math.floor(diff * diff / (float(n) * float(r) * float(c)) * 1.0e6),
+        )
+    assert got == want
+    assert sum(cp for _, _, cp in got.values()) > 0
