@@ -143,6 +143,7 @@ _CHECK_FIRST = [
     "q_quantized_ann",
     "q_shard_assign",
     "q_chi2_independence",
+    "q_data_quality",
     "q_prefix_join",
     "q_embed_covariance",
     "q_cooccurrence",

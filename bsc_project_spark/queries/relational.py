@@ -535,3 +535,76 @@ _PIXEL_DIFF_SQL = _PIXEL_DIFF_AGG.format(
 _q("q_pixel_diff", sql_query(_PIXEL_DIFF_SQL), _PIXEL_DIFF_SQL,
    "per-page differing-pixel count and percentage "
    "(M9 aggregation half; reference evaluate_post_process.py:85-88)")
+
+# ---------------------------------------------------------------------------
+# Data-quality audit — the dbt-style constraint suite every ingest runs
+# before training-data jobs consume a drop: referential integrity
+# (orphaned foreign keys via anti-join), primary-key uniqueness,
+# not-null / non-empty, and domain constraints, each reported as
+# (check, n_checked, n_violations) so a scheduler can gate on ANY
+# violation row.  The checks run as UNION ALL of independent
+# aggregates: Spark executes them as parallel map-side-combinable
+# rollups + broadcast/shuffle anti-joins — no check ever materializes
+# violating ROWS to the driver, only counts.
+#
+# Scale notes: the orphan checks are left-anti equi-joins on the
+# foreign key (the 100 TB shape: dim side broadcast when small, shuffle
+# otherwise — planner's choice); everything else is one scan per table
+# with counting aggregates.
+# ---------------------------------------------------------------------------
+
+_DQ_SQL = """
+    SELECT 'lineitem_orphan_orderkey' AS check_name,
+           (SELECT count(*) FROM lineitem) AS n_checked,
+           count(*) AS n_violations
+    FROM lineitem l LEFT JOIN orders o ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderkey IS NULL
+    UNION ALL
+    SELECT 'orders_orphan_custkey',
+           (SELECT count(*) FROM orders),
+           count(*)
+    FROM orders o LEFT JOIN customer c ON c.c_custkey = o.o_custkey
+    WHERE c.c_custkey IS NULL
+    UNION ALL
+    SELECT 'documents_duplicate_pk',
+           (SELECT count(*) FROM documents),
+           coalesce(sum(n - 1), 0)
+    FROM (SELECT doc_id, count(*) AS n FROM documents GROUP BY doc_id) d
+    WHERE n > 1
+    UNION ALL
+    SELECT 'documents_null_or_empty_text',
+           (SELECT count(*) FROM documents),
+           count(*)
+    FROM documents WHERE text IS NULL OR length(trim(text)) = 0
+    UNION ALL
+    SELECT 'lineitem_nonpositive_quantity',
+           (SELECT count(*) FROM lineitem),
+           count(*)
+    FROM lineitem WHERE l_quantity <= 0
+    UNION ALL
+    SELECT 'events_null_user',
+           (SELECT count(*) FROM events),
+           count(*)
+    FROM events WHERE user_id IS NULL
+    UNION ALL
+    SELECT 'embeddings_dim_drift',
+           (SELECT count(*) FROM embeddings),
+           count(*)
+    FROM embeddings
+    WHERE {veclen}(embedding) <> (SELECT {agg_mode}
+                                  FROM (SELECT {veclen}(embedding) AS d
+                                        FROM embeddings) dd)
+"""
+
+_DQ_SPARK = _DQ_SQL.format(veclen="size", agg_mode="max(d)")
+_DQ_DUCK = _DQ_SQL.format(veclen="len", agg_mode="max(d)")
+
+QUERIES["q_data_quality"] = QuerySpec(
+    spark=sql_query(_DQ_SPARK),
+    oracle=_DQ_DUCK,
+    description=(
+        "dbt-style data-quality audit: FK orphans via anti-joins, PK "
+        "uniqueness, not-null/non-empty, domain and embedding-dim "
+        "checks — counts only, no violating rows to the driver"
+    ),
+)

@@ -1404,3 +1404,60 @@ def test_chi2_independence_matches_python(spark):
         )
     assert got == want
     assert sum(cp for _, _, cp in got.values()) > 0
+
+
+# ---------------------------------------------------------------------------
+# Data-quality audit
+# ---------------------------------------------------------------------------
+
+
+def test_data_quality_detects_planted_violations(spark, tmp_path):
+    """On the clean fixture every check reports 0 violations; on a
+    corpus with PLANTED orphans / duplicate PKs / empty text / bad
+    quantities / dim drift, each check reports the exact planted count
+    (proves the audit bites, not just that zeros hash-match)."""
+    from pyspark.sql import functions as F
+
+    from bsc_project_spark.queries import _REGISTERED_DIRS, TABLES
+    from bsc_project_spark.queries.relational import QUERIES
+
+    clean = {
+        r.check_name: (r.n_checked, r.n_violations)
+        for r in QUERIES["q_data_quality"].spark(spark, SF).collect()
+    }
+    assert all(v == 0 for _, v in clean.values())
+    assert len(clean) == 7
+
+    out = str(tmp_path / "dirty")
+    for t in TABLES:
+        df = spark.read.parquet(f"{SF}/{t}.parquet").limit(20)
+        # keep the base sample relationally CONSISTENT (no accidental
+        # orphans) so the planted violations are the only ones
+        if t == "lineitem":
+            ok = spark.read.parquet(f"{out}/orders.parquet").select("o_orderkey")
+            df = (
+                spark.read.parquet(f"{SF}/{t}.parquet")
+                .join(ok, F.col("l_orderkey") == ok.o_orderkey, "left_semi")
+                .limit(20)
+            )
+        df.coalesce(1).write.parquet(f"{out}/{t}.parquet")
+    li = spark.read.parquet(f"{out}/lineitem.parquet")
+    bad_li = (
+        li.limit(2)
+        .withColumn("l_orderkey", li.l_orderkey + 1_000_000)
+        .withColumn("l_quantity", F.lit(-1.0).cast(li.schema["l_quantity"].dataType))
+    )
+    bad_li.write.mode("append").parquet(f"{out}/lineitem.parquet")
+    docs = spark.read.parquet(f"{out}/documents.parquet")
+    bad_docs = docs.limit(3).withColumn("text", F.lit(""))
+    bad_docs.write.mode("append").parquet(f"{out}/documents.parquet")
+    _REGISTERED_DIRS.clear()
+    dirty = {
+        r.check_name: r.n_violations
+        for r in QUERIES["q_data_quality"].spark(spark, out).collect()
+    }
+    _REGISTERED_DIRS.clear()
+    assert dirty["lineitem_orphan_orderkey"] == 2
+    assert dirty["lineitem_nonpositive_quantity"] == 2
+    assert dirty["documents_duplicate_pk"] == 3
+    assert dirty["documents_null_or_empty_text"] == 3
