@@ -144,6 +144,8 @@ _CHECK_FIRST = [
     "q_shard_assign",
     "q_chi2_independence",
     "q_data_quality",
+    "q_burst_detection",
+    "q_session_paths",
     "q_prefix_join",
     "q_embed_covariance",
     "q_cooccurrence",

@@ -1147,3 +1147,84 @@ _q(
     "> 1 h after its predecessor — one key-partitioned lag() window, "
     "deterministic tie-break on event_id",
 )
+
+# ---------------------------------------------------------------------------
+# Burst detection — the time-series anomaly primitive behind trend
+# surfacing and abuse alarms: a (type, day) cell bursts when its count
+# exceeds 1.5x the mean of ITS OWN previous 3 days.  The comparison is
+# exact integer cross-multiplication (2 * n * 3 > 3 * prev3_sum * ...;
+# here n * 2 > prev3_sum so thresholds never touch floats), and the
+# trailing window PARTITIONs BY event_type — each type's daily series
+# sorts independently, never a global order.
+#
+# Scale notes: one (type, day) rollup (map-side combinable) shrinks the
+# stream to |types| x |days| rows BEFORE any window runs — the trailing
+# lag()s operate on the tiny aggregate, not the raw events.
+# ---------------------------------------------------------------------------
+
+_BURST_BODY = """
+    WITH daily AS (
+      SELECT event_type, {us} {idiv} 86400000000 AS day, count(*) AS n
+      FROM events GROUP BY event_type, {us} {idiv} 86400000000
+    ),
+    trail AS (
+      SELECT event_type, day, n,
+             lag(n, 1) OVER (PARTITION BY event_type ORDER BY day) AS p1,
+             lag(n, 2) OVER (PARTITION BY event_type ORDER BY day) AS p2,
+             lag(n, 3) OVER (PARTITION BY event_type ORDER BY day) AS p3
+      FROM daily
+    )
+    SELECT event_type,
+           CAST(day AS BIGINT) AS day,
+           CAST(n AS BIGINT) AS n_events,
+           CAST(p1 + p2 + p3 AS BIGINT) AS prev3_sum,
+           CAST(CASE WHEN n * 2 > p1 + p2 + p3 THEN 1 ELSE 0 END AS BIGINT)
+             AS is_burst
+    FROM trail WHERE p3 IS NOT NULL
+"""
+
+_q(
+    "q_burst_detection",
+    sql_query(_BURST_BODY.format(us=_SPARK_EPOCH_US.format(c="ts"), idiv="div")),
+    _BURST_BODY.format(us="epoch_us(ts)", idiv="//"),
+    "per-type daily burst detection vs the trailing 3-day baseline: "
+    "rollup first (windows run on |types| x |days| rows, not raw "
+    "events), integer cross-multiplied threshold, per-type partitions",
+)
+
+# ---------------------------------------------------------------------------
+# Session path mining — the top-k most common 3-step event paths
+# (per-user consecutive trigrams), the sequence-pattern statistic
+# behind navigation analysis and next-action models.  Two lead()s per
+# user-ordered stream build the trigram, a global rollup counts paths,
+# and the top-10 cut is a TakeOrdered (count DESC, path ASC — total
+# order), never a global sort.
+# ---------------------------------------------------------------------------
+
+_PATHS_BODY = """
+    WITH seq AS (
+      SELECT event_type AS e1,
+             lead(event_type, 1) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ) AS e2,
+             lead(event_type, 2) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ) AS e3
+      FROM events
+    ),
+    paths AS (
+      SELECT concat(e1, '>', e2, '>', e3) AS path, count(*) AS n
+      FROM seq WHERE e3 IS NOT NULL
+      GROUP BY concat(e1, '>', e2, '>', e3)
+    )
+    SELECT path, CAST(n AS BIGINT) AS n_sessions
+    FROM paths ORDER BY n DESC, path ASC LIMIT 10
+"""
+
+_q(
+    "q_session_paths",
+    sql_query(_PATHS_BODY),
+    _PATHS_BODY,
+    "top-10 3-step event paths: two lead()s on the user-partitioned "
+    "stream, global path rollup, TakeOrdered top-k with total tie order",
+)

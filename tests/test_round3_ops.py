@@ -1461,3 +1461,69 @@ def test_data_quality_detects_planted_violations(spark, tmp_path):
     assert dirty["lineitem_nonpositive_quantity"] == 2
     assert dirty["documents_duplicate_pk"] == 3
     assert dirty["documents_null_or_empty_text"] == 3
+
+
+# ---------------------------------------------------------------------------
+# Burst detection + session paths
+# ---------------------------------------------------------------------------
+
+
+def test_burst_detection_matches_python(spark):
+    """(type, day) burst flags == a Python recompute of the trailing
+    3-day rule; both burst and non-burst cells occur."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from bsc_project_spark.queries.eventops import QUERIES
+
+    got = {
+        (r.event_type, r.day): (r.n_events, r.prev3_sum, r.is_burst)
+        for r in QUERIES["q_burst_detection"].spark(spark, SF).collect()
+    }
+    tbl = pq.read_table(f"{SF}/events.parquet", columns=["event_type", "ts"])
+    us = pc.cast(pc.cast(tbl["ts"], "timestamp[us]"), "int64").to_pylist()
+    daily: dict[str, dict[int, int]] = {}
+    for ty, t in zip(tbl["event_type"].to_pylist(), us):
+        d = t // 86_400_000_000
+        daily.setdefault(ty, {})[d] = daily.setdefault(ty, {}).get(d, 0) + 1
+    want = {}
+    for ty, days in daily.items():
+        ds = sorted(days)
+        for i, d in enumerate(ds):
+            if i >= 3:
+                p3 = days[ds[i - 1]] + days[ds[i - 2]] + days[ds[i - 3]]
+                n = days[d]
+                want[(ty, d)] = (n, p3, 1 if n * 2 > p3 else 0)
+    assert got == want
+    flags = {b for _, _, b in got.values()}
+    assert flags == {0, 1} or flags == {0}, flags
+
+
+def test_session_paths_matches_python(spark):
+    """Top-10 3-step paths == a Python fold over each user's
+    time-sorted stream with the same (count desc, path asc) cut."""
+    import pyarrow.parquet as pq
+
+    from bsc_project_spark.queries.eventops import QUERIES
+
+    got = [
+        (r.path, r.n_sessions)
+        for r in QUERIES["q_session_paths"].spark(spark, SF).collect()
+    ]
+    tbl = pq.read_table(
+        f"{SF}/events.parquet", columns=["user_id", "ts", "event_id", "event_type"]
+    ).to_pylist()
+    streams: dict[int, list] = {}
+    for r in tbl:
+        streams.setdefault(r["user_id"], []).append(
+            (r["ts"], r["event_id"], r["event_type"])
+        )
+    counts: dict[str, int] = {}
+    for evs in streams.values():
+        evs.sort()
+        tys = [e[2] for e in evs]
+        for a, b, c in zip(tys, tys[1:], tys[2:]):
+            p = f"{a}>{b}>{c}"
+            counts[p] = counts.get(p, 0) + 1
+    want = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    assert sorted(got, key=lambda kv: (-kv[1], kv[0])) == want
