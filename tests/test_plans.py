@@ -194,6 +194,15 @@ def test_new_graph_and_stream_ops_avoid_global_windows(spark):
         # window) and its srcs x vocab cross join broadcasts the
         # 32-row vocab side — a bounded dim, not an O(n^2) shape.
         "q_source_kl",
+        # q_shard_assign's only nested-loop join is the broadcast of the
+        # 9-row shard list; burst/paths windows partition by type/user.
+        # (q_chi2_independence and q_data_quality are exempt: their
+        # SinglePartition exchanges are 1-row scalar aggregates — the
+        # grand total over an already-tiny contingency table and the
+        # audit's n_checked counts — not data-bearing windows.)
+        "q_shard_assign",
+        "q_burst_detection",
+        "q_session_paths",
     ):
         plan = (
             qs[name].spark(spark, SF_DIR)
