@@ -146,6 +146,7 @@ _CHECK_FIRST = [
     "q_data_quality",
     "q_burst_detection",
     "q_session_paths",
+    "q_basket_pairs",
     "q_prefix_join",
     "q_embed_covariance",
     "q_cooccurrence",

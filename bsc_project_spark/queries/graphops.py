@@ -442,6 +442,10 @@ def _bfs_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     ids, n, edges = _link_graph(spark, sf_dir)
     if n == 0:
         return spark.createDataFrame([], "doc_id long, hops bigint")
+    # static edge list partitioned ONCE on the per-round join key: each
+    # round then shuffles only the (small) frontier, not the 10^12-edge
+    # frame again (same move as q_pagerank's edges_deg repartition)
+    edges_by_src = edges.repartition("src").persist()
     dist = (
         ids.filter(F.col("idx") % _SEED_MOD == 0)
         .select(F.col("idx").alias("v"), F.lit(0).cast("bigint").alias("hops"))
@@ -450,7 +454,7 @@ def _bfs_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     frontier = dist
     for r in range(1, _BFS_HOPS + 1):
         reached = (
-            edges.join(frontier, edges.src == frontier.v)
+            edges_by_src.join(frontier, edges_by_src.src == frontier.v)
             .select(F.col("dst").alias("nv"))
             .distinct()
         )
@@ -663,9 +667,12 @@ def _lp_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b"))
         .distinct()
     )
+    # static neighbor list partitioned ONCE on the per-round join key
+    # (u): each vote round shuffles only the label frame, not the edges
     nbrs = (
         und.select(F.col("a").alias("v"), F.col("b").alias("u"))
         .unionAll(und.select(F.col("b").alias("v"), F.col("a").alias("u")))
+        .repartition("u")
         .persist()
     )
     labels = ids.select(F.col("idx").alias("v"), F.col("idx").alias("lbl"))

@@ -608,3 +608,52 @@ QUERIES["q_data_quality"] = QuerySpec(
         "checks — counts only, no violating rows to the driver"
     ),
 )
+
+# ---------------------------------------------------------------------------
+# Market-basket association mining — support / confidence / lift over
+# parts co-occurring in the same order (the classic Apriori first pass,
+# and the item-item statistic collaborative filters start from).  The
+# pair explosion is bounded by BASKET size (a TPC-H order carries <= 7
+# lineitems), never by catalog or order count: the self-join is an
+# equi-join on l_orderkey whose per-key fan-out is C(7,2) — the same
+# bounded-explosion discipline as q_cooccurrence's top-32 vocab cap.
+#
+# Exactness: support and item counts are integers; confidence and lift
+# are integer-ppm (cross-multiplied div) so the gate hash-checks the
+# association table.  Output keeps pairs with support >= 3 — at 100 TB
+# the same threshold prunes map-side via the count rollup.
+# ---------------------------------------------------------------------------
+
+_BASKET_BODY = """
+    WITH items AS (
+      SELECT DISTINCT l_orderkey AS okey, l_partkey AS part FROM lineitem
+    ),
+    nb AS (SELECT count(DISTINCT okey) AS n FROM items),
+    icnt AS (SELECT part, count(*) AS cnt FROM items GROUP BY part),
+    pairs AS (
+      SELECT a.part AS part_a, b.part AS part_b, count(*) AS support
+      FROM items a JOIN items b ON b.okey = a.okey AND a.part < b.part
+      GROUP BY a.part, b.part
+    )
+    SELECT CAST(p.part_a AS BIGINT) AS part_a,
+           CAST(p.part_b AS BIGINT) AS part_b,
+           CAST(p.support AS BIGINT) AS support,
+           CAST((p.support * 1000000) {idiv} ca.cnt AS BIGINT) AS conf_ppm,
+           CAST((p.support * nb.n * 1000000) {idiv} (ca.cnt * cb.cnt) AS BIGINT)
+             AS lift_ppm
+    FROM pairs p
+    JOIN icnt ca ON ca.part = p.part_a
+    JOIN icnt cb ON cb.part = p.part_b
+    CROSS JOIN nb
+    WHERE p.support >= 3
+"""
+
+QUERIES["q_basket_pairs"] = QuerySpec(
+    spark=sql_query(_BASKET_BODY.format(idiv="div")),
+    oracle=_BASKET_BODY.format(idiv="//"),
+    description=(
+        "market-basket association pairs (support / confidence / lift in "
+        "exact integer ppm): per-order self-join bounded by basket size, "
+        "support threshold prunes the rollup map-side"
+    ),
+)

@@ -1527,3 +1527,49 @@ def test_session_paths_matches_python(spark):
             counts[p] = counts.get(p, 0) + 1
     want = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
     assert sorted(got, key=lambda kv: (-kv[1], kv[0])) == want
+
+
+# ---------------------------------------------------------------------------
+# Market-basket pairs
+# ---------------------------------------------------------------------------
+
+
+def test_basket_pairs_matches_python(spark):
+    """Association table == a Python fold over per-order distinct part
+    sets with the same integer-ppm confidence/lift; some surviving pair
+    must have lift > 1 (genuine association above independence)."""
+    from itertools import combinations
+
+    from bsc_project_spark.queries.relational import QUERIES
+
+    got = {
+        (r.part_a, r.part_b): (r.support, r.conf_ppm, r.lift_ppm)
+        for r in QUERIES["q_basket_pairs"].spark(spark, SF).collect()
+    }
+    con = _duck()
+    rows = con.execute(
+        "SELECT DISTINCT l_orderkey, l_partkey FROM lineitem"
+    ).fetchall()
+    baskets: dict[int, set[int]] = {}
+    for ok, pk in rows:
+        baskets.setdefault(ok, set()).add(pk)
+    n = len(baskets)
+    icnt: dict[int, int] = {}
+    sup: dict[tuple, int] = {}
+    for parts in baskets.values():
+        for p in parts:
+            icnt[p] = icnt.get(p, 0) + 1
+        for a, b in combinations(sorted(parts), 2):
+            sup[(a, b)] = sup.get((a, b), 0) + 1
+    want = {
+        (a, b): (
+            s,
+            s * 1_000_000 // icnt[a],
+            s * n * 1_000_000 // (icnt[a] * icnt[b]),
+        )
+        for (a, b), s in sup.items()
+        if s >= 3
+    }
+    assert got == want
+    assert got, "support threshold must keep at least one pair"
+    assert any(l > 1_000_000 for _, _, l in got.values())
