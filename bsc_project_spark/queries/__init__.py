@@ -147,6 +147,7 @@ _CHECK_FIRST = [
     "q_burst_detection",
     "q_session_paths",
     "q_basket_pairs",
+    "q_k_anonymity",
     "q_prefix_join",
     "q_embed_covariance",
     "q_cooccurrence",

@@ -3078,3 +3078,41 @@ _q(
     "table: exact integer expected_ppm, drift-free double contributions "
     "— one rollup + broadcast marginals, result bounded by |langs|x|sources|",
 )
+
+# ---------------------------------------------------------------------------
+# k-anonymity audit — the privacy-compliance twin of the PII scrub: a
+# released corpus is k-anonymous over its quasi-identifiers when every
+# QI combination covers >= k rows; smaller cells re-identify.  QIs here
+# are (lang, source, length band of 256 chars); the output is every
+# VIOLATING cell with its size plus each cell's risk share in ppm of
+# the corpus, so the release gate can either suppress the cells or fail
+# the drop.  Pure grouped rollup + filter — one map-side-combinable
+# shuffle; the result is bounded by the violating-cell count, never the
+# corpus.
+# ---------------------------------------------------------------------------
+
+_KANON_K = 5
+
+_KANON_BODY = """
+    WITH cells AS (
+      SELECT lang, source, (n_chars {idiv} 256) AS len_band, count(*) AS n
+      FROM documents
+      GROUP BY lang, source, (n_chars {idiv} 256)
+    ),
+    nn AS (SELECT sum(n) AS total FROM cells)
+    SELECT c.lang, c.source,
+           CAST(c.len_band AS BIGINT) AS len_band,
+           CAST(c.n AS BIGINT) AS n_docs,
+           CAST((c.n * 1000000) {idiv} nn.total AS BIGINT) AS share_ppm
+    FROM cells c CROSS JOIN nn
+    WHERE c.n < {k}
+"""
+
+_q(
+    "q_k_anonymity",
+    _KANON_BODY.format(idiv="div", k=_KANON_K),
+    _KANON_BODY.format(idiv="//", k=_KANON_K),
+    "k-anonymity audit over (lang, source, 256-char length band) "
+    "quasi-identifiers: every cell under k=5 with its corpus share — "
+    "one combinable rollup, output bounded by violating cells",
+)

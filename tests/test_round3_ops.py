@@ -1573,3 +1573,34 @@ def test_basket_pairs_matches_python(spark):
     assert got == want
     assert got, "support threshold must keep at least one pair"
     assert any(l > 1_000_000 for _, _, l in got.values())
+
+
+# ---------------------------------------------------------------------------
+# k-anonymity
+# ---------------------------------------------------------------------------
+
+
+def test_k_anonymity_matches_python(spark):
+    """Violating QI cells == a Python recompute, the audit fires, and
+    at least one cell PASSES (so the k threshold separates, rather than
+    flagging everything)."""
+    from bsc_project_spark.queries.textops import _KANON_K, QUERIES
+
+    got = {
+        (r.lang, r.source, r.len_band): (r.n_docs, r.share_ppm)
+        for r in QUERIES["q_k_anonymity"].spark(spark, SF).collect()
+    }
+    con = _duck()
+    rows = con.execute(
+        "SELECT lang, source, n_chars // 256, count(*) "
+        "FROM documents GROUP BY 1, 2, 3"
+    ).fetchall()
+    total = sum(n for *_, n in rows)
+    want = {
+        (lg, src, lb): (n, n * 1_000_000 // total)
+        for lg, src, lb, n in rows
+        if n < _KANON_K
+    }
+    assert got == want
+    assert got, "audit must find at least one violating cell"
+    assert len(want) < len(rows), "some QI cell must pass the k threshold"
