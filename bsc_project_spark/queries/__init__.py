@@ -148,6 +148,7 @@ _CHECK_FIRST = [
     "q_session_paths",
     "q_basket_pairs",
     "q_k_anonymity",
+    "q_hits_scores",
     "q_prefix_join",
     "q_embed_covariance",
     "q_cooccurrence",

@@ -768,3 +768,92 @@ QUERIES["q_label_prop"] = QuerySpec(
         "window vs 3 unrolled CTE rounds"
     ),
 )
+
+# ---------------------------------------------------------------------------
+# HITS hubs & authorities (2 unrolled rounds, UNNORMALIZED) — the
+# mutual-recursion ranking (Kleinberg 1999) that separates "pages that
+# point well" from "pages worth pointing at"; distinct from PageRank
+# (single self-recursive mass) and from plain degree counts.  Dropping
+# the per-round normalization keeps every score an exact int64 — the
+# ranking it induces is identical (normalization is a positive scalar)
+# and the gate hash-checks the scores bit-for-bit, no float rounding.
+#
+#   a1(v) = |in(v)|            (all h0 = 1)
+#   h1(v) = sum_{v->w} a1(w)
+#   a2(v) = sum_{u->v} h1(u)
+#
+# Scale notes: each half-round is one map-side-combinable groupBy over
+# the edge list joined to the previous half-round's skinny score frame;
+# no windows, no iteration state beyond one (v, score) frame per step.
+# ---------------------------------------------------------------------------
+
+
+def _hits_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ids, n, edges = _link_graph(spark, sf_dir)
+    if n == 0:
+        return spark.createDataFrame(
+            [], "doc_id long, hub_score bigint, auth_score bigint"
+        )
+    a1 = edges.groupBy(F.col("dst").alias("v")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("a1")
+    )
+    h1 = (
+        edges.join(a1, edges.dst == a1.v)
+        .groupBy(F.col("src").alias("hv"))
+        .agg(F.sum("a1").cast("bigint").alias("h1"))
+    )
+    a2 = (
+        edges.join(h1, edges.src == F.col("hv"))
+        .groupBy(F.col("dst").alias("av"))
+        .agg(F.sum("h1").cast("bigint").alias("a2"))
+    )
+    return (
+        ids.join(h1, ids.idx == F.col("hv"), "left")
+        .join(a2, ids.idx == F.col("av"), "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("h1"), F.lit(0)).cast("bigint").alias("hub_score"),
+            F.coalesce(F.col("a2"), F.lit(0)).cast("bigint").alias("auth_score"),
+        )
+    )
+
+
+def _hits_oracle() -> str:
+    hashed = _hex8_of("md5(CAST(i.idx AS STRING) || ':' || CAST(g.k AS STRING))")
+    return f"""
+    WITH ids AS (
+      SELECT doc_id, CAST(row_number() OVER (ORDER BY doc_id) - 1 AS BIGINT) AS idx
+      FROM documents
+    ),
+    nn AS (SELECT count(*) AS n FROM ids),
+    edges AS (
+      SELECT DISTINCT i.idx AS src, ({hashed}) % (SELECT n FROM nn) AS dst
+      FROM ids i, (SELECT unnest(generate_series(1, {_FANOUT})) AS k) g
+    ),
+    a1 AS (SELECT dst AS v, count(*) AS a1 FROM edges GROUP BY dst),
+    h1 AS (
+      SELECT e.src AS v, sum(a.a1) AS h1
+      FROM edges e JOIN a1 a ON a.v = e.dst GROUP BY e.src
+    ),
+    a2 AS (
+      SELECT e.dst AS v, sum(h.h1) AS a2
+      FROM edges e JOIN h1 h ON h.v = e.src GROUP BY e.dst
+    )
+    SELECT i.doc_id,
+           CAST(coalesce(h.h1, 0) AS BIGINT) AS hub_score,
+           CAST(coalesce(a.a2, 0) AS BIGINT) AS auth_score
+    FROM ids i
+    LEFT JOIN h1 h ON h.v = i.idx
+    LEFT JOIN a2 a ON a.v = i.idx
+"""
+
+
+QUERIES["q_hits_scores"] = QuerySpec(
+    spark=_hits_spark,
+    oracle=_hits_oracle(),
+    description=(
+        "HITS hubs & authorities, 2 unrolled rounds kept unnormalized so "
+        "every score is exact int64 (same induced ranking): per-round "
+        "combinable groupBys over the edge list, no windows"
+    ),
+)

@@ -1604,3 +1604,41 @@ def test_k_anonymity_matches_python(spark):
     assert got == want
     assert got, "audit must find at least one violating cell"
     assert len(want) < len(rows), "some QI cell must pass the k threshold"
+
+
+# ---------------------------------------------------------------------------
+# HITS hubs & authorities
+# ---------------------------------------------------------------------------
+
+
+def test_hits_scores_match_python_power_iteration(spark):
+    """Unnormalized 2-round HITS == a Python recompute over the same
+    md5-derived graph; hub and authority rankings genuinely differ
+    (the property HITS exists to expose)."""
+    from bsc_project_spark.queries.graphops import _FANOUT, QUERIES
+
+    got = {
+        r.doc_id: (r.hub_score, r.auth_score)
+        for r in QUERIES["q_hits_scores"].spark(spark, SF).collect()
+    }
+    con = _duck()
+    ids = [d for (d,) in con.execute("SELECT doc_id FROM documents ORDER BY doc_id").fetchall()]
+    n = len(ids)
+    out: dict[int, set[int]] = {v: set() for v in range(n)}
+    for idx in range(n):
+        for k in range(1, _FANOUT + 1):
+            out[idx].add(int(_md5(f"{idx}:{k}")[:8], 16) % n)
+    a1 = {v: 0 for v in range(n)}
+    for u in range(n):
+        for w in out[u]:
+            a1[w] += 1
+    h1 = {v: sum(a1[w] for w in out[v]) for v in range(n)}
+    a2 = {v: 0 for v in range(n)}
+    for u in range(n):
+        for w in out[u]:
+            a2[w] += h1[u]
+    want = {ids[v]: (h1[v], a2[v]) for v in range(n)}
+    assert got == want
+    top_hubs = sorted(got, key=lambda d: (-got[d][0], d))[:10]
+    top_auth = sorted(got, key=lambda d: (-got[d][1], d))[:10]
+    assert top_hubs != top_auth
