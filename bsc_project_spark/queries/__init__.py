@@ -149,6 +149,7 @@ _CHECK_FIRST = [
     "q_basket_pairs",
     "q_k_anonymity",
     "q_hits_scores",
+    "q_lang_confusion",
     "q_prefix_join",
     "q_embed_covariance",
     "q_cooccurrence",

@@ -3116,3 +3116,50 @@ _q(
     "quasi-identifiers: every cell under k=5 with its corpus share — "
     "one combinable rollup, output bounded by violating cells",
 )
+
+# ---------------------------------------------------------------------------
+# Lang-id confusion matrix — classifier evaluation as a distributed
+# query: the stopword-hit heuristic (q_lang_id) scored against the
+# corpus's labeled lang column, as the full (actual, predicted) matrix
+# with per-cell share of its actual class in exact integer ppm (the
+# row-recall the eval report reads).  This is the evaluation half every
+# model-derived column needs at 10^12 docs: one map-only scoring pass,
+# one (actual, predicted) rollup, one broadcast-sized marginal join.
+# ---------------------------------------------------------------------------
+
+_LANG_CONF_SQL = f"""
+    WITH pred AS (
+      SELECT doc_id,
+             CASE WHEN en_hits > de_hits THEN 'en'
+                  WHEN de_hits > en_hits THEN 'de'
+                  ELSE 'und' END AS lang_guess
+      FROM (SELECT doc_id, {{en}} AS en_hits, {{de}} AS de_hits
+            FROM ({_LOWERED}))
+    ),
+    cells AS (
+      SELECT d.lang AS actual, p.lang_guess AS predicted, count(*) AS n
+      FROM documents d JOIN pred p ON p.doc_id = d.doc_id
+      GROUP BY d.lang, p.lang_guess
+    ),
+    rowm AS (SELECT actual, sum(n) AS r FROM cells GROUP BY actual)
+    SELECT c.actual, c.predicted,
+           CAST(c.n AS BIGINT) AS n_docs,
+           CAST((c.n * 1000000) {{idiv}} m.r AS BIGINT) AS row_share_ppm
+    FROM cells c JOIN rowm m ON m.actual = c.actual
+"""
+
+
+def _lang_conf(idiv: str) -> str:
+    return _LANG_CONF_SQL.format(
+        en=_hits(_EN_WORDS), de=_hits(_DE_WORDS), idiv=idiv
+    )
+
+
+_q(
+    "q_lang_confusion",
+    _lang_conf("div"),
+    _lang_conf("//"),
+    "lang-id heuristic vs labeled lang as a confusion matrix with exact "
+    "integer row-recall ppm — classifier eval as one scoring pass + one "
+    "rollup",
+)

@@ -1642,3 +1642,45 @@ def test_hits_scores_match_python_power_iteration(spark):
     top_hubs = sorted(got, key=lambda d: (-got[d][0], d))[:10]
     top_auth = sorted(got, key=lambda d: (-got[d][1], d))[:10]
     assert top_hubs != top_auth
+
+
+# ---------------------------------------------------------------------------
+# Lang-id confusion
+# ---------------------------------------------------------------------------
+
+
+def test_lang_confusion_matches_python(spark):
+    """Confusion cells == a Python recompute of the stopword heuristic
+    against the labels, and each actual-lang row's shares account for
+    the whole row (sum to ~10^6 ppm up to integer-floor loss).  NOTE:
+    the fixture's lang column is a synthesized LABEL, not the text's
+    real language, so the matrix legitimately shows heavy off-diagonal
+    mass — the op's job is to report that misalignment, which is
+    exactly what a real corpus-QA run uses it for."""
+    from bsc_project_spark.queries.textops import _DE_WORDS, _EN_WORDS, QUERIES
+
+    got = {
+        (r.actual, r.predicted): (r.n_docs, r.row_share_ppm)
+        for r in QUERIES["q_lang_confusion"].spark(spark, SF).collect()
+    }
+    con = _duck()
+    rows = con.execute("SELECT doc_id, lang, lower(text) FROM documents").fetchall()
+    cells: dict[tuple, int] = {}
+    rowm: dict[str, int] = {}
+    for _, lang, txt in rows:
+        lt = f" {txt} "
+        en = sum(f" {w} " in lt for w in _EN_WORDS)
+        de = sum(f" {w} " in lt for w in _DE_WORDS)
+        pred = "en" if en > de else ("de" if de > en else "und")
+        cells[(lang, pred)] = cells.get((lang, pred), 0) + 1
+        rowm[lang] = rowm.get(lang, 0) + 1
+    want = {
+        k: (n, n * 1_000_000 // rowm[k[0]]) for k, n in cells.items()
+    }
+    assert got == want
+    for lang, r in rowm.items():
+        cells_n = sum(n for (a, _), (n, _) in got.items() if a == lang)
+        share = sum(s for (a, _), (_, s) in got.items() if a == lang)
+        assert cells_n == r
+        n_cells = sum(1 for (a, _) in got if a == lang)
+        assert 1_000_000 - n_cells < share <= 1_000_000
