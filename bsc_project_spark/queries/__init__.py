@@ -150,6 +150,7 @@ _CHECK_FIRST = [
     "q_k_anonymity",
     "q_hits_scores",
     "q_lang_confusion",
+    "q_wilson_ranking",
     "q_prefix_join",
     "q_embed_covariance",
     "q_cooccurrence",

@@ -657,3 +657,58 @@ QUERIES["q_basket_pairs"] = QuerySpec(
         "support threshold prunes the rollup map-side"
     ),
 )
+
+# ---------------------------------------------------------------------------
+# Wilson lower-bound ranking — the "how to not sort by average rating"
+# classic: rank parts by the 95% Wilson score lower bound of their
+# return-flag proportion, so a part with 2/2 returns ranks below one
+# with 40/50 (small samples get pulled toward zero).  The statistic
+# every top-k over a rate needs once counts are small — review scores,
+# defect rates, click-throughs.
+#
+# Float determinism: inputs are exact integer counts; p-hat, the z^2
+# terms, sqrt (IEEE-exact), and the final ratio run the identical op
+# sequence in both engines, then floor to integer ppm — drift-free, the
+# gate hash-checks the ranking AND the scores.  One rollup over
+# lineitem + a TakeOrdered top-20; no window, no global sort.
+# ---------------------------------------------------------------------------
+
+_WILSON_BODY = """
+    WITH counts AS (
+      SELECT l_partkey AS part,
+             count(*) AS n,
+             sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS k
+      FROM lineitem GROUP BY l_partkey
+    ),
+    scored AS (
+      SELECT part, n, k,
+             CAST(floor((
+               (CAST(k AS DOUBLE) / CAST(n AS DOUBLE))
+               + (1.96e0 * 1.96e0) / (2.0e0 * CAST(n AS DOUBLE))
+               - 1.96e0 * sqrt(
+                   ((CAST(k AS DOUBLE) / CAST(n AS DOUBLE))
+                    * (1.0e0 - CAST(k AS DOUBLE) / CAST(n AS DOUBLE))
+                    + (1.96e0 * 1.96e0) / (4.0e0 * CAST(n AS DOUBLE)))
+                   / CAST(n AS DOUBLE))
+             ) / (1.0e0 + (1.96e0 * 1.96e0) / CAST(n AS DOUBLE)) * 1.0e6)
+             AS BIGINT) AS wilson_ppm
+      FROM counts WHERE n >= 5
+    )
+    SELECT CAST(part AS BIGINT) AS part,
+           CAST(n AS BIGINT) AS n_lineitems,
+           CAST(k AS BIGINT) AS n_returns,
+           wilson_ppm
+    FROM scored
+    ORDER BY wilson_ppm DESC, part ASC
+    LIMIT 20
+"""
+
+QUERIES["q_wilson_ranking"] = QuerySpec(
+    spark=sql_query(_WILSON_BODY),
+    oracle=_WILSON_BODY,
+    description=(
+        "95% Wilson lower-bound ranking of per-part return rates: exact "
+        "integer counts in, drift-free double score floored to ppm, "
+        "TakeOrdered top-20 — ranking under small-sample uncertainty"
+    ),
+)

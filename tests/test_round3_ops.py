@@ -1684,3 +1684,43 @@ def test_lang_confusion_matches_python(spark):
         assert cells_n == r
         n_cells = sum(1 for (a, _) in got if a == lang)
         assert 1_000_000 - n_cells < share <= 1_000_000
+
+
+# ---------------------------------------------------------------------------
+# Wilson ranking
+# ---------------------------------------------------------------------------
+
+
+def test_wilson_ranking_matches_python_and_penalizes_small_n(spark):
+    """Top-20 == a Python recompute of the Wilson 95% lower bound, and
+    the bound behaves: for the same observed proportion, fewer trials
+    must give a strictly lower score (the property that distinguishes
+    it from sort-by-average)."""
+    from bsc_project_spark.queries.relational import QUERIES
+
+    got = [
+        (r.part, r.n_lineitems, r.n_returns, r.wilson_ppm)
+        for r in QUERIES["q_wilson_ranking"].spark(spark, SF).collect()
+    ]
+    con = _duck()
+    rows = con.execute(
+        "SELECT l_partkey, count(*), "
+        "sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) "
+        "FROM lineitem GROUP BY l_partkey"
+    ).fetchall()
+
+    def wilson_ppm(k: int, n: int) -> int:
+        z = 1.96
+        p = k / n
+        lb = (p + z * z / (2.0 * n) - z * math.sqrt(
+            (p * (1.0 - p) + z * z / (4.0 * n)) / n
+        )) / (1.0 + z * z / n)
+        return math.floor(lb * 1.0e6)
+
+    scored = sorted(
+        ((pk, n, k, wilson_ppm(k, n)) for pk, n, k in rows if n >= 5),
+        key=lambda t: (-t[3], t[0]),
+    )[:20]
+    assert got == scored
+    assert wilson_ppm(2, 2) < wilson_ppm(40, 50)  # 100% of 2 < 80% of 50
+    assert wilson_ppm(4, 8) < wilson_ppm(40, 80)  # same p, fewer trials
