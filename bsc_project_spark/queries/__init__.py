@@ -151,6 +151,7 @@ _CHECK_FIRST = [
     "q_hits_scores",
     "q_lang_confusion",
     "q_wilson_ranking",
+    "q_ngram_novelty",
     "q_prefix_join",
     "q_embed_covariance",
     "q_cooccurrence",

@@ -3163,3 +3163,63 @@ _q(
     "integer row-recall ppm — classifier eval as one scoring pass + one "
     "rollup",
 )
+
+# ---------------------------------------------------------------------------
+# N-gram novelty — per-document fraction of word-3-grams that already
+# appeared in an EARLIER document (doc_id order = ingest order): the
+# template/boilerplate-spam curve a crawl QA run reads (novelty
+# collapsing toward 0 means the feed is re-serving the same template),
+# and the incremental-dedup attribution ("how much of this doc is new
+# corpus-wise?").  First occurrence is a min(doc_id) per gram — the
+# attribution rollup — joined back to each doc's grams; novelty_ppm is
+# exact integer division over the doc's distinct-gram count.
+#
+# Scale notes: two combinable shuffles (gram -> min doc, doc rollup);
+# the gram key space is the usual shingle skew surface, same discipline
+# as the MinHash shingle pass.  No windows, no iteration.
+# ---------------------------------------------------------------------------
+
+_NOVELTY_BODY = """
+    WITH toks AS (
+      SELECT doc_id, t AS w, i
+      FROM (
+        SELECT doc_id, {split} AS a FROM documents
+      ) s {explode}
+    ),
+    grams AS (
+      SELECT a.doc_id, concat(a.w, ' ', b.w, ' ', c.w) AS g
+      FROM toks a
+      JOIN toks b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+      JOIN toks c ON c.doc_id = a.doc_id AND c.i = a.i + 2
+    ),
+    dg AS (SELECT DISTINCT doc_id, g FROM grams),
+    first_seen AS (SELECT g, min(doc_id) AS first_doc FROM dg GROUP BY g)
+    SELECT d.doc_id,
+           CAST(count(*) AS BIGINT) AS n_grams,
+           CAST(sum(CASE WHEN f.first_doc = d.doc_id THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_novel,
+           CAST((sum(CASE WHEN f.first_doc = d.doc_id THEN 1 ELSE 0 END)
+                 * 1000000) {idiv} count(*) AS BIGINT) AS novelty_ppm
+    FROM dg d JOIN first_seen f ON f.g = d.g
+    GROUP BY d.doc_id
+"""
+
+_NOVELTY_SPARK = _NOVELTY_BODY.format(
+    split="split(lower(trim(text)), '\\\\s+')",
+    explode="LATERAL VIEW posexplode(a) t AS i, t",
+    idiv="div",
+)
+_NOVELTY_DUCK = _NOVELTY_BODY.format(
+    split=r"string_split_regex(lower(trim(text)), '\s+')",
+    explode=", LATERAL (SELECT unnest(generate_series(1, len(a))) AS i) gi, LATERAL (SELECT a[gi.i] AS t) gt",
+    idiv="//",
+)
+
+_q(
+    "q_ngram_novelty",
+    _NOVELTY_SPARK,
+    _NOVELTY_DUCK,
+    "per-doc word-3-gram novelty vs all earlier docs (first-occurrence "
+    "attribution via min-doc per gram): the template-spam / "
+    "incremental-dedup curve, two combinable shuffles",
+)

@@ -1724,3 +1724,44 @@ def test_wilson_ranking_matches_python_and_penalizes_small_n(spark):
     assert got == scored
     assert wilson_ppm(2, 2) < wilson_ppm(40, 50)  # 100% of 2 < 80% of 50
     assert wilson_ppm(4, 8) < wilson_ppm(40, 80)  # same p, fewer trials
+
+
+# ---------------------------------------------------------------------------
+# N-gram novelty
+# ---------------------------------------------------------------------------
+
+
+def test_ngram_novelty_matches_python(spark):
+    """Per-doc novelty == a Python first-occurrence recompute, the
+    FIRST doc is fully novel, and at least one doc repeats earlier
+    grams (novelty < 1) so the attribution genuinely discriminates."""
+    import re
+
+    from bsc_project_spark.queries.textops import QUERIES
+
+    got = {
+        r.doc_id: (r.n_grams, r.n_novel, r.novelty_ppm)
+        for r in QUERIES["q_ngram_novelty"].spark(spark, SF).collect()
+    }
+    con = _duck()
+    rows = con.execute(
+        "SELECT doc_id, lower(trim(text)) FROM documents ORDER BY doc_id"
+    ).fetchall()
+    first: dict[str, int] = {}
+    per_doc: dict[int, set] = {}
+    for d, txt in rows:
+        ws = [w for w in re.split(r"\s+", txt) if w]
+        gs = {f"{a} {b} {c}" for a, b, c in zip(ws, ws[1:], ws[2:])}
+        per_doc[d] = gs
+        for g in gs:
+            if g not in first:
+                first[g] = d
+    want = {}
+    for d, gs in per_doc.items():
+        if gs:
+            novel = sum(1 for g in gs if first[g] == d)
+            want[d] = (len(gs), novel, novel * 1_000_000 // len(gs))
+    assert got == want
+    first_doc = min(want)
+    assert want[first_doc][2] == 1_000_000
+    assert any(ppm < 1_000_000 for _, _, ppm in got.values())
