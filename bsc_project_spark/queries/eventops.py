@@ -1228,3 +1228,64 @@ _q(
     "top-10 3-step event paths: two lead()s on the user-partitioned "
     "stream, global path rollup, TakeOrdered top-k with total tie order",
 )
+
+# ---------------------------------------------------------------------------
+# JSON schema profiling — the schema-on-read discovery step a lake runs
+# over a semi-structured column before declaring a table: per key, how
+# many rows carry it and its coverage share.  The fixture's props column
+# is single-key, so a richer payload is synthesized deterministically
+# from event_id (optional price / tags / name keys at different
+# modularities); the operator under test is the JSON path extraction +
+# presence rollup AFTER synthesis.  Extraction is the engines' native
+# JSON path (get_json_object / json_extract) — NULL on absent key in
+# both.  Scale notes: map-only parse, one 4-key x presence rollup; the
+# static key list rides a bounded explode.
+# ---------------------------------------------------------------------------
+
+_JSON_PROFILE_BODY = """
+    WITH payloads AS (
+      SELECT concat(
+        '{{"k":', CAST(event_id % 100 AS {st}),
+        CASE WHEN event_id % 3 = 0
+             THEN concat(',"price":', CAST(event_id % 50 AS {st}), '.5')
+             ELSE '' END,
+        CASE WHEN event_id % 4 = 0 THEN ',"tags":["a","b"]' ELSE '' END,
+        CASE WHEN event_id % 5 = 0
+             THEN concat(',"name":"u', CAST(event_id % 9 AS {st}), '"')
+             ELSE '' END,
+        '}}'
+      ) AS js FROM events
+    ),
+    keys AS (SELECT kk FROM ({kseries}) ks),
+    probed AS (
+      SELECT k.kk,
+             CASE WHEN {extract} IS NOT NULL THEN 1 ELSE 0 END AS present
+      FROM payloads p CROSS JOIN keys k
+    ),
+    nn AS (SELECT count(*) AS n FROM payloads)
+    SELECT p.kk AS json_key,
+           CAST(sum(p.present) AS BIGINT) AS n_present,
+           CAST((sum(p.present) * 1000000) {idiv} nn.n AS BIGINT)
+             AS coverage_ppm
+    FROM probed p CROSS JOIN nn
+    GROUP BY p.kk, nn.n
+"""
+
+_q(
+    "q_json_schema_profile",
+    sql_query(_JSON_PROFILE_BODY.format(
+        st="STRING",
+        kseries="SELECT explode(array('k', 'price', 'tags', 'name')) AS kk",
+        extract="get_json_object(p.js, concat('$.', k.kk))",
+        idiv="div",
+    )),
+    _JSON_PROFILE_BODY.format(
+        st="VARCHAR",
+        kseries="SELECT unnest(['k', 'price', 'tags', 'name']) AS kk",
+        extract="json_extract(p.js, concat('$.', k.kk))",
+        idiv="//",
+    ),
+    "JSON schema profiling: native path extraction over a synthesized "
+    "semi-structured payload, per-key presence + coverage ppm — "
+    "map-only parse, bounded key explode, one combinable rollup",
+)

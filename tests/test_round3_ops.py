@@ -1765,3 +1765,34 @@ def test_ngram_novelty_matches_python(spark):
     first_doc = min(want)
     assert want[first_doc][2] == 1_000_000
     assert any(ppm < 1_000_000 for _, _, ppm in got.values())
+
+
+# ---------------------------------------------------------------------------
+# JSON schema profile
+# ---------------------------------------------------------------------------
+
+
+def test_json_schema_profile_matches_python(spark):
+    """Coverage == a Python recompute from the synthesis modularities
+    (k always, price at %3, tags at %4, name at %5), on the REAL
+    event_id population."""
+    import pyarrow.parquet as pq
+
+    from bsc_project_spark.queries.eventops import QUERIES
+
+    got = {
+        r.json_key: (r.n_present, r.coverage_ppm)
+        for r in QUERIES["q_json_schema_profile"].spark(spark, SF).collect()
+    }
+    ids = pq.read_table(f"{SF}/events.parquet", columns=["event_id"])["event_id"].to_pylist()
+    n = len(ids)
+    counts = {
+        "k": n,
+        "price": sum(1 for e in ids if e % 3 == 0),
+        "tags": sum(1 for e in ids if e % 4 == 0),
+        "name": sum(1 for e in ids if e % 5 == 0),
+    }
+    want = {k: (c, c * 1_000_000 // n) for k, c in counts.items()}
+    assert got == want
+    assert got["k"][1] == 1_000_000
+    assert 0 < got["price"][0] < n
