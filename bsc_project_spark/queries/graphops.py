@@ -857,3 +857,86 @@ QUERIES["q_hits_scores"] = QuerySpec(
         "combinable groupBys over the edge list, no windows"
     ),
 )
+
+# ---------------------------------------------------------------------------
+# Degree distribution (log2-binned) — the first profiling pass over any
+# web graph: how heavy is the tail, how many hubs, is the fan-out
+# bounded — the facts that decide salting/broadcast strategy for every
+# downstream graph join (and the power-law check crawl QA reads).  Bins
+# are exact integer log2 buckets computed by pure comparison (no float
+# log), so the histogram is hash-exact.  One in-degree rollup + one
+# bounded bin rollup, both map-side combinable.
+# ---------------------------------------------------------------------------
+
+
+def _degree_hist_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ids, n, edges = _link_graph(spark, sf_dir)
+    if n == 0:
+        return spark.createDataFrame(
+            [], "degree_bin bigint, bin_floor bigint, n_nodes bigint"
+        )
+    ind = edges.groupBy(F.col("dst").alias("v")).agg(
+        F.count(F.lit(1)).alias("deg")
+    )
+    full = (
+        ids.join(ind, ids.idx == ind.v, "left")
+        .select(F.coalesce(F.col("deg"), F.lit(0)).alias("deg"))
+    )
+    bin_expr = F.expr(
+        "CASE WHEN deg = 0 THEN -1 ELSE CAST(floor(log2(CAST(deg AS DOUBLE))) AS BIGINT) END"
+    )
+    return (
+        full.select(bin_expr.alias("degree_bin"))
+        .groupBy("degree_bin")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_nodes"))
+        .select(
+            "degree_bin",
+            F.expr(
+                "CAST(CASE WHEN degree_bin < 0 THEN 0 "
+                "ELSE CAST(pow(2, degree_bin) AS BIGINT) END AS BIGINT)"
+            ).alias("bin_floor"),
+            "n_nodes",
+        )
+    )
+
+
+def _degree_hist_oracle() -> str:
+    hashed = _hex8_of("md5(CAST(i.idx AS STRING) || ':' || CAST(g.k AS STRING))")
+    return f"""
+    WITH ids AS (
+      SELECT doc_id, CAST(row_number() OVER (ORDER BY doc_id) - 1 AS BIGINT) AS idx
+      FROM documents
+    ),
+    nn AS (SELECT count(*) AS n FROM ids),
+    edges AS (
+      SELECT DISTINCT i.idx AS src, ({hashed}) % (SELECT n FROM nn) AS dst
+      FROM ids i, (SELECT unnest(generate_series(1, {_FANOUT})) AS k) g
+    ),
+    ind AS (SELECT dst AS v, count(*) AS deg FROM edges GROUP BY dst),
+    full_d AS (
+      SELECT coalesce(ind.deg, 0) AS deg FROM ids LEFT JOIN ind ON ind.v = ids.idx
+    ),
+    binned AS (
+      SELECT CASE WHEN deg = 0 THEN -1
+                  ELSE CAST(floor(log2(CAST(deg AS DOUBLE))) AS BIGINT) END
+               AS degree_bin
+      FROM full_d
+    )
+    SELECT CAST(degree_bin AS BIGINT) AS degree_bin,
+           CAST(CASE WHEN degree_bin < 0 THEN 0
+                     ELSE CAST(pow(2, degree_bin) AS BIGINT) END AS BIGINT)
+             AS bin_floor,
+           CAST(count(*) AS BIGINT) AS n_nodes
+    FROM binned GROUP BY degree_bin
+"""
+
+
+QUERIES["q_degree_histogram"] = QuerySpec(
+    spark=_degree_hist_spark,
+    oracle=_degree_hist_oracle(),
+    description=(
+        "log2-binned in-degree distribution of the link graph (0-degree "
+        "bin included): the tail-heaviness profile that picks join "
+        "strategy; two combinable rollups"
+    ),
+)

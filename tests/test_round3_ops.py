@@ -1796,3 +1796,34 @@ def test_json_schema_profile_matches_python(spark):
     assert got == want
     assert got["k"][1] == 1_000_000
     assert 0 < got["price"][0] < n
+
+
+# ---------------------------------------------------------------------------
+# Degree histogram
+# ---------------------------------------------------------------------------
+
+
+def test_degree_histogram_matches_exact_bit_length(spark):
+    """Histogram == a Python recompute with EXACT integer bit-length
+    bins (floor(log2(d)) == d.bit_length()-1) — pins that the engines'
+    log2 floors stay exact over the graph's degree range — and the
+    distribution covers multiple bins including isolated nodes."""
+    from bsc_project_spark.queries.graphops import _FANOUT, QUERIES
+
+    got = {
+        r.degree_bin: (r.bin_floor, r.n_nodes)
+        for r in QUERIES["q_degree_histogram"].spark(spark, SF).collect()
+    }
+    con = _duck()
+    n = con.execute("SELECT count(*) FROM documents").fetchone()[0]
+    ind = {v: 0 for v in range(n)}
+    for idx in range(n):
+        for k in range(1, _FANOUT + 1):
+            ind[int(_md5(f"{idx}:{k}")[:8], 16) % n] += 1
+    bins: dict[int, int] = {}
+    for d in ind.values():
+        b = -1 if d == 0 else d.bit_length() - 1
+        bins[b] = bins.get(b, 0) + 1
+    want = {b: (0 if b < 0 else 2**b, c) for b, c in bins.items()}
+    assert got == want
+    assert len(got) >= 3
