@@ -1816,10 +1816,13 @@ def test_degree_histogram_matches_exact_bit_length(spark):
     }
     con = _duck()
     n = con.execute("SELECT count(*) FROM documents").fetchone()[0]
-    ind = {v: 0 for v in range(n)}
+    dedup = set()
     for idx in range(n):
         for k in range(1, _FANOUT + 1):
-            ind[int(_md5(f"{idx}:{k}")[:8], 16) % n] += 1
+            dedup.add((idx, int(_md5(f"{idx}:{k}")[:8], 16) % n))
+    ind = {v: 0 for v in range(n)}
+    for _, dst in dedup:
+        ind[dst] += 1
     bins: dict[int, int] = {}
     for d in ind.values():
         b = -1 if d == 0 else d.bit_length() - 1
