@@ -154,6 +154,7 @@ _CHECK_FIRST = [
     "q_ngram_novelty",
     "q_json_schema_profile",
     "q_degree_histogram",
+    "q_sample_apportion",
     "q_prefix_join",
     "q_embed_covariance",
     "q_cooccurrence",

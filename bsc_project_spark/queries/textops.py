@@ -3223,3 +3223,55 @@ _q(
     "attribution via min-doc per gram): the template-spam / "
     "incremental-dedup curve, two combinable shuffles",
 )
+
+# ---------------------------------------------------------------------------
+# Largest-remainder (Hamilton) apportionment — exact integer allocation
+# of a fixed sample budget K=97 (prime, so perfectly balanced strata still leave remainder seats) across strata: quota = K * n_s / N, every
+# stratum gets floor(quota), and the leftover seats go to the largest
+# fractional remainders (ties to the smaller source name — total
+# order).  This is how a fixed-size eval set / annotation budget is
+# split proportionally WITHOUT float drift or a lottery: the result
+# sums to exactly K by construction, which the test asserts.
+#
+# Remainders compare as exact integers (quota_num mod N), never as
+# floats.  Scale notes: one count-by-stratum rollup; the apportionment
+# itself runs on |strata| rows (driver-safe) via one TakeOrdered over
+# remainders — no windows, no global sort of data rows.
+# ---------------------------------------------------------------------------
+
+_APPORTION_K = 97
+
+_APPORTION_BODY = """
+    WITH strata AS (
+      SELECT source, count(*) AS n_docs FROM documents GROUP BY source
+    ),
+    nn AS (SELECT sum(n_docs) AS total FROM strata),
+    quotas AS (
+      SELECT s.source, s.n_docs,
+             (s.n_docs * {k}) {idiv} nn.total AS base_seats,
+             (s.n_docs * {k}) % nn.total AS rem_num
+      FROM strata s CROSS JOIN nn
+    ),
+    leftover AS (
+      SELECT ({k} - sum(base_seats)) AS extra FROM quotas
+    ),
+    ranked AS (
+      SELECT source, n_docs, base_seats, rem_num,
+             row_number() OVER (ORDER BY rem_num DESC, source ASC) AS rk
+      FROM quotas
+    )
+    SELECT r.source,
+           CAST(r.n_docs AS BIGINT) AS n_docs,
+           CAST(r.base_seats + CASE WHEN r.rk <= l.extra THEN 1 ELSE 0 END
+                AS BIGINT) AS sample_quota
+    FROM ranked r CROSS JOIN leftover l
+"""
+
+_q(
+    "q_sample_apportion",
+    _APPORTION_BODY.format(k=_APPORTION_K, idiv="div"),
+    _APPORTION_BODY.format(k=_APPORTION_K, idiv="//"),
+    "largest-remainder apportionment of a fixed K=97 sample budget "
+    "across sources: exact integer quotas + remainders, sums to K by "
+    "construction; apportionment runs on |strata| rows",
+)

@@ -1830,3 +1830,38 @@ def test_degree_histogram_matches_exact_bit_length(spark):
     want = {b: (0 if b < 0 else 2**b, c) for b, c in bins.items()}
     assert got == want
     assert len(got) >= 3
+
+
+# ---------------------------------------------------------------------------
+# Sample apportionment
+# ---------------------------------------------------------------------------
+
+
+def test_sample_apportion_matches_python_and_sums_to_k(spark):
+    """Quotas == a Python Hamilton-method recompute, sum to exactly K,
+    and at least one stratum received a remainder seat (so the
+    largest-remainder half of the algorithm is exercised)."""
+    from bsc_project_spark.queries.textops import _APPORTION_K, QUERIES
+
+    got = {
+        r.source: (r.n_docs, r.sample_quota)
+        for r in QUERIES["q_sample_apportion"].spark(spark, SF).collect()
+    }
+    con = _duck()
+    rows = con.execute(
+        "SELECT source, count(*) FROM documents GROUP BY source"
+    ).fetchall()
+    total = sum(n for _, n in rows)
+    quotas = {
+        src: ((n * _APPORTION_K) // total, (n * _APPORTION_K) % total, n)
+        for src, n in rows
+    }
+    extra = _APPORTION_K - sum(b for b, _, _ in quotas.values())
+    order = sorted(quotas, key=lambda s: (-quotas[s][1], s))
+    want = {
+        src: (quotas[src][2], quotas[src][0] + (1 if order.index(src) < extra else 0))
+        for src in quotas
+    }
+    assert got == want
+    assert sum(q for _, q in got.values()) == _APPORTION_K
+    assert extra > 0, "fixture must exercise the remainder seats"
