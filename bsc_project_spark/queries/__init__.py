@@ -155,6 +155,7 @@ _CHECK_FIRST = [
     "q_json_schema_profile",
     "q_degree_histogram",
     "q_sample_apportion",
+    "q_sorted_neighborhood",
     "q_prefix_join",
     "q_embed_covariance",
     "q_cooccurrence",

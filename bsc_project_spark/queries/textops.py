@@ -3275,3 +3275,97 @@ _q(
     "across sources: exact integer quotas + remainders, sums to K by "
     "construction; apportionment runs on |strata| rows",
 )
+
+# ---------------------------------------------------------------------------
+# Sorted-neighborhood dedup blocking (Hernandez-Stolfo) — the OTHER
+# classical blocking family next to LSH: sort the corpus by a cheap
+# key (leading 12 normalized chars), then compare only records within
+# a sliding window of w = 4 positions.  Where LSH buckets by hash
+# collision, sorted-neighborhood catches near-dups whose PREFIXES
+# agree — the typo / truncation / re-serialization cluster family.
+# Candidates verify with levenshtein <= 3 on the key (exact integers).
+#
+# The SPARK side gets global positions from the two-phase rank (never a
+# single-task window) and turns the +/-3-position window into an
+# EQUI-join: band = pos div 4, each row probes its own and the next
+# band (2x skinny fan-out), |pos_a - pos_b| <= 3 filters exactly.  The
+# ORACLE uses the declarative row_number + self-join.  Scale notes: one
+# rank pass + one equi-join on band — candidate count is n*w, never
+# n^2; the band join is the same bounded-neighborhood move as
+# q_grid_radius_join's 3x3 cells in 1-D.
+# ---------------------------------------------------------------------------
+
+_SN_WINDOW = 4
+
+
+def _sorted_neighborhood_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from . import register_views
+    from .prefix import global_row_number
+
+    register_views(spark, sf_dir)
+    keyed = spark.table("documents").select(
+        "doc_id",
+        F.expr("substring(lower(trim(text)), 1, 12)").alias("key12"),
+    )
+    pos = global_row_number(keyed, ["key12", "doc_id"], "pos").select(
+        "doc_id", "key12", F.col("pos").cast("long").alias("pos")
+    )
+    w = _SN_WINDOW
+    a = pos.select(
+        F.col("doc_id").alias("a_id"), F.col("key12").alias("a_key"),
+        F.col("pos").alias("a_pos"),
+    )
+    probes = a.select(
+        "a_id", "a_key", "a_pos", F.explode(
+            F.array(F.expr(f"a_pos div {w}"), F.expr(f"a_pos div {w} + 1"))
+        ).alias("band"),
+    )
+    b = pos.select(
+        F.col("doc_id").alias("b_id"), F.col("key12").alias("b_key"),
+        F.col("pos").alias("b_pos"), F.expr(f"pos div {w}").alias("band"),
+    )
+    return (
+        probes.join(b, "band")
+        .where(
+            (F.col("b_pos") > F.col("a_pos"))
+            & (F.col("b_pos") - F.col("a_pos") <= w - 1)
+        )
+        .where(F.expr("levenshtein(a_key, b_key) <= 3"))
+        .select(
+            "a_id", "b_id",
+            (F.col("b_pos") - F.col("a_pos")).cast("bigint").alias("pos_gap"),
+            F.expr("CAST(levenshtein(a_key, b_key) AS BIGINT)").alias("key_lev"),
+        )
+    )
+
+
+_SN_DUCK = f"""
+    WITH keyed AS (
+      SELECT doc_id, substring(lower(trim(text)), 1, 12) AS key12
+      FROM documents
+    ),
+    pos AS (
+      SELECT doc_id, key12,
+             CAST(row_number() OVER (ORDER BY key12, doc_id) AS BIGINT) AS pos
+      FROM keyed
+    )
+    SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+           CAST(b.pos - a.pos AS BIGINT) AS pos_gap,
+           CAST(levenshtein(a.key12, b.key12) AS BIGINT) AS key_lev
+    FROM pos a JOIN pos b
+      ON b.pos > a.pos AND b.pos - a.pos <= {_SN_WINDOW - 1}
+    WHERE levenshtein(a.key12, b.key12) <= 3
+"""
+
+QUERIES["q_sorted_neighborhood"] = QuerySpec(
+    spark=_sorted_neighborhood_spark,
+    oracle=_SN_DUCK,
+    description=(
+        "sorted-neighborhood dedup blocking (w=4 window over the "
+        "12-char normalized prefix order): two-phase global rank + "
+        "banded equi-join (candidates n*w, never n^2), levenshtein "
+        "verify"
+    ),
+)

@@ -1865,3 +1865,45 @@ def test_sample_apportion_matches_python_and_sums_to_k(spark):
     assert got == want
     assert sum(q for _, q in got.values()) == _APPORTION_K
     assert extra > 0, "fixture must exercise the remainder seats"
+
+
+# ---------------------------------------------------------------------------
+# Sorted neighborhood
+# ---------------------------------------------------------------------------
+
+
+def test_sorted_neighborhood_matches_python(spark):
+    """Banded equi-join candidates == a Python recompute of the flat
+    sliding window over the sorted key order (proves the band trick
+    covers the window exactly, no duplicates)."""
+    from bsc_project_spark.queries.textops import _SN_WINDOW, QUERIES
+
+    got = {
+        (r.a_id, r.b_id): (r.pos_gap, r.key_lev)
+        for r in QUERIES["q_sorted_neighborhood"].spark(spark, SF).collect()
+    }
+
+    def lev(s: str, t: str) -> int:
+        prev = list(range(len(t) + 1))
+        for i, cs in enumerate(s, 1):
+            cur = [i]
+            for j, ct in enumerate(t, 1):
+                cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                               prev[j - 1] + (cs != ct)))
+            prev = cur
+        return prev[-1]
+
+    con = _duck()
+    rows = con.execute(
+        "SELECT doc_id, substring(lower(trim(text)), 1, 12) FROM documents"
+    ).fetchall()
+    ordered = sorted(rows, key=lambda r: (r[1], r[0]))
+    want = {}
+    for i, (a_id, a_key) in enumerate(ordered):
+        for j in range(i + 1, min(i + _SN_WINDOW, len(ordered))):
+            b_id, b_key = ordered[j]
+            d = lev(a_key, b_key)
+            if d <= 3:
+                want[(a_id, b_id)] = (j - i, d)
+    assert got == want
+    assert got, "window must yield candidate pairs on this fixture"
