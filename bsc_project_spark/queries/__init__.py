@@ -156,6 +156,7 @@ _CHECK_FIRST = [
     "q_degree_histogram",
     "q_sample_apportion",
     "q_sorted_neighborhood",
+    "q_corpus_diversity",
     "q_prefix_join",
     "q_embed_covariance",
     "q_cooccurrence",

@@ -3369,3 +3369,48 @@ QUERIES["q_sorted_neighborhood"] = QuerySpec(
         "verify"
     ),
 )
+
+# ---------------------------------------------------------------------------
+# Corpus diversity index — the one-row mixture diagnostic read before
+# weighting a training blend: Shannon entropy of the source shares (in
+# floored ppm-nats, the q_char_entropy discipline) and the Gini
+# coefficient of source sizes computed EXACTLY as integers via the
+# mean-absolute-difference form (sum |n_i - n_j| over ordered pairs,
+# cross-multiplied — no sorting, no floats).  Both collapse the corpus
+# to |sources| rows before any pairwise work, so the O(|sources|^2)
+# Gini join is bounded regardless of corpus size.
+# ---------------------------------------------------------------------------
+
+_DIVERSITY_BODY = """
+    WITH strata AS (
+      SELECT source, count(*) AS n FROM documents GROUP BY source
+    ),
+    nn AS (SELECT sum(n) AS total, count(*) AS k FROM strata),
+    ent AS (
+      SELECT sum(CAST(floor(
+               (CAST(s.n AS DOUBLE) / CAST(nn.total AS DOUBLE))
+               * ln(CAST(nn.total AS DOUBLE) / CAST(s.n AS DOUBLE))
+               * 1.0e6
+             ) AS BIGINT)) AS h_ppm
+      FROM strata s CROSS JOIN nn
+    ),
+    gini AS (
+      SELECT sum(abs(a.n - b.n)) AS mad_num
+      FROM strata a CROSS JOIN strata b
+    )
+    SELECT CAST(nn.k AS BIGINT) AS n_sources,
+           CAST(nn.total AS BIGINT) AS n_docs,
+           CAST(e.h_ppm AS BIGINT) AS entropy_ppm_nats,
+           CAST((g.mad_num * 1000000) {idiv} (2 * nn.k * nn.total) AS BIGINT)
+             AS gini_ppm
+    FROM nn CROSS JOIN ent e CROSS JOIN gini g
+"""
+
+_q(
+    "q_corpus_diversity",
+    _DIVERSITY_BODY.format(idiv="div"),
+    _DIVERSITY_BODY.format(idiv="//"),
+    "corpus diversity index: source-share Shannon entropy (floored "
+    "ppm-nats) + EXACT integer Gini via the mean-absolute-difference "
+    "form — pairwise work bounded by |sources|^2",
+)

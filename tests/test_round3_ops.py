@@ -1907,3 +1907,29 @@ def test_sorted_neighborhood_matches_python(spark):
                 want[(a_id, b_id)] = (j - i, d)
     assert got == want
     assert got, "window must yield candidate pairs on this fixture"
+
+
+# ---------------------------------------------------------------------------
+# Corpus diversity
+# ---------------------------------------------------------------------------
+
+
+def test_corpus_diversity_matches_python(spark):
+    """Entropy/Gini == a Python recompute; entropy is within floor loss
+    of ln(k) for the near-balanced fixture and Gini is near 0."""
+    from bsc_project_spark.queries.textops import QUERIES
+
+    row = QUERIES["q_corpus_diversity"].spark(spark, SF).collect()[0]
+    con = _duck()
+    counts = [n for (_, n) in con.execute(
+        "SELECT source, count(*) FROM documents GROUP BY source"
+    ).fetchall()]
+    total, k = sum(counts), len(counts)
+    h = sum(math.floor((n / total) * math.log(total / n) * 1.0e6) for n in counts)
+    mad = sum(abs(a - b) for a in counts for b in counts)
+    gini = mad * 1_000_000 // (2 * k * total)
+    assert (row.n_sources, row.n_docs, row.entropy_ppm_nats, row.gini_ppm) == (
+        k, total, h, gini
+    )
+    assert h <= math.log(k) * 1.0e6 + 1
+    assert gini < 300_000
