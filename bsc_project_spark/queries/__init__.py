@@ -157,6 +157,7 @@ _CHECK_FIRST = [
     "q_sample_apportion",
     "q_sorted_neighborhood",
     "q_corpus_diversity",
+    "q_audience_overlap",
     "q_prefix_join",
     "q_embed_covariance",
     "q_cooccurrence",

@@ -1289,3 +1289,41 @@ _q(
     "semi-structured payload, per-key presence + coverage ppm — "
     "map-only parse, bounded key explode, one combinable rollup",
 )
+
+# ---------------------------------------------------------------------------
+# Audience overlap — pairwise Jaccard of the user sets behind each
+# event type: the segmentation/cannibalization matrix every funnel
+# owner reads ("are purchasers a subset of clickers?").  Intersections
+# come from ONE self-join over the deduped (type, user) frame keyed on
+# user (bounded fan-out: a user carries at most |types| rows), union
+# sizes by inclusion-exclusion, Jaccard in exact integer ppm — the
+# whole matrix is |types|^2 rows.
+# ---------------------------------------------------------------------------
+
+_AUDIENCE_BODY = """
+    WITH tu AS (SELECT DISTINCT event_type, user_id FROM events),
+    sizes AS (SELECT event_type, count(*) AS n FROM tu GROUP BY event_type),
+    inter AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b, count(*) AS i
+      FROM tu a JOIN tu b ON b.user_id = a.user_id
+      WHERE a.event_type < b.event_type
+      GROUP BY a.event_type, b.event_type
+    )
+    SELECT i.type_a, i.type_b,
+           CAST(i.i AS BIGINT) AS n_shared,
+           CAST(sa.n + sb.n - i.i AS BIGINT) AS n_union,
+           CAST((i.i * 1000000) {idiv} (sa.n + sb.n - i.i) AS BIGINT)
+             AS jaccard_ppm
+    FROM inter i
+    JOIN sizes sa ON sa.event_type = i.type_a
+    JOIN sizes sb ON sb.event_type = i.type_b
+"""
+
+_q(
+    "q_audience_overlap",
+    sql_query(_AUDIENCE_BODY.format(idiv="div")),
+    _AUDIENCE_BODY.format(idiv="//"),
+    "pairwise Jaccard of per-event-type user sets: one user-keyed "
+    "self-join over the deduped (type, user) frame (fan-out bounded by "
+    "|types|), inclusion-exclusion unions, exact integer ppm",
+)

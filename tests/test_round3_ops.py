@@ -1933,3 +1933,36 @@ def test_corpus_diversity_matches_python(spark):
     )
     assert h <= math.log(k) * 1.0e6 + 1
     assert gini < 300_000
+
+
+# ---------------------------------------------------------------------------
+# Audience overlap
+# ---------------------------------------------------------------------------
+
+
+def test_audience_overlap_matches_python(spark):
+    """Jaccard matrix == a Python set recompute; the matrix covers
+    every type pair and no Jaccard exceeds 10^6."""
+    import pyarrow.parquet as pq
+
+    from bsc_project_spark.queries.eventops import QUERIES
+
+    got = {
+        (r.type_a, r.type_b): (r.n_shared, r.n_union, r.jaccard_ppm)
+        for r in QUERIES["q_audience_overlap"].spark(spark, SF).collect()
+    }
+    tbl = pq.read_table(f"{SF}/events.parquet", columns=["event_type", "user_id"])
+    sets: dict[str, set] = {}
+    for ty, u in zip(tbl["event_type"].to_pylist(), tbl["user_id"].to_pylist()):
+        sets.setdefault(ty, set()).add(u)
+    types = sorted(sets)
+    want = {}
+    for i, a in enumerate(types):
+        for b in types[i + 1:]:
+            inter = len(sets[a] & sets[b])
+            if inter:
+                union = len(sets[a] | sets[b])
+                want[(a, b)] = (inter, union, inter * 1_000_000 // union)
+    assert got == want
+    assert len(got) == len(types) * (len(types) - 1) // 2
+    assert all(j <= 1_000_000 for _, _, j in got.values())
