@@ -158,6 +158,7 @@ _CHECK_FIRST = [
     "q_sorted_neighborhood",
     "q_corpus_diversity",
     "q_audience_overlap",
+    "q_dedup_savings",
     "q_prefix_join",
     "q_embed_covariance",
     "q_cooccurrence",

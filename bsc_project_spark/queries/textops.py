@@ -3414,3 +3414,41 @@ _q(
     "ppm-nats) + EXACT integer Gini via the mean-absolute-difference "
     "form — pairwise work bounded by |sources|^2",
 )
+
+# ---------------------------------------------------------------------------
+# Dedup ROI report — what near-exact dedup would actually SAVE: per
+# duplicate cluster (head-64 fingerprint, the q_doc_fingerprint key —
+# full-text md5 finds nothing on this corpus, prefix collisions are the
+# realistic template-dup signal) the copy count and reclaimable bytes
+# (cluster bytes minus the LONGEST copy kept), plus the cluster's share
+# of total corpus bytes in exact ppm.  This is the report that
+# justifies (or kills) a dedup pass before anyone runs it at 100 TB —
+# one hash rollup, no join back to the corpus, output bounded by the
+# duplicated clusters only.
+# ---------------------------------------------------------------------------
+
+_DEDUP_ROI_BODY = """
+    WITH clusters AS (
+      SELECT md5(substring(text, 1, 64)) AS h, count(*) AS copies,
+             min(doc_id) AS keep_doc, sum(n_chars) AS sz_all,
+             max(n_chars) AS sz_keep
+      FROM documents GROUP BY md5(substring(text, 1, 64))
+    ),
+    nn AS (SELECT sum(n_chars) AS total_bytes FROM documents)
+    SELECT c.keep_doc,
+           CAST(c.copies AS BIGINT) AS copies,
+           CAST(c.sz_all - c.sz_keep AS BIGINT) AS wasted_bytes,
+           CAST(((c.sz_all - c.sz_keep) * 1000000) {idiv} nn.total_bytes
+                AS BIGINT) AS waste_ppm
+    FROM clusters c CROSS JOIN nn
+    WHERE c.copies > 1
+"""
+
+_q(
+    "q_dedup_savings",
+    _DEDUP_ROI_BODY.format(idiv="div"),
+    _DEDUP_ROI_BODY.format(idiv="//"),
+    "dedup ROI report: per head-64-fingerprint duplicate cluster the "
+    "copy count, reclaimable bytes (all but the longest copy), and "
+    "exact ppm share of corpus bytes — one hash rollup",
+)

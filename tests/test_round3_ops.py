@@ -1966,3 +1966,39 @@ def test_audience_overlap_matches_python(spark):
     assert got == want
     assert len(got) == len(types) * (len(types) - 1) // 2
     assert all(j <= 1_000_000 for _, _, j in got.values())
+
+
+# ---------------------------------------------------------------------------
+# Dedup savings
+# ---------------------------------------------------------------------------
+
+
+def test_dedup_savings_matches_python(spark):
+    """ROI rows == a Python recompute over head-64 fingerprint clusters;
+    the report bites (some cluster found) and waste never counts the
+    kept copy."""
+    from bsc_project_spark.queries.textops import QUERIES
+
+    got = {
+        r.keep_doc: (r.copies, r.wasted_bytes, r.waste_ppm)
+        for r in QUERIES["q_dedup_savings"].spark(spark, SF).collect()
+    }
+    con = _duck()
+    rows = con.execute(
+        "SELECT md5(substring(text, 1, 64)), doc_id, n_chars FROM documents"
+    ).fetchall()
+    clusters: dict[str, list] = {}
+    for h, d, sz in rows:
+        clusters.setdefault(h, []).append((d, sz))
+    total = sum(sz for _, _, sz in rows)
+    want = {}
+    for members in clusters.values():
+        if len(members) > 1:
+            sz_all = sum(sz for _, sz in members)
+            waste = sz_all - max(sz for _, sz in members)
+            want[min(d for d, _ in members)] = (
+                len(members), waste, waste * 1_000_000 // total
+            )
+    assert got == want
+    assert got, "fixture must contain head-64 duplicate clusters"
+    assert all(w >= 0 for _, w, _ in got.values())
