@@ -159,6 +159,8 @@ _CHECK_FIRST = [
     "q_corpus_diversity",
     "q_audience_overlap",
     "q_dedup_savings",
+    "q_rfm_features",
+    "q_type_token_ratio",
     "q_prefix_join",
     "q_embed_covariance",
     "q_cooccurrence",

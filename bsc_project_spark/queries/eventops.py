@@ -1327,3 +1327,41 @@ _q(
     "self-join over the deduped (type, user) frame (fan-out bounded by "
     "|types|), inclusion-exclusion unions, exact integer ppm",
 )
+
+# ---------------------------------------------------------------------------
+# RFM feature extraction — the classic per-user (recency, frequency,
+# monetary) vector that churn / LTV / segmentation models train on:
+# recency = whole days since the user's last event (anchored at the
+# corpus max timestamp so the feature is reproducible), frequency =
+# event count, monetary = exact DECIMAL value sum surfaced in integer
+# cents.  One map-side-combinable groupBy on user_id; the anchor is a
+# scalar subquery (1-row broadcast).  Every feature is an exact
+# integer — the gate hash-checks the whole feature table.
+# ---------------------------------------------------------------------------
+
+_RFM_BODY = """
+    WITH anchor AS (SELECT max({us}) AS max_us FROM events),
+    per_user AS (
+      SELECT user_id,
+             max({us}) AS last_us,
+             count(*) AS freq,
+             sum(CAST(value AS DECIMAL(18, 6))) AS monetary
+      FROM events GROUP BY user_id
+    )
+    SELECT CAST(u.user_id AS BIGINT) AS user_id,
+           CAST((a.max_us - u.last_us) {idiv} 86400000000 AS BIGINT)
+             AS recency_days,
+           CAST(u.freq AS BIGINT) AS frequency,
+           CAST(CAST(u.monetary * 100 AS DECIMAL(18, 0)) AS BIGINT)
+             AS monetary_cents
+    FROM per_user u CROSS JOIN anchor a
+"""
+
+_q(
+    "q_rfm_features",
+    sql_query(_RFM_BODY.format(us=_SPARK_EPOCH_US.format(c="ts"), idiv="div")),
+    _RFM_BODY.format(us="epoch_us(ts)", idiv="//"),
+    "per-user RFM feature vector (recency days vs corpus anchor, "
+    "frequency, exact DECIMAL monetary in cents): one combinable "
+    "user_id rollup + a 1-row anchor broadcast, all-integer output",
+)

@@ -3452,3 +3452,39 @@ _q(
     "copy count, reclaimable bytes (all but the longest copy), and "
     "exact ppm share of corpus bytes — one hash rollup",
 )
+
+# ---------------------------------------------------------------------------
+# Type-token ratio — per-source lexical richness (distinct tokens over
+# total tokens, exact integer ppm): the corpus-linguistics quality
+# signal that separates generative boilerplate (low TTR) from diverse
+# prose, read next to q_char_entropy and q_quality_score when deciding
+# source weights.  One tokenize pass, two combinable rollups.
+# ---------------------------------------------------------------------------
+
+_TTR_BODY = """
+    WITH tok AS (
+      SELECT source, t AS token FROM (
+        SELECT source, {explode_t} FROM documents
+      ) raw WHERE length(t) > 0
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(count(DISTINCT token) AS BIGINT) AS n_types,
+           CAST((count(DISTINCT token) * 1000000) {idiv} count(*) AS BIGINT)
+             AS ttr_ppm
+    FROM tok GROUP BY source
+"""
+
+_q(
+    "q_type_token_ratio",
+    _TTR_BODY.format(
+        explode_t="explode(split(lower(trim(text)), '\\\\s+')) AS t", idiv="div"
+    ),
+    _TTR_BODY.format(
+        explode_t=r"unnest(string_split_regex(lower(trim(text)), '\s+')) AS t",
+        idiv="//",
+    ),
+    "per-source type-token ratio in exact integer ppm — the lexical "
+    "richness signal for source weighting; one tokenize pass, "
+    "combinable rollups",
+)

@@ -2002,3 +2002,64 @@ def test_dedup_savings_matches_python(spark):
     assert got == want
     assert got, "fixture must contain head-64 duplicate clusters"
     assert all(w >= 0 for _, w, _ in got.values())
+
+
+# ---------------------------------------------------------------------------
+# RFM features + type-token ratio
+# ---------------------------------------------------------------------------
+
+
+def test_rfm_features_match_python(spark):
+    """Feature vectors == a Python recompute with exact integer cents
+    and whole-day recency; recency spans multiple distinct values."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    from decimal import Decimal
+
+    from bsc_project_spark.queries.eventops import QUERIES
+
+    got = {
+        r.user_id: (r.recency_days, r.frequency, r.monetary_cents)
+        for r in QUERIES["q_rfm_features"].spark(spark, SF).collect()
+    }
+    tbl = pq.read_table(f"{SF}/events.parquet", columns=["user_id", "ts", "value"])
+    us = pc.cast(pc.cast(tbl["ts"], "timestamp[us]"), "int64").to_pylist()
+    users = tbl["user_id"].to_pylist()
+    vals = tbl["value"].to_pylist()
+    anchor = max(us)
+    agg: dict[int, list] = {}
+    for u, t, v in zip(users, us, vals):
+        a = agg.setdefault(u, [0, 0, Decimal(0)])
+        a[0] = max(a[0], t)
+        a[1] += 1
+        a[2] += Decimal(f"{v:.6f}")
+    want = {
+        u: ((anchor - last) // 86_400_000_000, f, int(m * 100))
+        for u, (last, f, m) in agg.items()
+    }
+    assert got == want
+    assert len({r for r, _, _ in got.values()}) > 1
+
+
+def test_type_token_ratio_matches_python(spark):
+    """TTR == a Python recompute; every source's ratio is in (0, 1]
+    and types never exceed tokens."""
+    import re
+
+    from bsc_project_spark.queries.textops import QUERIES
+
+    got = {
+        r.source: (r.n_tokens, r.n_types, r.ttr_ppm)
+        for r in QUERIES["q_type_token_ratio"].spark(spark, SF).collect()
+    }
+    con = _duck()
+    rows = con.execute("SELECT source, lower(trim(text)) FROM documents").fetchall()
+    toks: dict[str, list] = {}
+    for src, txt in rows:
+        toks.setdefault(src, []).extend(w for w in re.split(r"\s+", txt) if w)
+    want = {
+        src: (len(ws), len(set(ws)), len(set(ws)) * 1_000_000 // len(ws))
+        for src, ws in toks.items()
+    }
+    assert got == want
+    assert all(0 < t <= 1_000_000 for _, _, t in got.values())
