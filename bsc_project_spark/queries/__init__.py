@@ -161,6 +161,7 @@ _CHECK_FIRST = [
     "q_dedup_savings",
     "q_rfm_features",
     "q_type_token_ratio",
+    "q_pareto_users",
     "q_prefix_join",
     "q_embed_covariance",
     "q_cooccurrence",

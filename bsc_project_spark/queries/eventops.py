@@ -1365,3 +1365,96 @@ _q(
     "frequency, exact DECIMAL monetary in cents): one combinable "
     "user_id rollup + a 1-row anchor broadcast, all-integer output",
 )
+
+# ---------------------------------------------------------------------------
+# Pareto concentration (80/20 report) — the smallest user set whose
+# exact-cents value covers >= 80% of the total, as a one-row
+# concentration summary: how top-heavy is the corpus's value?  The
+# cumulative walk down the value-sorted user list uses the two-phase
+# global_cumsum from .prefix (range exchange + per-range subtotals +
+# broadcast offsets — never a single-task window); the 80% boundary and
+# both shares are exact integer cross-multiplications.
+# ---------------------------------------------------------------------------
+
+
+def _pareto_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from . import register_views
+    from .prefix import global_cumsum
+
+    register_views(spark, sf_dir)
+    users = (
+        spark.table("events")
+        .groupBy("user_id")
+        .agg(
+            F.expr(
+                "CAST(CAST(sum(CAST(value AS DECIMAL(18,6))) * 100"
+                " AS DECIMAL(18,0)) AS BIGINT)"
+            ).alias("cents")
+        )
+        .select("user_id", "cents", (-F.col("cents")).alias("neg_cents"))
+    )
+    cum = global_cumsum(users, ["neg_cents", "user_id"], "cents", "cum")
+    totals = cum.agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum("cents").cast("bigint").alias("total"),
+    )
+    joined = cum.crossJoin(F.broadcast(totals))
+    return joined.agg(
+        F.max("k").alias("n_users"),
+        (
+            F.sum(
+                F.when(F.col("cum") * 100 < 80 * F.col("total"), 1).otherwise(0)
+            )
+            + 1
+        )
+        .cast("bigint")
+        .alias("n_power_users"),
+        F.expr(
+            "CAST((sum(CASE WHEN cum * 100 < 80 * total THEN 1 ELSE 0 END) + 1)"
+            " * 1000000 div max(k) AS BIGINT)"
+        ).alias("users_ppm"),
+        F.expr(
+            "CAST(min(CASE WHEN cum * 100 >= 80 * total THEN cum END)"
+            " * 1000000 div max(total) AS BIGINT)"
+        ).alias("value_ppm"),
+    )
+
+
+_PARETO_DUCK = """
+    WITH users AS (
+      SELECT user_id,
+             CAST(CAST(sum(CAST(value AS DECIMAL(18,6))) * 100
+                  AS DECIMAL(18,0)) AS BIGINT) AS cents
+      FROM events GROUP BY user_id
+    ),
+    cum AS (
+      SELECT user_id, cents,
+             sum(cents) OVER (
+               ORDER BY cents DESC, user_id
+               ROWS UNBOUNDED PRECEDING
+             ) AS cum
+      FROM users
+    ),
+    nn AS (SELECT count(*) AS k, sum(cents) AS total FROM users)
+    SELECT CAST(nn.k AS BIGINT) AS n_users,
+           CAST(sum(CASE WHEN c.cum * 100 < 80 * nn.total THEN 1 ELSE 0 END) + 1
+                AS BIGINT) AS n_power_users,
+           CAST(((sum(CASE WHEN c.cum * 100 < 80 * nn.total THEN 1 ELSE 0 END) + 1)
+                 * 1000000) // nn.k AS BIGINT) AS users_ppm,
+           CAST((min(CASE WHEN c.cum * 100 >= 80 * nn.total THEN c.cum END)
+                 * 1000000) // nn.total AS BIGINT) AS value_ppm
+    FROM cum c CROSS JOIN nn
+    GROUP BY nn.k, nn.total
+"""
+
+QUERIES["q_pareto_users"] = QuerySpec(
+    spark=_pareto_spark,
+    oracle=_PARETO_DUCK,
+    description=(
+        "Pareto 80/20 concentration: smallest user set covering >= 80% "
+        "of exact-cents value — two-phase global cumsum (no single-task "
+        "window), integer cross-multiplied boundary and shares"
+    ),
+)

@@ -2063,3 +2063,39 @@ def test_type_token_ratio_matches_python(spark):
     }
     assert got == want
     assert all(0 < t <= 1_000_000 for _, _, t in got.values())
+
+
+# ---------------------------------------------------------------------------
+# Pareto concentration
+# ---------------------------------------------------------------------------
+
+
+def test_pareto_users_matches_python(spark):
+    """The 80/20 summary == a Python recompute over exact cents, the
+    power set genuinely covers >= 80%, and dropping its last member
+    covers < 80% (minimality)."""
+    import pyarrow.parquet as pq
+    from decimal import Decimal
+
+    from bsc_project_spark.queries.eventops import QUERIES
+
+    row = QUERIES["q_pareto_users"].spark(spark, SF).collect()[0]
+    tbl = pq.read_table(f"{SF}/events.parquet", columns=["user_id", "value"])
+    cents: dict[int, Decimal] = {}
+    for u, v in zip(tbl["user_id"].to_pylist(), tbl["value"].to_pylist()):
+        cents[u] = cents.get(u, Decimal(0)) + Decimal(f"{v:.6f}")
+    vals = sorted(
+        ((int(c * 100), u) for u, c in cents.items()), key=lambda t: (-t[0], t[1])
+    )
+    total = sum(c for c, _ in vals)
+    cum, p = 0, 0
+    for c, _ in vals:
+        cum += c
+        p += 1
+        if cum * 100 >= 80 * total:
+            break
+    assert (row.n_users, row.n_power_users) == (len(vals), p)
+    assert row.users_ppm == p * 1_000_000 // len(vals)
+    assert row.value_ppm == cum * 1_000_000 // total
+    assert cum * 100 >= 80 * total
+    assert (cum - vals[p - 1][0]) * 100 < 80 * total
