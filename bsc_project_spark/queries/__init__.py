@@ -162,6 +162,7 @@ _CHECK_FIRST = [
     "q_rfm_features",
     "q_type_token_ratio",
     "q_pareto_users",
+    "q_dow_profile",
     "q_prefix_join",
     "q_embed_covariance",
     "q_cooccurrence",

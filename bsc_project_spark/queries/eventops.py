@@ -1458,3 +1458,38 @@ QUERIES["q_pareto_users"] = QuerySpec(
         "window), integer cross-multiplied boundary and shares"
     ),
 )
+
+# ---------------------------------------------------------------------------
+# Day-of-week seasonality profile — per (event type, weekday) volume
+# with each weekday's share of its type in exact integer ppm: the
+# weekly-rhythm fingerprint read before capacity planning and before
+# interpreting any daily metric move.  Weekday = epoch-day mod 7
+# (pure integer arithmetic, identical both engines — engine-native
+# dayofweek()/dayname() carry locale and timezone semantics that do
+# not survive a cross-engine hash).  One rollup + one broadcast-sized
+# marginal join; output bounded by |types| x 7.
+# ---------------------------------------------------------------------------
+
+_DOW_BODY = """
+    WITH daily AS (
+      SELECT event_type,
+             ({us} {idiv} 86400000000) % 7 AS dow,
+             count(*) AS n
+      FROM events GROUP BY event_type, ({us} {idiv} 86400000000) % 7
+    ),
+    totals AS (SELECT event_type, sum(n) AS tot FROM daily GROUP BY event_type)
+    SELECT d.event_type,
+           CAST(d.dow AS BIGINT) AS dow,
+           CAST(d.n AS BIGINT) AS n_events,
+           CAST((d.n * 1000000) {idiv} t.tot AS BIGINT) AS share_ppm
+    FROM daily d JOIN totals t ON t.event_type = d.event_type
+"""
+
+_q(
+    "q_dow_profile",
+    sql_query(_DOW_BODY.format(us=_SPARK_EPOCH_US.format(c="ts"), idiv="div")),
+    _DOW_BODY.format(us="epoch_us(ts)", idiv="//"),
+    "day-of-week seasonality per event type (epoch-day mod 7 — pure "
+    "integer weekday, no locale-dependent dayofweek), share in exact "
+    "ppm; one rollup + marginal join",
+)

@@ -2099,3 +2099,34 @@ def test_pareto_users_matches_python(spark):
     assert row.value_ppm == cum * 1_000_000 // total
     assert cum * 100 >= 80 * total
     assert (cum - vals[p - 1][0]) * 100 < 80 * total
+
+
+# ---------------------------------------------------------------------------
+# Day-of-week profile
+# ---------------------------------------------------------------------------
+
+
+def test_dow_profile_matches_python(spark):
+    """Seasonality cells == a Python recompute of epoch-day mod 7; each
+    type's shares cover the whole type up to integer-floor loss."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from bsc_project_spark.queries.eventops import QUERIES
+
+    got = {
+        (r.event_type, r.dow): (r.n_events, r.share_ppm)
+        for r in QUERIES["q_dow_profile"].spark(spark, SF).collect()
+    }
+    tbl = pq.read_table(f"{SF}/events.parquet", columns=["event_type", "ts"])
+    us = pc.cast(pc.cast(tbl["ts"], "timestamp[us]"), "int64").to_pylist()
+    cells: dict[tuple, int] = {}
+    tot: dict[str, int] = {}
+    for ty, t in zip(tbl["event_type"].to_pylist(), us):
+        d = (t // 86_400_000_000) % 7
+        cells[(ty, d)] = cells.get((ty, d), 0) + 1
+        tot[ty] = tot.get(ty, 0) + 1
+    want = {k: (n, n * 1_000_000 // tot[k[0]]) for k, n in cells.items()}
+    assert got == want
+    for ty, r in tot.items():
+        assert sum(n for (a, _), (n, _) in got.items() if a == ty) == r
