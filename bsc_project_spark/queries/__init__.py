@@ -63,70 +63,14 @@ def sql_query(sql: str) -> Callable[[SparkSession, str], DataFrame]:
 # union of the driver files across rounds covers every registered query, and
 # scripts/check_oracle.py remains the local all-queries gate every session.
 _CHECK_FIRST = [
-    # --- the driver gate checks a 50-row PREFIX (r01 = 35/36, r02 = 50/64).
-    # Priority: (1) the 14 VERDICT-r02 queries the driver has never checked,
-    # (2) the two queries whose implementation changed since their r02 green
-    # row (two-phase prefix sum), (3) every op added this round, except five
-    # flagship ops deferred to 51-55 because each also carries an INDEPENDENT
-    # Python/numpy parity test (double-covered: oracle locally + recompute in
-    # pytest), so they need the driver row least.  Everything here is green
-    # under scripts/check_oracle.py (the byte-identical local gate) at
-    # sf0.001 and sf0.01 every session.
-    "q_sessionize_batch",
-    "q_event_windows",
-    "q_json_props",
-    "q_pricing_summary",
-    "q_segment_revenue",
-    "q_asof_join",
-    "q_main_content",
-    "q_repetition_filter",
-    "q_paragraph_dedup",
-    "q_simhash_pairs",
-    "q_pii_scrub",
-    "q_web_pipeline",
-    "q_range_join",
-    "q_ivf_kmeans",
-    # changed since their r02 green row (two-phase prefix sum)
-    "q_sequence_pack",
-    "q_corpus_curation",
-    # new this round
-    "q_phash_pairs",
-    "q_length_quantiles",
-    "q_kmv_merge",
-    "q_semantic_dedup",
-    "q_cms_topk",
-    "q_norm_dedup",
-    "q_hll_distinct",
-    "q_substring_dedup",
-    "q_inverted_index",
-    "q_regional_revenue",
-    "q_bloom_prune",
-    "q_salted_join",
-    "q_rollup_cube",
-    "q_hopping_windows",
-    "q_anchor_text",
-    "q_quality_curriculum",
-    "q_bpe_tokens",
-    "q_weighted_sample",
-    "q_bm25",
-    "q_funnel",
-    "q_cohort_retention",
-    "q_group_percentiles",
-    "q_fuzzy_join",
-    "q_char_entropy",
-    "q_chunk_windows",
-    "q_decay_score",
-    "q_domain_cap",
-    "q_attribution",
-    "q_skyline",
-    "q_bpe_pairs",
-    "q_mad_outliers",
-    "q_oov_rate",
-    "q_scd2_history",
-    "q_gap_fill",
-    # ---- 50-row prefix boundary ----
-    # 51-56: new ops deferred because an independent recompute test pins
-    # each one's values beyond the oracle gate (tests/test_round3_ops.py)
+    # --- the driver gate checks a 50-row PREFIX (r01 = 35/36, r02 = 50/64,
+    # r03 = 50/137).  Round-4 priority: (1) the 39 queries the driver has
+    # NEVER checked (union of CORRECTNESS_r01-r03 covers the other 98; all 39
+    # are green under scripts/check_oracle.py, the byte-identical local gate,
+    # at sf0.001 and sf0.01), then (2) every query whose implementation
+    # changes this round, so the hard signal re-covers them.  With this
+    # rotation the r01-r04 union covers all 137 registered queries.
+    # scripts/check_gate_prefix.py enforces (2) mechanically from git diffs.
     "q_ann_recall",
     "q_pagerank",
     "q_triangle_count",
@@ -166,9 +110,64 @@ _CHECK_FIRST = [
     "q_prefix_join",
     "q_embed_covariance",
     "q_cooccurrence",
-    # behavior unchanged since its r02 green row (refactor into prefix.py,
-    # which q_length_quantiles / q_quality_curriculum drive inside the prefix)
+    # changed this round (parameterized K / trained-centroid seeding; oracle
+    # added for the kmeans assignment) — must re-earn their driver rows
+    "q_semantic_dedup",
+    "q_ivf_kmeans",
+    # remaining slots: prefix.py consumers + flagship repeats (highest churn
+    # risk if the two-phase rank machinery is touched this round)
     "q_sort_rank",
+    "q_length_quantiles",
+    "q_quality_curriculum",
+    "q_sequence_pack",
+    "q_domain_cap",
+    "q_phash_pairs",
+    "q_weighted_sample",
+    "q_web_pipeline",
+    "q_funnel",
+    # ---- 50-row prefix boundary ----
+    # 51+: green driver rows in r01/r02/r03 and unchanged since; the local
+    # gate (scripts/check_oracle.py) still runs them all every session.
+    "q_sessionize_batch",
+    "q_event_windows",
+    "q_json_props",
+    "q_pricing_summary",
+    "q_segment_revenue",
+    "q_asof_join",
+    "q_main_content",
+    "q_repetition_filter",
+    "q_paragraph_dedup",
+    "q_simhash_pairs",
+    "q_pii_scrub",
+    "q_range_join",
+    "q_corpus_curation",
+    "q_kmv_merge",
+    "q_cms_topk",
+    "q_norm_dedup",
+    "q_hll_distinct",
+    "q_substring_dedup",
+    "q_inverted_index",
+    "q_regional_revenue",
+    "q_bloom_prune",
+    "q_salted_join",
+    "q_rollup_cube",
+    "q_hopping_windows",
+    "q_anchor_text",
+    "q_bpe_tokens",
+    "q_bm25",
+    "q_cohort_retention",
+    "q_group_percentiles",
+    "q_fuzzy_join",
+    "q_char_entropy",
+    "q_chunk_windows",
+    "q_decay_score",
+    "q_attribution",
+    "q_skyline",
+    "q_bpe_pairs",
+    "q_mad_outliers",
+    "q_oov_rate",
+    "q_scd2_history",
+    "q_gap_fill",
 ]
 _CHECK_LAST = [
     # double-green in CORRECTNESS_r01 AND _r02, untouched since — deferred
