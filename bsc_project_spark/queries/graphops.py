@@ -863,8 +863,9 @@ QUERIES["q_hits_scores"] = QuerySpec(
 # web graph: how heavy is the tail, how many hubs, is the fan-out
 # bounded — the facts that decide salting/broadcast strategy for every
 # downstream graph join (and the power-law check crawl QA reads).  Bins
-# are exact integer log2 buckets computed by pure comparison (no float
-# log), so the histogram is hash-exact.  One in-degree rollup + one
+# are exact integer log2 buckets computed from the binary-digit count
+# (length(bin(deg)) - 1) — no float log anywhere, so power-of-two
+# degrees are bin-exact in both engines.  One in-degree rollup + one
 # bounded bin rollup, both map-side combinable.
 # ---------------------------------------------------------------------------
 
@@ -882,8 +883,12 @@ def _degree_hist_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
         ids.join(ind, ids.idx == ind.v, "left")
         .select(F.coalesce(F.col("deg"), F.lit(0)).alias("deg"))
     )
+    # integer log2 via the binary-digit count (length(bin(deg)) - 1):
+    # pure integer/string ops, no float log, so power-of-two degrees
+    # can't drift across engines (ADVICE r03)
     bin_expr = F.expr(
-        "CASE WHEN deg = 0 THEN -1 ELSE CAST(floor(log2(CAST(deg AS DOUBLE))) AS BIGINT) END"
+        "CASE WHEN deg = 0 THEN -1 "
+        "ELSE CAST(length(bin(CAST(deg AS BIGINT))) - 1 AS BIGINT) END"
     )
     return (
         full.select(bin_expr.alias("degree_bin"))
@@ -893,7 +898,8 @@ def _degree_hist_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
             "degree_bin",
             F.expr(
                 "CAST(CASE WHEN degree_bin < 0 THEN 0 "
-                "ELSE CAST(pow(2, degree_bin) AS BIGINT) END AS BIGINT)"
+                "ELSE shiftleft(CAST(1 AS BIGINT), CAST(degree_bin AS INT)) "
+                "END AS BIGINT)"
             ).alias("bin_floor"),
             "n_nodes",
         )
@@ -918,13 +924,14 @@ def _degree_hist_oracle() -> str:
     ),
     binned AS (
       SELECT CASE WHEN deg = 0 THEN -1
-                  ELSE CAST(floor(log2(CAST(deg AS DOUBLE))) AS BIGINT) END
+                  ELSE CAST(length(bin(CAST(deg AS BIGINT))) - 1 AS BIGINT) END
                AS degree_bin
       FROM full_d
     )
     SELECT CAST(degree_bin AS BIGINT) AS degree_bin,
            CAST(CASE WHEN degree_bin < 0 THEN 0
-                     ELSE CAST(pow(2, degree_bin) AS BIGINT) END AS BIGINT)
+                     ELSE CAST(1 AS BIGINT) << CAST(degree_bin AS INT)
+                END AS BIGINT)
              AS bin_floor,
            CAST(count(*) AS BIGINT) AS n_nodes
     FROM binned GROUP BY degree_bin

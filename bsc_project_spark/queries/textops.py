@@ -3420,18 +3420,21 @@ _q(
 # duplicate cluster (head-64 fingerprint, the q_doc_fingerprint key —
 # full-text md5 finds nothing on this corpus, prefix collisions are the
 # realistic template-dup signal) the copy count and reclaimable bytes
-# (cluster bytes minus the LONGEST copy kept), plus the cluster's share
-# of total corpus bytes in exact ppm.  This is the report that
-# justifies (or kills) a dedup pass before anyone runs it at 100 TB —
-# one hash rollup, no join back to the corpus, output bounded by the
-# duplicated clusters only.
+# under a FIRST-SEEN retention policy (the min-doc_id copy is kept;
+# wasted = cluster bytes minus the keeper's own size, so the keeper
+# column and the byte math describe the same policy — ADVICE r03),
+# plus the cluster's share of total corpus bytes in exact ppm.  This
+# is the report that justifies (or kills) a dedup pass before anyone
+# runs it at 100 TB — one hash rollup, no join back to the corpus,
+# output bounded by the duplicated clusters only.  min_by is
+# deterministic here because doc_id is unique within a cluster.
 # ---------------------------------------------------------------------------
 
 _DEDUP_ROI_BODY = """
     WITH clusters AS (
       SELECT md5(substring(text, 1, 64)) AS h, count(*) AS copies,
              min(doc_id) AS keep_doc, sum(n_chars) AS sz_all,
-             max(n_chars) AS sz_keep
+             min_by(n_chars, doc_id) AS sz_keep
       FROM documents GROUP BY md5(substring(text, 1, 64))
     ),
     nn AS (SELECT sum(n_chars) AS total_bytes FROM documents)
@@ -3449,8 +3452,9 @@ _q(
     _DEDUP_ROI_BODY.format(idiv="div"),
     _DEDUP_ROI_BODY.format(idiv="//"),
     "dedup ROI report: per head-64-fingerprint duplicate cluster the "
-    "copy count, reclaimable bytes (all but the longest copy), and "
-    "exact ppm share of corpus bytes — one hash rollup",
+    "copy count, reclaimable bytes under a first-seen (min doc_id) "
+    "retention policy, and exact ppm share of corpus bytes — one hash "
+    "rollup",
 )
 
 # ---------------------------------------------------------------------------

@@ -1974,9 +1974,11 @@ def test_audience_overlap_matches_python(spark):
 
 
 def test_dedup_savings_matches_python(spark):
-    """ROI rows == a Python recompute over head-64 fingerprint clusters;
-    the report bites (some cluster found) and waste never counts the
-    kept copy."""
+    """ROI rows == a Python recompute over head-64 fingerprint clusters
+    under the first-seen retention policy (min doc_id kept, waste
+    measured against the keeper's own size — keeper column and byte
+    math describe the SAME policy, ADVICE r03); the report bites (some
+    cluster found) and waste never counts the kept copy."""
     from bsc_project_spark.queries.textops import QUERIES
 
     got = {
@@ -1995,8 +1997,9 @@ def test_dedup_savings_matches_python(spark):
     for members in clusters.values():
         if len(members) > 1:
             sz_all = sum(sz for _, sz in members)
-            waste = sz_all - max(sz for _, sz in members)
-            want[min(d for d, _ in members)] = (
+            keep_doc, keep_sz = min(members)
+            waste = sz_all - keep_sz
+            want[keep_doc] = (
                 len(members), waste, waste * 1_000_000 // total
             )
     assert got == want
