@@ -361,91 +361,12 @@ _IVF_DUCK = """
     ) t WHERE rn = 1
 """
 
-# ---------------------------------------------------------------------------
-# SemDeDup-style semantic dedup (Abbas et al. 2023): cluster the embedding
-# space coarsely (nearest of K broadcast centroids — the q_ivf_assign
-# index), then search for near-duplicates ONLY within each cluster.  The
-# pairwise-cosine cost drops from N^2 to sum(cluster^2); at fleet scale K
-# grows with N so per-cluster populations stay bounded, the assignment
-# table is partitioned by centroid_id, and the within-cluster self-join
-# shuffles on centroid_id only.  Run over the planted-duplicate corpus
-# (clones are bit-identical -> same cluster, so recall of planted pairs is
-# exact by construction).  Output: per-vector survivorship (kept = no
-# within-cluster partner with smaller id above the cosine threshold).
-# ---------------------------------------------------------------------------
+# q_semantic_dedup (SemDeDup, Abbas et al. 2023) is registered further
+# down — it reuses the exact integer-quantized Lloyd CTE chain defined
+# with q_ivf_kmeans, so its trained-centroid assignment is replayable in
+# the DuckDB oracle.
 
 _SEMDEDUP_TAU = 0.999
-
-
-def _semantic_dedup_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
-    register_views(spark, sf_dir)
-    dot = _SPARK_DOT
-    return spark.sql(
-        f"""
-        WITH corpus AS ({_NEAR_DUP_CORPUS}),
-        v AS (SELECT vec_id, v AS vv,
-                     sqrt({dot.format(a='v', b='v')}) AS vn
-              FROM corpus),
-        c AS (SELECT vec_id AS centroid_id, vv AS cv, vn AS cn
-              FROM v WHERE vec_id < 8),
-        assign AS (
-          SELECT vec_id, vv, vn, centroid_id FROM (
-            SELECT /*+ BROADCAST(c) */ v.vec_id, v.vv, v.vn, c.centroid_id,
-                   row_number() OVER (PARTITION BY v.vec_id
-                     ORDER BY {dot.format(a='vv', b='cv')} / (vn * cn) DESC,
-                              c.centroid_id) AS rn
-            FROM v CROSS JOIN c
-          ) t WHERE rn = 1
-        ),
-        dropped AS (
-          SELECT DISTINCT b.vec_id
-          FROM assign a JOIN assign b
-            ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
-          WHERE {dot.format(a='a.vv', b='b.vv')} / (a.vn * b.vn) > {_SEMDEDUP_TAU}
-        )
-        SELECT a.vec_id, a.centroid_id,
-               CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS kept
-        FROM assign a LEFT JOIN dropped d ON d.vec_id = a.vec_id
-        """
-    )
-
-
-_SEMDEDUP_DUCK = f"""
-    WITH corpus AS (
-      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
-      UNION ALL
-      SELECT vec_id + 1000000 AS vec_id, embedding::DOUBLE[] AS v
-      FROM embeddings WHERE vec_id % 100 = 0
-    ),
-    v AS (SELECT vec_id, v AS vv, sqrt(list_dot_product(v, v)) AS vn FROM corpus),
-    c AS (SELECT vec_id AS centroid_id, vv AS cv, vn AS cn
-          FROM v WHERE vec_id < 8),
-    assign AS (
-      SELECT vec_id, vv, vn, centroid_id FROM (
-        SELECT v.vec_id, v.vv, v.vn, c.centroid_id,
-               row_number() OVER (PARTITION BY v.vec_id
-                 ORDER BY list_dot_product(vv, cv) / (vn * cn) DESC,
-                          c.centroid_id) AS rn
-        FROM v CROSS JOIN c
-      ) t WHERE rn = 1
-    ),
-    dropped AS (
-      SELECT DISTINCT b.vec_id
-      FROM assign a JOIN assign b
-        ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
-      WHERE list_dot_product(a.vv, b.vv) / (a.vn * b.vn) > {_SEMDEDUP_TAU}
-    )
-    SELECT a.vec_id, a.centroid_id,
-           CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS kept
-    FROM assign a LEFT JOIN dropped d ON d.vec_id = a.vec_id
-"""
-
-QUERIES["q_semantic_dedup"] = QuerySpec(
-    spark=_semantic_dedup_spark,
-    oracle=_SEMDEDUP_DUCK,
-    description="SemDeDup: coarse k-means clusters bucket the pairwise "
-    "cosine search; within-cluster near-dups dropped, survivors kept",
-)
 
 
 QUERIES["q_ivf_assign"] = QuerySpec(
@@ -662,20 +583,277 @@ def kmeans_refine(emb: DataFrame, k: int = _KMEANS_K, iters: int = _KMEANS_ITERS
     return cents, assigned
 
 
+# ---------------------------------------------------------------------------
+# EXACT integer-quantized Lloyd: the trick that makes iterative k-means
+# cross-engine hash-checkable.  Embeddings are quantized to integers
+# (floor(x*1000)); centroids are RE-QUANTIZED integer arrays every
+# iteration (floor(sum*1000/count) elementwise), so:
+#   - per-cluster elementwise sums are exact integer arithmetic in DOUBLE
+#     (|x| <= ~600 quantized, every partial sum < 2^53) and therefore
+#     ORDER-INDEPENDENT — the one thing float k-means can never promise;
+#   - every dot product is an exact integer in DOUBLE (coords bounded by
+#     the re-quantization, so magnitudes never grow with corpus size);
+#   - the only float ops (sqrt, one multiply, one divide, round-to-5) are
+#     single correctly-rounded IEEE-754 ops — bit-identical in Spark and
+#     DuckDB.
+# Ties at the rounded-cosine argmax break on centroid_id; empty clusters
+# keep their previous centroid (standard Lloyd).  The distributed shape is
+# unchanged: centroids broadcast (k rows), assignment is a map-only
+# stage, the update is one groupBy(cid, pos) with automatic map-side
+# partial aggregation — exactly the partials/fold structure of
+# ``kmeans_refine`` above, expressed so Catalyst (and DuckDB) can replay
+# it.  Reference analogue: the reference has no clustering at all; this
+# is the engine's iterative-algorithm surface made oracle-checkable.
+# ---------------------------------------------------------------------------
+
+_LLOYD_EPS = "CAST(0.000000001 AS DOUBLE)"  # zero-vector guard, exact both engines
+
+
+def lloyd_ctes(
+    engine: str,
+    corpus_sql: str,
+    iters: int,
+    k_filter: str,
+    extra_ctes: tuple[str, ...] = (),
+) -> str:
+    """Build the CTE chain (no leading WITH) for exact quantized Lloyd.
+
+    ``corpus_sql`` must select (vec_id, v: DOUBLE array).  Produces CTEs
+    ``ll_corpus`` (the corpus), ``ll_vq`` (quantized vectors + norms) and
+    ``ll_assign`` (vec_id, centroid_id INT, cosine DOUBLE — the final
+    assignment under the trained centroids).  ``k_filter`` is the SQL
+    scalar for the seed count K (e.g. ``"8"`` or ``"(SELECT k FROM
+    ll_kk)"`` with the ``ll_kk`` CTE passed through ``extra_ctes``,
+    inserted after ``ll_vq`` — see q_semantic_dedup).
+
+    Seeds are the K smallest vec_ids, found via a TWO-PHASE bounded
+    top-K (per-bucket sorted-slice over 64 hash buckets, then one fold
+    of 64 arrays of <=K ids) — never a global-order window, which would
+    funnel the whole corpus through one task (the scale wall
+    tests/test_plans.py pins against).  The only keyless aggregates in
+    the plan fold bounded state (64 id-arrays, or k x d centroid
+    partials).
+    """
+    if engine == "spark":
+        quant = "transform(v, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS DOUBLE))"
+        dot = _SPARK_DOT.format
+        hint = "/*+ BROADCAST(c) */ "
+
+        def explode(src):
+            return f"FROM {src} LATERAL VIEW posexplode(q) t AS pos, x"
+
+        rebuild = (
+            "transform(array_sort(collect_list(named_struct("
+            "'p', pos, 'm', CAST(floor(sx * CAST(1000 AS DOUBLE) / n) AS DOUBLE)"
+            "))), s -> s.m)"
+        )
+    elif engine == "duckdb":
+        quant = "list_transform(v, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS DOUBLE))"
+        dot = "list_dot_product({a}, {b})".format
+        hint = ""
+
+        def explode(src):
+            return (
+                f"FROM {src} e, "
+                "LATERAL (SELECT unnest(generate_series(1, len(e.q))) AS i) g"
+            )
+
+        rebuild = "list(CAST(floor(sx * 1000.0 / n) AS DOUBLE) ORDER BY pos)"
+    else:  # pragma: no cover
+        raise ValueError(engine)
+
+    parts = [
+        f"ll_corpus AS ({corpus_sql})",
+        f"""ll_vq AS (
+          SELECT vec_id, q, greatest(sqrt({dot(a='q', b='q')}), {_LLOYD_EPS}) AS vn
+          FROM (SELECT vec_id, {quant} AS q FROM ll_corpus) t
+        )""",
+        *extra_ctes,
+    ]
+    if engine == "spark":
+        parts += [
+            f"""ll_seedb AS (
+              SELECT slice(array_sort(collect_list(vec_id)), 1, {k_filter}) AS ids
+              FROM ll_vq GROUP BY pmod(vec_id, 64)
+            )""",
+            f"""ll_seed AS (
+              SELECT posexplode(slice(array_sort(flatten(collect_list(ids))),
+                                      1, {k_filter})) AS (pos, vid)
+              FROM ll_seedb
+            )""",
+        ]
+    else:
+        parts += [
+            f"""ll_seedb AS (
+              SELECT list_slice(list_sort(list(vec_id)), 1, {k_filter}) AS ids
+              FROM ll_vq GROUP BY vec_id % 64
+            )""",
+            f"""ll_seed AS (
+              SELECT g.i - 1 AS pos, s.ids2[g.i] AS vid
+              FROM (SELECT list_slice(list_sort(flatten(list(ids))), 1,
+                                      {k_filter}) AS ids2
+                    FROM ll_seedb) s,
+                   LATERAL (SELECT unnest(generate_series(1, len(s.ids2))) AS i) g
+            )""",
+        ]
+    parts.append(
+        """ll_cent0 AS (
+          SELECT CAST(s.pos AS INT) AS cid, v.q AS cv, v.vn AS cn
+          FROM ll_seed s JOIN ll_vq v ON v.vec_id = s.vid
+        )"""
+    )
+    for i in range(1, iters + 1):
+        p = i - 1
+        if engine == "spark":
+            x_src = explode(f"ll_a{i}")
+            sum_sel = f"SELECT cid, pos, SUM(x) AS sx, COUNT(*) AS n {x_src} GROUP BY cid, pos"
+        else:
+            sum_sel = (
+                f"SELECT cid, g.i AS pos, SUM(e.q[g.i]) AS sx, COUNT(*) AS n "
+                f"{explode(f'll_a{i}')} GROUP BY cid, g.i"
+            )
+        parts += [
+            f"""ll_sim{i} AS (
+              SELECT {hint}v.vec_id, v.q, c.cid,
+                     round({dot(a='v.q', b='c.cv')} / (v.vn * c.cn), 5) AS cos
+              FROM ll_vq v CROSS JOIN ll_cent{p} c
+            )""",
+            f"""ll_a{i} AS (
+              SELECT vec_id, q, cid FROM (
+                SELECT vec_id, q, cid, row_number() OVER (
+                  PARTITION BY vec_id ORDER BY cos DESC, cid) AS rn
+                FROM ll_sim{i}
+              ) t WHERE rn = 1
+            )""",
+            f"ll_s{i} AS ({sum_sel})",
+            f"""ll_u{i} AS (
+              SELECT cid, {rebuild} AS cv FROM ll_s{i} GROUP BY cid
+            )""",
+            f"""ll_cent{i} AS (
+              SELECT cid, cv, greatest(sqrt({dot(a='cv', b='cv')}), {_LLOYD_EPS}) AS cn
+              FROM ll_u{i}
+              UNION ALL
+              SELECT c.cid, c.cv, c.cn FROM ll_cent{p} c
+              WHERE c.cid NOT IN (SELECT cid FROM ll_u{i})
+            )""",
+        ]
+    parts.append(
+        f"""ll_assign AS (
+          SELECT vec_id, centroid_id, cos AS cosine FROM (
+            SELECT {hint}v.vec_id, c.cid AS centroid_id,
+                   round({dot(a='v.q', b='c.cv')} / (v.vn * c.cn), 5) AS cos,
+                   row_number() OVER (PARTITION BY v.vec_id ORDER BY
+                     round({dot(a='v.q', b='c.cv')} / (v.vn * c.cn), 5) DESC,
+                     c.cid) AS rn
+            FROM ll_vq v CROSS JOIN ll_cent{iters} c
+          ) t WHERE rn = 1
+        )"""
+    )
+    return ",\n".join(parts)
+
+
+_IVF_KMEANS_CORPUS = {
+    "spark": "SELECT vec_id, transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings",
+    "duckdb": "SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings",
+}
+
+_IVF_KMEANS_SPARK_SQL = f"""
+    WITH {lloyd_ctes("spark", _IVF_KMEANS_CORPUS["spark"], _KMEANS_ITERS, str(_KMEANS_K))}
+    SELECT vec_id, centroid_id, cosine FROM ll_assign
+"""
+
+_IVF_KMEANS_DUCK = f"""
+    WITH {lloyd_ctes("duckdb", _IVF_KMEANS_CORPUS["duckdb"], _KMEANS_ITERS, str(_KMEANS_K))}
+    SELECT vec_id, centroid_id, cosine FROM ll_assign
+"""
+
+
 def _ivf_kmeans_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir)
-    emb = spark.table("embeddings").select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("v")
-    ).persist()  # scanned once; every Lloyd pass rereads the cached columns
-    _, assigned = kmeans_refine(emb)
-    return assigned
+    return spark.sql(_IVF_KMEANS_SPARK_SQL)
 
 
 QUERIES["q_ivf_kmeans"] = QuerySpec(
     spark=_ivf_kmeans_spark,
-    oracle=None,  # iterative; rows-only driver check + tests/test_kmeans.py
-    description="IVF with trained centroids: 3 Lloyd iterations, map-side "
-    "partial sums, driver-folded k x d centroid state",
+    oracle=_IVF_KMEANS_DUCK,
+    description="IVF with trained centroids: 3 exact integer-quantized "
+    "Lloyd iterations (broadcast centroids, map-side partial sums), "
+    "cross-engine hash-checkable; float-mean variant in kmeans_refine",
+)
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup-style semantic dedup (Abbas et al. 2023): cluster the embedding
+# space coarsely, then search for near-duplicates ONLY within each
+# cluster — pairwise cost drops from N^2 to sum(cluster^2).  Two scale
+# properties the round-3 version lacked, both flagged by review:
+#   - K is DERIVED from corpus size (K = max(8, ceil(N / target_pop)))
+#     inside the query itself, identically on both engines, so per-cluster
+#     populations stay bounded as the corpus grows instead of N^2/8;
+#   - centroids are TRAINED (the exact quantized-Lloyd chain above, 2
+#     iterations) rather than "the 8 lowest vec_ids", so cluster
+#     populations track the data distribution — the skew test in
+#     tests/test_semdedup_scale.py pins the within-cluster pair count
+#     under a planted skewed distribution.
+# The near-dup verify runs on the ORIGINAL double vectors (planted clones
+# are bit-identical -> same quantization -> same cluster, recall of
+# planted pairs exact by construction).  Output: per-vector survivorship
+# (kept = no within-cluster partner with smaller id above cosine tau).
+# ---------------------------------------------------------------------------
+
+_SEMDEDUP_TARGET_POP = 64
+_SEMDEDUP_ITERS = 2
+
+_SEMDEDUP_CORPUS_DUCK = """
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+      UNION ALL
+      SELECT vec_id + 1000000 AS vec_id, embedding::DOUBLE[] AS v
+      FROM embeddings WHERE vec_id % 100 = 0
+"""
+
+_SEMDEDUP_KK = (
+    "ll_kk AS (SELECT GREATEST(8, CAST(CEIL(COUNT(*) / "
+    f"{_SEMDEDUP_TARGET_POP}.0) AS INT)) AS k FROM ll_vq)"
+)
+
+
+def _semdedup_sql(engine: str) -> str:
+    corpus = _NEAR_DUP_CORPUS if engine == "spark" else _SEMDEDUP_CORPUS_DUCK
+    dot = _SPARK_DOT.format if engine == "spark" else "list_dot_product({a}, {b})".format
+    chain = lloyd_ctes(
+        engine, corpus, _SEMDEDUP_ITERS, "(SELECT k FROM ll_kk)",
+        extra_ctes=(_SEMDEDUP_KK,),
+    )
+    return f"""
+    WITH {chain},
+    sd_v AS (SELECT vec_id, v AS vv, sqrt({dot(a='v', b='v')}) AS vn FROM ll_corpus),
+    sd_a AS (
+      SELECT s.vec_id, s.centroid_id, v.vv, v.vn
+      FROM ll_assign s JOIN sd_v v ON v.vec_id = s.vec_id
+    ),
+    sd_dropped AS (
+      SELECT DISTINCT b.vec_id
+      FROM sd_a a JOIN sd_a b
+        ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+      WHERE {dot(a='a.vv', b='b.vv')} / (a.vn * b.vn) > {_SEMDEDUP_TAU}
+    )
+    SELECT a.vec_id, a.centroid_id,
+           CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS kept
+    FROM sd_a a LEFT JOIN sd_dropped d ON d.vec_id = a.vec_id
+    """
+
+
+def _semantic_dedup_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(_semdedup_sql("spark"))
+
+
+QUERIES["q_semantic_dedup"] = QuerySpec(
+    spark=_semantic_dedup_spark,
+    oracle=_semdedup_sql("duckdb"),
+    description="SemDeDup: size-derived K, trained (quantized-Lloyd) "
+    "centroids bucket the pairwise cosine search; within-cluster "
+    "near-dups dropped, survivors kept",
 )
 
 
