@@ -44,6 +44,7 @@ from pyspark.sql import functions as F
 from ..config import ExtractConfig
 from ..io.png import decode_gray
 from ..kernels.golden import extract_page
+from ..queries.prefix import global_row_number
 
 # Output schema of the extraction UDF stage.  Lineage rows ride along with
 # kind='_lineage' (text = JSON payload) and are split off afterwards —
@@ -165,16 +166,24 @@ def assign_size_bins(sizes: DataFrame, n_bins: int) -> DataFrame:
     greedy optimum for realistic size distributions (and degenerates to
     exact round-robin when sizes are uniform).
 
-    The window is global (single task) but runs over SKINNY rows
-    (media_ref, sz) only — at production scale the refs of one checkpoint
-    bucket are bounded (same argument as the broadcast semi-join in
-    run_extract_stage), so this never sorts image bytes.
+    The size-descending rank is computed with the TWO-PHASE machinery
+    (queries/prefix.py): range-partition on (-sz, media_ref), rank within
+    each range in parallel, broadcast per-partition offsets back.  No
+    single-task window anywhere in the flagship job — the planning branch
+    scales with the ref count like every other stage, instead of being the
+    one serial sort left (round-3 review item; it only touched skinny
+    (media_ref, sz) rows, but at 10^12 docs even skinny rows through one
+    task is a wall).
     """
-    w = Window.orderBy(F.desc("sz"), "media_ref")
-    rn = F.row_number().over(w) - F.lit(1)
+    ranked = global_row_number(
+        sizes.withColumn("_neg_sz", -F.col("sz").cast("long")),
+        ["_neg_sz", "media_ref"],
+        "_rn",
+    )
+    rn = F.col("_rn") - F.lit(1)
     pos = rn % F.lit(n_bins)
     fwd = (rn / F.lit(n_bins)).cast("long") % 2 == 0
-    return sizes.select(
+    return ranked.select(
         "media_ref",
         F.when(fwd, pos).otherwise(F.lit(n_bins - 1) - pos).cast("int").alias("bin"),
     )

@@ -123,3 +123,31 @@ def test_partition_tokens_route_exactly(spark):
             for r in df.select("t", F.pmod(F.hash("t"), F.lit(n)).alias("p")).collect()
         }
         assert placed == {b: toks[b] for b in range(n)}
+
+
+def test_flagship_job_has_no_single_partition_exchange(spark):
+    """Round-3 review: the size-bin planner was the last single-task
+    stage in the flagship extraction job (a global Window.orderBy(sz)
+    over skinny rows).  It is now two-phased through
+    queries/prefix.global_row_number; the WHOLE flagship physical plan —
+    scan, planning branch, media shuffle, UDF stage, doc reassembly —
+    must contain zero SinglePartition exchanges."""
+    import __spark_entry__ as e
+
+    plan = (
+        e.entry(spark)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "SinglePartition" not in plan
+
+
+def test_assign_size_bins_plan_is_two_phase(spark):
+    """The planner's own plan: range exchange + partitioned window +
+    broadcast offsets — never a global-order (unpartitioned) window."""
+    df = spark.range(0, 500).selectExpr(
+        "concat('p', id) AS media_ref", "(id * 7919) % 4096 + 1 AS sz"
+    )
+    plan = (
+        assign_size_bins(df, 8)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "SinglePartition" not in plan
+    assert "rangepartitioning" in plan
