@@ -140,14 +140,20 @@ def test_flagship_job_has_no_single_partition_exchange(spark):
     assert "SinglePartition" not in plan
 
 
-def test_assign_size_bins_plan_is_two_phase(spark):
-    """The planner's own plan: range exchange + partitioned window +
-    broadcast offsets — never a global-order (unpartitioned) window."""
+def test_assign_size_bins_fallback_is_two_phase_and_agrees(spark):
+    """Forcing the distributed fallback (driver_max=0): its plan is a
+    range exchange + partitioned window + broadcast offsets — never a
+    global-order (unpartitioned) window — and its serpentine assignment
+    is row-identical to the driver path's."""
     df = spark.range(0, 500).selectExpr(
         "concat('p', id) AS media_ref", "(id * 7919) % 4096 + 1 AS sz"
     )
-    plan = (
-        assign_size_bins(df, 8)._jdf.queryExecution().executedPlan().toString()
-    )
+    fallback = assign_size_bins(df, 8, driver_max=0)
+    plan = fallback._jdf.queryExecution().executedPlan().toString()
     assert "SinglePartition" not in plan
     assert "rangepartitioning" in plan
+
+    driver = assign_size_bins(df, 8)
+    assert sorted(map(tuple, fallback.collect())) == sorted(
+        map(tuple, driver.collect())
+    )
