@@ -85,6 +85,17 @@ class ExtractConfig:
     segmenter: Optional[Callable] = None
     ocr_decoder: Optional[Callable] = None
 
+    # Giant-page tile split (pipeline/tiling.py).  Pages whose native
+    # pixel count (width*height metadata) reaches tile_threshold_px are
+    # decomposed into horizontal halo bands so no single task carries a
+    # 100x page's native-resolution work (SURVEY.md §7 open risk; the
+    # reference's per-page loop, imgs2csv.py:294, has no such
+    # protection).  None disables the path.  tile_band_px sizes band
+    # cores (~pixels per band task); the analysis halo is derived from
+    # the kernel supports (2*vline_kernel_h + adaptive_block_size + 16).
+    tile_threshold_px: Optional[int] = 12_000_000
+    tile_band_px: int = 8_000_000
+
 
 # Reference-faithful defaults (full-resolution logbook pages).
 REFERENCE_CONFIG = ExtractConfig()

@@ -473,6 +473,18 @@ def find_vertical_line_bounds(img: np.ndarray, cfg: ExtractConfig) -> tuple[int,
     4. bounds = (first_col - 10, last_col - 5) clamped to the half-width;
        blank pages (no lines) fall back to (0, half_width).
     """
+    half_w = img.shape[1] // 2
+    black = vline_black_mask(img, cfg)
+    return vline_bounds_from_profile(black.sum(axis=0, dtype=np.int64), half_w, cfg)
+
+
+def vline_black_mask(img: np.ndarray, cfg: ExtractConfig) -> np.ndarray:
+    """Per-pixel black mask of the vertically-CLOSEd LEFT HALF — the
+    distributive core of find_vertical_line_bounds: the column profile is
+    the row-sum of this mask, so horizontal BANDS of the page can each
+    contribute their core rows' partial sums and the combined profile is
+    EXACT (the tile-split path, pipeline/tiling.py, relies on this;
+    band callers must pass a halo >= 2*vline_kernel_h and slice it off)."""
     from .bitmorph import binary_filter
 
     half_w = img.shape[1] // 2
@@ -486,7 +498,14 @@ def find_vertical_line_bounds(img: np.ndarray, cfg: ExtractConfig) -> tuple[int,
     # image top/bottom cannot flip.
     white = binary_filter(left > 0, cfg.vline_kernel_h, 1, erode=False, border=False)
     white = binary_filter(white, cfg.vline_kernel_h, 1, erode=True, border=True)
-    col_profile = np.sum(~white, axis=0)
+    return ~white
+
+
+def vline_bounds_from_profile(
+    col_profile: np.ndarray, half_w: int, cfg: ExtractConfig
+) -> tuple[int, int]:
+    """(lb, rb) decision from the per-column black-count profile — shared
+    verbatim by the whole-page path above and the tile-split stitcher."""
     if col_profile.size == 0 or col_profile.max() == 0:
         return 0, half_w
     threshold = col_profile.max() * cfg.vline_profile_frac

@@ -165,6 +165,22 @@ def _partition_tokens(spark: SparkSession, n: int) -> list[int]:
 _DRIVER_PLAN_MAX = 2_000_000
 
 
+def serpentine_bins(
+    pairs: list[tuple[str, int]], n_bins: int
+) -> list[tuple[str, int]]:
+    """Driver-side serpentine: (media_ref, sz) pairs -> (media_ref, bin),
+    size-descending boustrophedon deal (the semantics assign_size_bins
+    documents), as a pure function so callers that already hold the
+    collected sizes (run_page_stage's tile split) don't re-run the job."""
+    order = sorted(pairs, key=lambda p: (-p[1], p[0]))
+    out = []
+    for rn0, (ref, _sz) in enumerate(order):
+        pos = rn0 % n_bins
+        fwd = (rn0 // n_bins) % 2 == 0
+        out.append((ref, pos if fwd else n_bins - 1 - pos))
+    return out
+
+
 def _bins_local_df(spark: SparkSession, data: list[tuple[str, int]]) -> DataFrame:
     """(media_ref, bin) rows as a LOCAL relation.  Small lists go through
     an inline VALUES literal — a LocalRelation Catalyst folds straight
@@ -226,13 +242,9 @@ def assign_size_bins(
             head = cached.collect()
         cached.unpersist()
     if head is not None:
-        order = sorted(head, key=lambda r: (-r["sz"], r["media_ref"]))
-        data = []
-        for rn0, r in enumerate(order):
-            pos = rn0 % n_bins
-            fwd = (rn0 // n_bins) % 2 == 0
-            data.append((r["media_ref"], pos if fwd else n_bins - 1 - pos))
-        return _bins_local_df(spark, data)
+        return _bins_local_df(
+            spark, serpentine_bins([(r["media_ref"], r["sz"]) for r in head], n_bins)
+        )
     ranked = global_row_number(
         skinny.withColumn("_neg_sz", -F.col("sz").cast("long")),
         ["_neg_sz", "media_ref"],
@@ -248,7 +260,10 @@ def assign_size_bins(
 
 
 def repartition_by_size(
-    pages: DataFrame, n_parts: int, sizes: DataFrame | None = None
+    pages: DataFrame,
+    n_parts: int,
+    sizes: DataFrame | None = None,
+    bins: DataFrame | None = None,
 ) -> DataFrame:
     """Spread (media_ref, content) rows over n_parts shuffle partitions
     balancing total BYTES per partition, not row counts.  One byte-shuffle,
@@ -262,14 +277,18 @@ def repartition_by_size(
     METADATA columns (e.g. width*height) so the sizing branch's scan is
     column-pruned to skinny columns — the default F.length(content) is
     convenient but re-reads the byte column in the planning branch, which
-    a 100 TB media table cannot afford."""
+    a 100 TB media table cannot afford.  ``bins``: optional prebuilt
+    (media_ref, bin) frame (callers that already collected the sizes,
+    like run_page_stage's tile split, pass serpentine_bins output and no
+    planning job runs here at all)."""
     spark = pages.sparkSession
-    if sizes is None:
-        sizes = pages.select("media_ref", F.length("content").alias("sz"))
-    # assume_bounded: bins is broadcast into the page join below, so the
-    # planner's input is driver-sized by the same contract — take the
-    # one-job driver serpentine instead of spending a count() gate
-    bins = assign_size_bins(sizes, n_parts, assume_bounded=True)
+    if bins is None:
+        if sizes is None:
+            sizes = pages.select("media_ref", F.length("content").alias("sz"))
+        # assume_bounded: bins is broadcast into the page join below, so
+        # the planner's input is driver-sized by the same contract — take
+        # the one-job driver serpentine instead of spending a count() gate
+        bins = assign_size_bins(sizes, n_parts, assume_bounded=True)
     tokens = _partition_tokens(spark, n_parts)
     token_arr = F.array(*[F.lit(t) for t in tokens])
     routed = pages.join(F.broadcast(bins), on="media_ref", how="inner").select(
@@ -325,6 +344,46 @@ def run_page_stage(
             "media_ref",
             (F.col("width").cast("long") * F.col("height")).alias("sz"),
         )
+        # Giant-page tile split (pipeline/tiling.py): pages at or above
+        # tile_threshold_px native pixels leave the atomic per-page path
+        # for the banded one, so one 100x page cannot pin a task for 100x
+        # the median task time.  The routing decision reuses the SAME
+        # driver-side sizes collect the serpentine planner needs (bins is
+        # broadcast -> driver-sized by contract), so no extra job.
+        # Deskew is a global-rotation op that cannot band — deskewing
+        # corpora keep the single-task path for giants too.
+        thr = cfg.tile_threshold_px
+        if thr is not None and not cfg.deskew_enabled:
+            spark = media.sparkSession
+            pairs = [(r["media_ref"], r["sz"]) for r in sizes.collect()]
+            giant = [(ref, sz) for ref, sz in pairs if sz >= thr]
+            if giant:
+                from .tiling import run_tiled_page_stage
+
+                giant_df = _bins_local_df(spark, [(ref, 0) for ref, _ in giant]).select(
+                    "media_ref"
+                )
+                normal_pages = unique_pages.join(
+                    F.broadcast(giant_df), on="media_ref", how="left_anti"
+                )
+                giant_pages = unique_pages.join(
+                    F.broadcast(giant_df), on="media_ref", how="left_semi"
+                )
+                bins = _bins_local_df(
+                    spark,
+                    serpentine_bins([p for p in pairs if p[1] < thr], n_parts),
+                )
+                normal_out = repartition_by_size(
+                    normal_pages, n_parts, bins=bins
+                ).mapInPandas(_make_extract_udf(cfg), schema=EXTRACT_STAGE_SCHEMA)
+                return normal_out.unionByName(
+                    run_tiled_page_stage(giant_pages, cfg, n_parts)
+                )
+            bins = _bins_local_df(spark, serpentine_bins(pairs, n_parts))
+            unique_pages = repartition_by_size(unique_pages, n_parts, bins=bins)
+            return unique_pages.mapInPandas(
+                _make_extract_udf(cfg), schema=EXTRACT_STAGE_SCHEMA
+            )
     else:
         sizes = None
     unique_pages = repartition_by_size(unique_pages, n_parts, sizes)
