@@ -556,33 +556,36 @@ def resize_area(img: np.ndarray, target_w: int, target_h: int) -> np.ndarray:
         sums = img.reshape(target_h, fy, target_w, fx).astype(np.uint32).sum(axis=(1, 3))
         out = np.rint(sums.astype(np.float32) / (fy * fx))
         return out.astype(np.uint8)
-    # General area average via cumulative sums (slow path; fixtures avoid it).
+    # General (non-integer factor) area average, SEPARABLE and fully
+    # vectorized: per-axis cumulative sums gathered at the fractional
+    # output-cell boundaries (linear interpolation of a cumsum == the
+    # fractional-edge area weights).  The row pass is column-chunked so
+    # the float64 cumsum never materializes more than ~256 MB — the old
+    # bilinear-integral version allocated (h+1)x(w+1) float64 (2.5 GB on
+    # a 315M-px giant page) and looped target pixels in PYTHON (~23 s
+    # inside the tile-split stitch task; this path is <1.5 s there).
     ys = np.linspace(0, h, target_h + 1)
     xs = np.linspace(0, w, target_w + 1)
-    integral = np.zeros((h + 1, w + 1), dtype=np.float64)
-    integral[1:, 1:] = np.cumsum(np.cumsum(img.astype(np.float64), axis=0), axis=1)
-
-    def rect_sum(y0, y1, x0, x1):
-        # fractional-pixel area sum via bilinear interpolation of the integral
-        def at(y, x):
-            yi, xi = int(y), int(x)
-            fy, fx = y - yi, x - xi
-            yi1, xi1 = min(yi + 1, h), min(xi + 1, w)
-            return (
-                integral[yi, xi] * (1 - fy) * (1 - fx)
-                + integral[yi1, xi] * fy * (1 - fx)
-                + integral[yi, xi1] * (1 - fy) * fx
-                + integral[yi1, xi1] * fy * fx
-            )
-
-        return at(y1, x1) - at(y0, x1) - at(y1, x0) + at(y0, x0)
-
-    out = np.empty((target_h, target_w), dtype=np.float64)
-    for j in range(target_h):
-        for i in range(target_w):
-            area = (ys[j + 1] - ys[j]) * (xs[i + 1] - xs[i])
-            out[j, i] = rect_sum(ys[j], ys[j + 1], xs[i], xs[i + 1]) / area
-    return np.rint(out).clip(0, 255).astype(np.uint8)
+    yi = np.minimum(ys.astype(np.int64), h)
+    fy = ys - yi
+    yi1 = np.minimum(yi + 1, h)
+    row_sums = np.empty((target_h, w), dtype=np.float64)
+    chunk = max(1, (1 << 25) // (h + 1))  # ~256 MB of float64 per chunk
+    for c0 in range(0, w, chunk):
+        c1 = min(w, c0 + chunk)
+        cum = np.zeros((h + 1, c1 - c0), dtype=np.float64)
+        np.cumsum(img[:, c0:c1], axis=0, dtype=np.float64, out=cum[1:])
+        bound = cum[yi] * (1.0 - fy)[:, None] + cum[yi1] * fy[:, None]
+        row_sums[:, c0:c1] = bound[1:] - bound[:-1]
+    xi = np.minimum(xs.astype(np.int64), w)
+    fx = xs - xi
+    xi1 = np.minimum(xi + 1, w)
+    cum2 = np.zeros((target_h, w + 1), dtype=np.float64)
+    np.cumsum(row_sums, axis=1, out=cum2[:, 1:])
+    bound2 = cum2[:, xi] * (1.0 - fx)[None, :] + cum2[:, xi1] * fx[None, :]
+    sums = bound2[:, 1:] - bound2[:, :-1]
+    area = (ys[1:] - ys[:-1])[:, None] * (xs[1:] - xs[:-1])[None, :]
+    return np.rint(sums / area).clip(0, 255).astype(np.uint8)
 
 
 # ---------------------------------------------------------------------------

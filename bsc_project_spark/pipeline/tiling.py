@@ -253,23 +253,58 @@ def _stitch_page(cfg: ExtractConfig, key, pdf: pd.DataFrame) -> pd.DataFrame:
     return pd.DataFrame(out, columns=cols)
 
 
+PIECE_SCHEMA = (
+    "media_ref string, row int, col int, cx1 int, cy1 int, cx2 int, cy2 int, "
+    "py0 int, piece binary"
+)
+
+
+def _slice_pieces_udf(cfg: ExtractConfig) -> Callable:
+    """mapInPandas over bands x their page's broadcast cell list: slice
+    each overlapping cell's rows out of the band CORE.  Runs where the
+    persisted bands already live (the cell list arrives via a broadcast
+    join of ONE array row per page), so the big gray blobs are never
+    duplicated per cell and never shuffled again — only the small crop
+    pieces move to the decode stage."""
+
+    def slice_pieces(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["media_ref", "row", "col", "cx1", "cy1", "cx2", "cy2",
+                "py0", "piece"]
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                g = np.frombuffer(bytes(r.data), dtype=np.uint8).reshape(
+                    r.hy1 - r.hy0, r.w
+                )
+                for cell in r.cells:
+                    if cell["cy1"] >= r.y1 or cell["cy2"] <= r.y0:
+                        continue
+                    a = max(r.y0, cell["cy1"]) - r.hy0
+                    b = min(r.y1, cell["cy2"]) - r.hy0
+                    piece = g[a:b, cell["cx1"]:cell["cx2"]]
+                    rows.append(
+                        (r.media_ref, cell["row"], cell["col"],
+                         cell["cx1"], cell["cy1"], cell["cx2"], cell["cy2"],
+                         max(r.y0, cell["cy1"]),
+                         np.ascontiguousarray(piece).tobytes())
+                    )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return slice_pieces
+
+
 def _decode_cells(cfg: ExtractConfig, key, pdf: pd.DataFrame) -> pd.DataFrame:
     """applyInPandas per (media_ref,row,col,bbox): stitch gray pieces
     spanning band boundaries, pad, decode."""
     decode = cfg.ocr_decoder or decode_cell
-    pdf = pdf.sort_values("y0")
+    pdf = pdf.sort_values("py0")
     cx1 = int(pdf["cx1"].iloc[0])
     cx2 = int(pdf["cx2"].iloc[0])
-    cy1 = int(pdf["cy1"].iloc[0])
-    cy2 = int(pdf["cy2"].iloc[0])
-    pieces = []
-    for r in pdf.itertuples(index=False):
-        g = np.frombuffer(bytes(r.data), dtype=np.uint8).reshape(
-            r.hy1 - r.hy0, r.w
-        )
-        a = max(r.y0, cy1) - r.hy0
-        b = min(r.y1, cy2) - r.hy0
-        pieces.append(g[a:b, cx1:cx2])
+    width = cx2 - cx1
+    pieces = [
+        np.frombuffer(bytes(p), dtype=np.uint8).reshape(-1, width)
+        for p in pdf["piece"]
+    ]
     crop = np.concatenate(pieces) if len(pieces) > 1 else pieces[0]
     text = decode(pad_for_ocr(crop, cfg.ocr_min_size), cfg, cfg.ocr_glyph_scale)
     return pd.DataFrame(
@@ -307,11 +342,21 @@ def run_tiled_page_stage(
         "media_ref", "row", "col", "text", "kind"
     )
 
-    pieces = specs.filter(F.col("kind") == "_spec").join(
-        bands.select("media_ref", "y0", "y1", "hy0", "hy1", "w", "data"),
-        on="media_ref",
-        how="inner",
-    ).filter((F.col("y0") < F.col("cy2")) & (F.col("y1") > F.col("cy1")))
+    # one array row per page (bounded: cells/page), broadcast onto the
+    # persisted bands — the gray blobs never shuffle again and are never
+    # duplicated per cell; only small crop pieces leave the band tasks
+    cell_lists = (
+        specs.filter(F.col("kind") == "_spec")
+        .groupBy("media_ref")
+        .agg(
+            F.collect_list(
+                F.struct("row", "col", "cx1", "cy1", "cx2", "cy2")
+            ).alias("cells")
+        )
+    )
+    pieces = bands.join(
+        F.broadcast(cell_lists), on="media_ref", how="inner"
+    ).mapInPandas(_slice_pieces_udf(cfg), schema=PIECE_SCHEMA)
     decoded = pieces.groupBy(
         "media_ref", "row", "col", "cx1", "cy1", "cx2", "cy2"
     ).applyInPandas(

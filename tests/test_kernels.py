@@ -472,3 +472,37 @@ def test_decode_vectorized_matches_sequential_reference():
         noise = rng.integers(0, 256, (h, w)).astype(np.uint8)
         got, want = both(noise, 5)
         assert got == want
+
+
+def test_resize_area_general_path_matches_bruteforce():
+    """Non-integer-factor resize (the giant-page stitch path): the
+    vectorized separable cumsum implementation must match the direct
+    fractional-area average (the pre-optimization semantics) exactly."""
+    import numpy as np
+
+    rng = np.random.RandomState(3)
+    for (h, w, th, tw) in [(37, 53, 12, 17), (64, 48, 48, 31), (21, 19, 5, 7)]:
+        img = (rng.rand(h, w) * 255).astype(np.uint8)
+        got = resize_area(img, tw, th)
+
+        ys = np.linspace(0, h, th + 1)
+        xs = np.linspace(0, w, tw + 1)
+        want = np.empty((th, tw), dtype=np.float64)
+        imgf = img.astype(np.float64)
+        for j in range(th):
+            for i in range(tw):
+                y0, y1, x0, x1 = ys[j], ys[j + 1], xs[i], xs[i + 1]
+                # fractional-area weights per source pixel
+                yy = np.clip(np.minimum(np.arange(1, h + 1), y1)
+                             - np.maximum(np.arange(0, h), y0), 0, 1)
+                xx = np.clip(np.minimum(np.arange(1, w + 1), x1)
+                             - np.maximum(np.arange(0, w), x0), 0, 1)
+                s = yy @ imgf @ xx
+                want[j, i] = s / ((y1 - y0) * (x1 - x0))
+        wq = np.rint(want).clip(0, 255).astype(np.uint8)
+        diff = np.abs(got.astype(int) - wq.astype(int))
+        # exact-.5 averages may round either way depending on float
+        # accumulation order (1-ulp ties); everywhere else: bit-equal
+        tie = np.abs(want - np.floor(want) - 0.5) < 1e-6
+        assert diff[~tie].max(initial=0) == 0
+        assert diff.max(initial=0) <= 1
