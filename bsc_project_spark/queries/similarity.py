@@ -28,7 +28,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
@@ -609,14 +609,13 @@ def kmeans_refine(emb: DataFrame, k: int = _KMEANS_K, iters: int = _KMEANS_ITERS
 _LLOYD_EPS = "CAST(0.000000001 AS DOUBLE)"  # zero-vector guard, exact both engines
 
 
-def lloyd_ctes(
-    engine: str,
+def lloyd_duck_ctes(
     corpus_sql: str,
     iters: int,
     k_filter: str,
     extra_ctes: tuple[str, ...] = (),
 ) -> str:
-    """Build the CTE chain (no leading WITH) for exact quantized Lloyd.
+    """DuckDB CTE chain (no leading WITH) replaying exact quantized Lloyd.
 
     ``corpus_sql`` must select (vec_id, v: DOUBLE array).  Produces CTEs
     ``ll_corpus`` (the corpus), ``ll_vq`` (quantized vectors + norms) and
@@ -626,41 +625,24 @@ def lloyd_ctes(
     ll_kk)"`` with the ``ll_kk`` CTE passed through ``extra_ctes``,
     inserted after ``ll_vq`` — see q_semantic_dedup).
 
-    Seeds are the K smallest vec_ids, found via a TWO-PHASE bounded
-    top-K (per-bucket sorted-slice over 64 hash buckets, then one fold
-    of 64 arrays of <=K ids) — never a global-order window, which would
-    funnel the whole corpus through one task (the scale wall
-    tests/test_plans.py pins against).  The only keyless aggregates in
-    the plan fold bounded state (64 id-arrays, or k x d centroid
-    partials).
-    """
-    if engine == "spark":
-        quant = "transform(v, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS DOUBLE))"
-        dot = _SPARK_DOT.format
-        hint = "/*+ BROADCAST(c) */ "
+    Seeds are the K smallest vec_ids (two-phase bounded top-K, mirroring
+    the Spark side's seed selection in ``lloyd_assign``); each iteration
+    assigns to the nearest centroid (rounded cosine, ties on cid) and
+    re-quantizes per-cluster integer means.  This is the ORACLE side of
+    ``lloyd_assign`` below — every float op is a single correctly-rounded
+    IEEE-754 op on exact integer inputs, so the two engines agree
+    bit-for-bit.  DuckDB materializes repeatedly-referenced CTEs, so the
+    chain evaluates each iteration once (Spark inlines CTE references,
+    which is why the engine side iterates in DataFrame land instead)."""
+    dot = "list_dot_product({a}, {b})".format
+    quant = "list_transform(v, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS DOUBLE))"
+    rebuild = "list(CAST(floor(sx * 1000.0 / n) AS DOUBLE) ORDER BY pos)"
 
-        def explode(src):
-            return f"FROM {src} LATERAL VIEW posexplode(q) t AS pos, x"
-
-        rebuild = (
-            "transform(array_sort(collect_list(named_struct("
-            "'p', pos, 'm', CAST(floor(sx * CAST(1000 AS DOUBLE) / n) AS DOUBLE)"
-            "))), s -> s.m)"
+    def explode(src):
+        return (
+            f"FROM {src} e, "
+            "LATERAL (SELECT unnest(generate_series(1, len(e.q))) AS i) g"
         )
-    elif engine == "duckdb":
-        quant = "list_transform(v, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS DOUBLE))"
-        dot = "list_dot_product({a}, {b})".format
-        hint = ""
-
-        def explode(src):
-            return (
-                f"FROM {src} e, "
-                "LATERAL (SELECT unnest(generate_series(1, len(e.q))) AS i) g"
-            )
-
-        rebuild = "list(CAST(floor(sx * 1000.0 / n) AS DOUBLE) ORDER BY pos)"
-    else:  # pragma: no cover
-        raise ValueError(engine)
 
     parts = [
         f"ll_corpus AS ({corpus_sql})",
@@ -669,52 +651,31 @@ def lloyd_ctes(
           FROM (SELECT vec_id, {quant} AS q FROM ll_corpus) t
         )""",
         *extra_ctes,
-    ]
-    if engine == "spark":
-        parts += [
-            f"""ll_seedb AS (
-              SELECT slice(array_sort(collect_list(vec_id)), 1, {k_filter}) AS ids
-              FROM ll_vq GROUP BY pmod(vec_id, 64)
-            )""",
-            f"""ll_seed AS (
-              SELECT posexplode(slice(array_sort(flatten(collect_list(ids))),
-                                      1, {k_filter})) AS (pos, vid)
-              FROM ll_seedb
-            )""",
-        ]
-    else:
-        parts += [
-            f"""ll_seedb AS (
-              SELECT list_slice(list_sort(list(vec_id)), 1, {k_filter}) AS ids
-              FROM ll_vq GROUP BY vec_id % 64
-            )""",
-            f"""ll_seed AS (
-              SELECT g.i - 1 AS pos, s.ids2[g.i] AS vid
-              FROM (SELECT list_slice(list_sort(flatten(list(ids))), 1,
-                                      {k_filter}) AS ids2
-                    FROM ll_seedb) s,
-                   LATERAL (SELECT unnest(generate_series(1, len(s.ids2))) AS i) g
-            )""",
-        ]
-    parts.append(
+        f"""ll_seedb AS (
+          SELECT list_slice(list_sort(list(vec_id)), 1, {k_filter}) AS ids
+          FROM ll_vq GROUP BY vec_id % 64
+        )""",
+        f"""ll_seed AS (
+          SELECT g.i - 1 AS pos, s.ids2[g.i] AS vid
+          FROM (SELECT list_slice(list_sort(flatten(list(ids))), 1,
+                                  {k_filter}) AS ids2
+                FROM ll_seedb) s,
+               LATERAL (SELECT unnest(generate_series(1, len(s.ids2))) AS i) g
+        )""",
         """ll_cent0 AS (
           SELECT CAST(s.pos AS INT) AS cid, v.q AS cv, v.vn AS cn
           FROM ll_seed s JOIN ll_vq v ON v.vec_id = s.vid
-        )"""
-    )
+        )""",
+    ]
     for i in range(1, iters + 1):
         p = i - 1
-        if engine == "spark":
-            x_src = explode(f"ll_a{i}")
-            sum_sel = f"SELECT cid, pos, SUM(x) AS sx, COUNT(*) AS n {x_src} GROUP BY cid, pos"
-        else:
-            sum_sel = (
-                f"SELECT cid, g.i AS pos, SUM(e.q[g.i]) AS sx, COUNT(*) AS n "
-                f"{explode(f'll_a{i}')} GROUP BY cid, g.i"
-            )
+        sum_sel = (
+            f"SELECT cid, g.i AS pos, SUM(e.q[g.i]) AS sx, COUNT(*) AS n "
+            f"{explode(f'll_a{i}')} GROUP BY cid, g.i"
+        )
         parts += [
             f"""ll_sim{i} AS (
-              SELECT {hint}v.vec_id, v.q, c.cid,
+              SELECT v.vec_id, v.q, c.cid,
                      round({dot(a='v.q', b='c.cv')} / (v.vn * c.cn), 5) AS cos
               FROM ll_vq v CROSS JOIN ll_cent{p} c
             )""",
@@ -740,7 +701,7 @@ def lloyd_ctes(
     parts.append(
         f"""ll_assign AS (
           SELECT vec_id, centroid_id, cos AS cosine FROM (
-            SELECT {hint}v.vec_id, c.cid AS centroid_id,
+            SELECT v.vec_id, c.cid AS centroid_id,
                    round({dot(a='v.q', b='c.cv')} / (v.vn * c.cn), 5) AS cos,
                    row_number() OVER (PARTITION BY v.vec_id ORDER BY
                      round({dot(a='v.q', b='c.cv')} / (v.vn * c.cn), 5) DESC,
@@ -752,25 +713,114 @@ def lloyd_ctes(
     return ",\n".join(parts)
 
 
-_IVF_KMEANS_CORPUS = {
-    "spark": "SELECT vec_id, transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings",
-    "duckdb": "SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings",
-}
+def lloyd_assign(
+    spark: SparkSession, corpus: DataFrame, iters: int, k: int
+) -> DataFrame:
+    """Exact quantized Lloyd on the engine side: (vec_id, v array<double>)
+    -> (vec_id, centroid_id int, cosine double) under trained centroids.
 
-_IVF_KMEANS_SPARK_SQL = f"""
-    WITH {lloyd_ctes("spark", _IVF_KMEANS_CORPUS["spark"], _KMEANS_ITERS, str(_KMEANS_K))}
-    SELECT vec_id, centroid_id, cosine FROM ll_assign
-"""
+    Same arithmetic as ``lloyd_duck_ctes`` step for step (quantize to
+    integers, rounded-cosine argmax with cid ties, re-quantized integer
+    means, empty clusters carry over) — the driver-vs-oracle hash match
+    IS the equivalence proof.  Executed ITERATIVELY, not as one SQL text:
+    Spark inlines repeated CTE references, so the declarative chain
+    re-evaluates every earlier iteration inside every later one (~5x
+    wall at 3 iterations, measured).  Here each iteration is one
+    broadcast-assignment job plus one groupBy(cid, pos) partial-sum job
+    over the PERSISTED quantized corpus, and only the k x d integer
+    centroid state folds on the driver — the same partials/fold shape as
+    ``kmeans_refine``, with cross-engine-exact integer arithmetic.
+
+    Seeds: the k smallest vec_ids via a two-phase bounded top-K (64-way
+    bucketed sorted-slice, then a driver fold of 64 arrays of <=k ids) —
+    no global-order window anywhere."""
+    import math
+
+    dot_qq = _SPARK_DOT.format(a="q", b="q")
+    vq = corpus.selectExpr(
+        "vec_id",
+        "transform(v, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS DOUBLE)) AS q",
+    ).selectExpr(
+        "vec_id", "q", f"greatest(sqrt({dot_qq}), {_LLOYD_EPS}) AS vn"
+    ).persist()
+
+    out_schema = "vec_id long, centroid_id int, cosine double"
+    seed_buckets = (
+        vq.groupBy(F.pmod(F.col("vec_id"), F.lit(64)).alias("b"))
+        .agg(F.slice(F.array_sort(F.collect_list("vec_id")), 1, k).alias("ids"))
+        .collect()
+    )
+    ids = sorted(int(i) for r in seed_buckets for i in r["ids"])[:k]
+    if not ids:
+        return spark.createDataFrame([], out_schema)
+    seeds = sorted(
+        vq.filter(F.col("vec_id").isin(ids)).collect(), key=lambda r: r["vec_id"]
+    )
+    cents = {
+        cid: (list(r["q"]), float(r["vn"])) for cid, r in enumerate(seeds)
+    }
+
+    def cents_df():
+        return F.broadcast(
+            spark.createDataFrame(
+                [(cid, cv, cn) for cid, (cv, cn) in sorted(cents.items())],
+                "cid int, cv array<double>, cn double",
+            )
+        )
+
+    def assignment():
+        cos = F.round(
+            F.expr(_SPARK_DOT.format(a="q", b="cv")) / (F.col("vn") * F.col("cn")),
+            5,
+        )
+        w = Window.partitionBy("vec_id").orderBy(F.desc("cos"), "cid")
+        return (
+            vq.crossJoin(cents_df())
+            .withColumn("cos", cos)
+            .withColumn("rn", F.row_number().over(w))
+            .filter("rn = 1")
+        )
+
+    for _ in range(iters):
+        sums = (
+            assignment()
+            .select("cid", F.posexplode("q").alias("pos", "x"))
+            .groupBy("cid", "pos")
+            .agg(F.sum("x").alias("sx"), F.count("*").alias("n"))
+            .collect()
+        )
+        by_cid: dict[int, list] = {}
+        for r in sums:
+            by_cid.setdefault(int(r["cid"]), []).append(r)
+        for cid, rows in by_cid.items():
+            cv = [0.0] * len(rows)
+            for r in rows:
+                # floor(sx * 1000.0 / n): identical single IEEE ops to
+                # both engines' SQL — sx is an exact integer in double
+                cv[int(r["pos"])] = float(math.floor(r["sx"] * 1000.0 / r["n"]))
+            cn = max(math.sqrt(sum(x * x for x in cv)), 1e-9)
+            cents[cid] = (cv, cn)
+        # clusters absent from by_cid keep their previous centroid
+    return assignment().select(
+        "vec_id", F.col("cid").alias("centroid_id"), F.col("cos").alias("cosine")
+    )
+
 
 _IVF_KMEANS_DUCK = f"""
-    WITH {lloyd_ctes("duckdb", _IVF_KMEANS_CORPUS["duckdb"], _KMEANS_ITERS, str(_KMEANS_K))}
+    WITH {lloyd_duck_ctes(
+        "SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings",
+        _KMEANS_ITERS, str(_KMEANS_K))}
     SELECT vec_id, centroid_id, cosine FROM ll_assign
 """
 
 
 def _ivf_kmeans_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir)
-    return spark.sql(_IVF_KMEANS_SPARK_SQL)
+    corpus = spark.sql(
+        "SELECT vec_id, transform(embedding, x -> CAST(x AS DOUBLE)) AS v "
+        "FROM embeddings"
+    )
+    return lloyd_assign(spark, corpus, _KMEANS_ITERS, _KMEANS_K)
 
 
 QUERIES["q_ivf_kmeans"] = QuerySpec(
@@ -817,11 +867,10 @@ _SEMDEDUP_KK = (
 )
 
 
-def _semdedup_sql(engine: str) -> str:
-    corpus = _NEAR_DUP_CORPUS if engine == "spark" else _SEMDEDUP_CORPUS_DUCK
-    dot = _SPARK_DOT.format if engine == "spark" else "list_dot_product({a}, {b})".format
-    chain = lloyd_ctes(
-        engine, corpus, _SEMDEDUP_ITERS, "(SELECT k FROM ll_kk)",
+def _semdedup_duck_sql() -> str:
+    dot = "list_dot_product({a}, {b})".format
+    chain = lloyd_duck_ctes(
+        _SEMDEDUP_CORPUS_DUCK, _SEMDEDUP_ITERS, "(SELECT k FROM ll_kk)",
         extra_ctes=(_SEMDEDUP_KK,),
     )
     return f"""
@@ -844,13 +893,44 @@ def _semdedup_sql(engine: str) -> str:
 
 
 def _semantic_dedup_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
     register_views(spark, sf_dir)
-    return spark.sql(_semdedup_sql("spark"))
+    corpus = spark.sql(_NEAR_DUP_CORPUS).persist()
+    n = corpus.count()
+    k = max(8, math.ceil(n / _SEMDEDUP_TARGET_POP))
+    assign = lloyd_assign(spark, corpus, _SEMDEDUP_ITERS, k)
+    sd_v = corpus.selectExpr(
+        "vec_id", "v AS vv", f"sqrt({_SPARK_DOT.format(a='v', b='v')}) AS vn"
+    )
+    sd_a = assign.select("vec_id", "centroid_id").join(sd_v, "vec_id")
+    b = sd_a.selectExpr(
+        "vec_id AS vec_id2", "centroid_id AS centroid_id2",
+        "vv AS vv2", "vn AS vn2",
+    )
+    pair_cos = F.expr(_SPARK_DOT.format(a="vv", b="vv2")) / (
+        F.col("vn") * F.col("vn2")
+    )
+    dropped = (
+        sd_a.join(
+            b,
+            (F.col("centroid_id") == F.col("centroid_id2"))
+            & (F.col("vec_id") < F.col("vec_id2")),
+        )
+        .filter(pair_cos > _SEMDEDUP_TAU)
+        .select(F.col("vec_id2").alias("dvid"))
+        .distinct()
+    )
+    return sd_a.join(dropped, sd_a["vec_id"] == dropped["dvid"], "left").select(
+        "vec_id",
+        "centroid_id",
+        F.when(F.col("dvid").isNull(), F.lit(1)).otherwise(F.lit(0)).alias("kept"),
+    )
 
 
 QUERIES["q_semantic_dedup"] = QuerySpec(
     spark=_semantic_dedup_spark,
-    oracle=_semdedup_sql("duckdb"),
+    oracle=_semdedup_duck_sql(),
     description="SemDeDup: size-derived K, trained (quantized-Lloyd) "
     "centroids bucket the pairwise cosine search; within-cluster "
     "near-dups dropped, survivors kept",
