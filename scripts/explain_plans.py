@@ -187,13 +187,16 @@ Measured at sf0.1 (2,020 vectors, local[32]): q_embed_near_dup 27.2 s →
 
 ## Trained IVF (`q_ivf_kmeans`) — iterative-algorithm shape
 
-Per Lloyd iteration: ONE mapInPandas pass computes cosine assignments AND
-per-centroid partial sums (map-side combine — each task emits k rows), the
-driver folds n_partitions × k partials into the new k × d centroid matrix
-(trivially driver-sized at any corpus scale), and the next iteration
-broadcasts it via closure capture.  No shuffle keyed by centroid id (k is
-tiny — a groupBy(cid) would concentrate the corpus onto k tasks); the only
-data movement is the k-row-per-task partials collect.
+Per Lloyd iteration (`lloyd_assign`, exact integer-quantized arithmetic so
+DuckDB can replay it): a broadcast of the k-row centroid frame feeds a
+cross-join cosine argmax (window PARTITIONed BY vec_id), then ONE
+groupBy(cid, pos) with automatic map-side partial aggregation folds the
+k × d integer sums; only that k × d state reaches the driver (trivially
+driver-sized at any corpus scale), and the next iteration broadcasts the
+re-quantized centroids.  The quantized corpus is persisted once; iteration
+state is NOT expressed as one SQL CTE chain — Spark inlines repeated CTE
+references, which re-evaluates every earlier iteration inside every later
+one (~5x wall measured at 3 iterations).
 
 ## Checkpoint doc-stage driver loop — granularity note
 
