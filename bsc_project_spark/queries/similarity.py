@@ -768,11 +768,21 @@ def lloyd_assign(
             )
         )
 
+    # the hot N x k x d dot product as an EXPANDED sum (d is known
+    # driver-side from the seed vectors): whole-stage-codegen arithmetic
+    # instead of an interpreted aggregate(zip_with(...)) lambda — ~5x on
+    # the per-iteration wall.  Order-insensitive by construction: every
+    # product and partial sum is an exact integer in double (the
+    # quantization bounds them far below 2^53), so the expanded
+    # left-to-right sum equals the sequential fold bit-for-bit.
+    d = len(next(iter(cents.values()))[0])
+    if 0 < d <= 128:
+        dot_expr = " + ".join(f"(q[{i}] * cv[{i}])" for i in range(d))
+    else:  # very wide embeddings: expression-tree size beats lambda cost
+        dot_expr = _SPARK_DOT.format(a="q", b="cv")
+
     def assignment():
-        cos = F.round(
-            F.expr(_SPARK_DOT.format(a="q", b="cv")) / (F.col("vn") * F.col("cn")),
-            5,
-        )
+        cos = F.round(F.expr(dot_expr) / (F.col("vn") * F.col("cn")), 5)
         w = Window.partitionBy("vec_id").orderBy(F.desc("cos"), "cid")
         return (
             vq.crossJoin(cents_df())
