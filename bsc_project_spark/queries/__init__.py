@@ -114,18 +114,26 @@ _CHECK_FIRST = [
     # added for the kmeans assignment) — must re-earn their driver rows
     "q_semantic_dedup",
     "q_ivf_kmeans",
+    # new in round 4 — never driver-checked, must be inside the prefix
+    # (scripts/check_gate_prefix.py enforces this from git diffs)
+    "q_kcore",
+    "q_sparse_knn",
+    "q_pq_codes",
     # remaining slots: prefix.py consumers + flagship repeats (highest churn
-    # risk if the two-phase rank machinery is touched this round)
+    # risk if the two-phase rank machinery is touched this round).
+    # q_weighted_sample / q_web_pipeline / q_funnel rotated out to make
+    # room for the three round-4 ops: all three are double-green
+    # (r02+r03) and unchanged since.
     "q_sort_rank",
     "q_length_quantiles",
     "q_quality_curriculum",
     "q_sequence_pack",
     "q_domain_cap",
     "q_phash_pairs",
+    # ---- 50-row prefix boundary ----
     "q_weighted_sample",
     "q_web_pipeline",
     "q_funnel",
-    # ---- 50-row prefix boundary ----
     # 51+: green driver rows in r01/r02/r03 and unchanged since; the local
     # gate (scripts/check_oracle.py) still runs them all every session.
     "q_sessionize_batch",

@@ -947,3 +947,130 @@ QUERIES["q_degree_histogram"] = QuerySpec(
         "strategy; two combinable rollups"
     ),
 )
+
+
+# ---------------------------------------------------------------------------
+# q_kcore — k-core decomposition by FIXED-ROUND peel, the graph-side
+# quality filter web curation pipelines run before trusting link signals
+# (spam rings and orphan pages fall out of the 3-core; what survives is
+# the densely-connected backbone).  Peeling is the textbook iterative
+# deletion: drop every node whose degree WITHIN the survivor set is < K,
+# recompute, repeat.  Convergence is data-dependent, so the QUERY is
+# defined as an 8-ROUND peel (deterministic on both engines regardless
+# of convergence; on this graph family 8 rounds converges — pinned by
+# tests/test_round4_ops.py's fixpoint check).  Same engine split as
+# q_pagerank / lloyd_assign: the Spark side loops DataFrame rounds with
+# localCheckpoint (Spark inlines repeated CTE refs — a single unrolled
+# SQL would re-evaluate round r inside every round > r), the DuckDB
+# oracle unrolls the rounds as a CTE chain (DuckDB materializes them).
+# Scale shape: each round is one self-join of the undirected edge list
+# against the shrinking survivor set + a map-side-combinable count —
+# shuffle keyed on vertex id, no global state anywhere.
+# ---------------------------------------------------------------------------
+
+_KCORE_K = 3
+_KCORE_ROUNDS = 8
+
+
+def _kcore_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ids, n, edges = _link_graph(spark, sf_dir)
+    out_schema = "doc_id string, in_core int, core_deg long"
+    if n == 0:
+        return spark.createDataFrame([], out_schema)
+    und = (
+        edges.filter("src <> dst")
+        .select("src", "dst")
+        .union(edges.filter("src <> dst").select(F.col("dst").alias("src"),
+                                                 F.col("src").alias("dst")))
+        .distinct()
+        .repartition("src")
+        .persist()
+    )
+    surv = ids.select(F.col("idx").alias("v"))
+
+    def deg_within(s: DataFrame) -> DataFrame:
+        a = s.select(F.col("v").alias("sv"))
+        b = s.select(F.col("v").alias("dv"))
+        return (
+            und.join(a, und.src == F.col("sv"))
+            .join(b, und.dst == F.col("dv"))
+            .groupBy(F.col("src").alias("v"))
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+
+    for _ in range(_KCORE_ROUNDS):
+        surv = (
+            deg_within(surv)
+            .filter(F.col("c") >= _KCORE_K)
+            .select("v")
+            .localCheckpoint(eager=False)
+        )
+    final_deg = deg_within(surv)
+    return (
+        ids.join(surv, ids.idx == surv.v, "left")
+        .join(final_deg.select(F.col("v").alias("fv"), "c"),
+              ids.idx == F.col("fv"), "left")
+        .select(
+            "doc_id",
+            F.when(F.col("v").isNull(), F.lit(0)).otherwise(F.lit(1)).alias("in_core"),
+            F.coalesce(F.col("c"), F.lit(0)).cast("long").alias("core_deg"),
+        )
+    )
+
+
+def _kcore_oracle() -> str:
+    hashed = _hex8_of("md5(CAST(i.idx AS STRING) || ':' || CAST(g.k AS STRING))")
+    rounds = []
+    prev = "s0"
+    for r in range(1, _KCORE_ROUNDS + 1):
+        rounds.append(
+            f"""s{r} AS (
+      SELECT e.src AS v FROM und e
+      JOIN {prev} a ON a.v = e.src JOIN {prev} b ON b.v = e.dst
+      GROUP BY e.src HAVING count(*) >= {_KCORE_K}
+    )"""
+        )
+        prev = f"s{r}"
+    rounds_sql = ",\n    ".join(rounds)
+    return f"""
+    WITH ids AS (
+      SELECT doc_id, CAST(row_number() OVER (ORDER BY doc_id) - 1 AS BIGINT) AS idx
+      FROM documents
+    ),
+    nn AS (SELECT count(*) AS n FROM ids),
+    edges AS (
+      SELECT DISTINCT i.idx AS src, ({hashed}) % (SELECT n FROM nn) AS dst
+      FROM ids i, (SELECT unnest(generate_series(1, {_FANOUT})) AS k) g
+    ),
+    und AS (
+      SELECT DISTINCT src, dst FROM (
+        SELECT src, dst FROM edges WHERE src <> dst
+        UNION ALL
+        SELECT dst AS src, src AS dst FROM edges WHERE src <> dst
+      ) t
+    ),
+    s0 AS (SELECT idx AS v FROM ids),
+    {rounds_sql},
+    fdeg AS (
+      SELECT e.src AS v, count(*) AS c FROM und e
+      JOIN {prev} a ON a.v = e.src JOIN {prev} b ON b.v = e.dst
+      GROUP BY e.src
+    )
+    SELECT i.doc_id,
+           CASE WHEN s.v IS NULL THEN 0 ELSE 1 END AS in_core,
+           CAST(coalesce(f.c, 0) AS BIGINT) AS core_deg
+    FROM ids i
+    LEFT JOIN {prev} s ON s.v = i.idx
+    LEFT JOIN fdeg f ON f.v = i.idx
+"""
+
+
+QUERIES["q_kcore"] = QuerySpec(
+    spark=_kcore_spark,
+    oracle=_kcore_oracle(),
+    description=(
+        f"{_KCORE_K}-core membership + within-core degree by an "
+        f"{_KCORE_ROUNDS}-round peel: iterative survivor-set DataFrame "
+        "loop vs unrolled-CTE oracle (graph-side spam/quality filter)"
+    ),
+)

@@ -1418,3 +1418,76 @@ QUERIES["q_quantized_ann"] = QuerySpec(
         "memory cut with bit-exact cross-engine scoring"
     ),
 )
+
+
+# ---------------------------------------------------------------------------
+# q_pq_codes — product quantization, the codebook half of IVF-PQ (the
+# canonical 100-TB ANN index: Jegou et al. 2011): split the embedding
+# into M subspaces, train a small codebook per subspace, store each
+# vector as M one-byte codes.  Reuses the exact quantized-Lloyd machinery
+# (lloyd_assign / lloyd_duck_ctes) per subspace, so the trained codes are
+# cross-engine hash-checkable like q_ivf_kmeans.  Scale shape per
+# subspace: broadcast codebook, map-only assignment, k x d/M driver
+# state; M subspaces are independent jobs.  Output: (vec_id, sub, code,
+# cosine) — cosine is the similarity to the chosen codeword (the
+# quantization-quality diagnostic).
+# ---------------------------------------------------------------------------
+
+_PQ_M = 2        # subspaces (dim 64 -> 2 x 32)
+_PQ_K = 8        # codewords per subspace
+_PQ_ITERS = 1
+
+
+def _pq_codes_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    dim = 64
+    sub_w = dim // _PQ_M
+    outs = []
+    for s in range(_PQ_M):
+        sub_corpus = spark.sql(
+            "SELECT vec_id, transform(slice(embedding, {start}, {w}), "
+            "x -> CAST(x AS DOUBLE)) AS v FROM embeddings".format(
+                start=s * sub_w + 1, w=sub_w
+            )
+        )
+        outs.append(
+            lloyd_assign(spark, sub_corpus, _PQ_ITERS, _PQ_K).select(
+                "vec_id",
+                F.lit(s).alias("sub"),
+                F.col("centroid_id").alias("code"),
+                "cosine",
+            )
+        )
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.unionByName(o)
+    return res
+
+
+def _pq_codes_oracle() -> str:
+    dim, sub_w = 64, 64 // _PQ_M
+    blocks = []
+    for s in range(_PQ_M):
+        lo, hi = s * sub_w + 1, (s + 1) * sub_w
+        chain = lloyd_duck_ctes(
+            f"SELECT vec_id, (embedding::DOUBLE[])[{lo}:{hi}] AS v FROM embeddings",
+            _PQ_ITERS,
+            str(_PQ_K),
+        )
+        blocks.append(
+            f"""SELECT vec_id, {s} AS sub, centroid_id AS code, cosine FROM (
+    WITH {chain}
+    SELECT vec_id, centroid_id, cosine FROM ll_assign) t{s}"""
+        )
+    return "\nUNION ALL\n".join(blocks)
+
+
+QUERIES["q_pq_codes"] = QuerySpec(
+    spark=_pq_codes_spark,
+    oracle=_pq_codes_oracle(),
+    description=(
+        f"product quantization (IVF-PQ codebooks): {_PQ_M} subspaces x "
+        f"{_PQ_K} codewords via exact quantized Lloyd, per-vector codes "
+        "+ codeword cosine, cross-engine hash-checked"
+    ),
+)

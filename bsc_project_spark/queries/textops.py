@@ -3492,3 +3492,105 @@ _q(
     "richness signal for source weighting; one tokenize pass, "
     "combinable rollups",
 )
+
+
+# ---------------------------------------------------------------------------
+# q_sparse_knn — top-k cosine neighbors over TF-IDF sparse vectors, the
+# sparse-retrieval workhorse (near-dup mining, contamination checks,
+# BM25-ish related-document lookup) expressed at scale: candidates come
+# from an INVERTED-INDEX self-join restricted to RARE terms (df in
+# [2, 10]) — the PPJoin-style bound that keeps candidate volume at
+# sum(df_rare^2) instead of n^2 — and each candidate pair's cosine is
+# then computed EXACTLY over all shared terms.  (Pairs sharing only
+# high-df stopwords are not candidates: the standard recall/cost trade
+# of posting-pruned sparse ANN, same contract as q_prefix_join.)
+#
+# Exactness discipline: weights are INTEGER w = tf * floor(100 * N / df)
+# (one float divide + floor, identical single ops both engines), so
+# dots and norms are exact int64 sums — order-independent — and the
+# only remaining float math is the final sqrt/divide/round(6) chain.
+# ---------------------------------------------------------------------------
+
+_SPARSE_KNN_K = 3
+
+_SPARSE_KNN_BODY = """
+    tf AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+           FROM toks GROUP BY 1, 2),
+    dfreq AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    w AS (SELECT doc_id, token,
+                 tf * CAST(floor(100.0 * n_docs / df) AS BIGINT) AS w
+          FROM tf JOIN dfreq USING (token) CROSS JOIN n),
+    nrm AS (SELECT doc_id, sum(w * w) AS nn FROM w GROUP BY 1),
+    rare AS (SELECT token FROM dfreq WHERE df BETWEEN 2 AND 10),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+      FROM w a JOIN rare USING (token) JOIN w b USING (token)
+      WHERE a.doc_id < b.doc_id
+    ),
+    dots AS (
+      SELECT c.d1, c.d2, sum(x.w * y.w) AS dot
+      FROM w x JOIN w y ON x.token = y.token
+      JOIN cand c ON c.d1 = x.doc_id AND c.d2 = y.doc_id
+      GROUP BY c.d1, c.d2
+    ),
+    sims AS (
+      SELECT d1, d2,
+             round(CAST(dot AS DOUBLE) /
+                   (sqrt(CAST(n1.nn AS DOUBLE)) * sqrt(CAST(n2.nn AS DOUBLE))),
+                   6) AS sim
+      FROM dots JOIN nrm n1 ON n1.doc_id = dots.d1
+                JOIN nrm n2 ON n2.doc_id = dots.d2
+    ),
+    sym AS (
+      SELECT d1 AS doc_id, d2 AS neighbor, sim FROM sims
+      UNION ALL
+      SELECT d2 AS doc_id, d1 AS neighbor, sim FROM sims
+    )
+    SELECT doc_id, neighbor, sim FROM (
+      SELECT sym.*, row_number() OVER (
+        PARTITION BY doc_id ORDER BY sim DESC, neighbor) AS rn
+      FROM sym
+    ) t WHERE rn <= {k}
+"""
+
+# terms are word BIGRAMS: the corpus vocabulary is tiny (every unigram
+# is a stopword by df), while bigrams have the long-tailed df profile
+# real sparse retrieval exploits
+_SPARSE_KNN_SPARK = f"""
+    WITH base AS (
+      SELECT doc_id, split(lower(trim(text)), '\\\\s+') AS arr FROM documents
+    ),
+    toks AS (
+      SELECT doc_id, token FROM (
+        SELECT doc_id, explode(CASE WHEN size(arr) >= 2
+          THEN transform(sequence(0, size(arr) - 2),
+                         i -> concat(arr[i], ' ', arr[i + 1]))
+          ELSE array() END) AS token
+        FROM base
+      ) WHERE token <> ' '
+    ),
+    {_SPARSE_KNN_BODY.format(k=_SPARSE_KNN_K)}
+"""
+
+_SPARSE_KNN_DUCK = rf"""
+    WITH base AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS arr
+      FROM documents
+    ),
+    toks AS (
+      SELECT doc_id, arr[i] || ' ' || arr[i + 1] AS token
+      FROM base, LATERAL (SELECT unnest(generate_series(1, len(arr) - 1)) AS i) g
+      WHERE arr[i] || ' ' || arr[i + 1] <> ' '
+    ),
+    {_SPARSE_KNN_BODY.format(k=_SPARSE_KNN_K)}
+"""
+
+_q(
+    "q_sparse_knn",
+    _SPARSE_KNN_SPARK,
+    _SPARSE_KNN_DUCK,
+    f"top-{_SPARSE_KNN_K} cosine neighbors over integer TF-IDF sparse "
+    "vectors; rare-term inverted-index candidates (df<=10), exact int64 "
+    "dots/norms over all shared terms",
+)
