@@ -276,8 +276,23 @@ Reproduce: `python scripts/scaling_tasklog.py`
 SPARK_GRAFT_TASKLOG_PAIRS)
 """
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
-    with open(os.path.join(REPO, "BENCH", "TASKLOG.md"), "w") as f:
+    path = os.path.join(REPO, "BENCH", "TASKLOG.md")
+    # preserve hand-written appendix sections ("## Round ..." onward):
+    # this file is regenerated per campaign, but per-round analyses
+    # (extraction A/Bs, the giant-page skew demo) live below the
+    # generated part and must survive the rewrite
+    appendix = ""
+    if os.path.exists(path):
+        with open(path) as f:
+            old = f.read()
+        for i, line in enumerate(old.splitlines(keepends=True)):
+            if line.startswith("## Round "):
+                appendix = "".join(old.splitlines(keepends=True)[i:])
+                break
+    with open(path, "w") as f:
         f.write(md)
+        if appendix:
+            f.write("\n" + appendix)
     print("wrote BENCH/TASKLOG.md", file=sys.stderr)
 
 
