@@ -119,18 +119,20 @@ _CHECK_FIRST = [
     "q_kcore",
     "q_sparse_knn",
     "q_pq_codes",
-    # remaining slots: prefix.py consumers + flagship repeats (highest churn
-    # risk if the two-phase rank machinery is touched this round).
-    # q_weighted_sample / q_web_pipeline / q_funnel rotated out to make
-    # room for the three round-4 ops: all three are double-green
-    # (r02+r03) and unchanged since.
-    "q_sort_rank",
-    "q_length_quantiles",
-    "q_quality_curriculum",
+    "q_winnowing",
+    "q_containment",
+    "q_cdc_chunks",
+    # remaining slots: flagship repeats (highest churn risk if the
+    # two-phase rank machinery is touched this round).  Six double-green
+    # (r02+r03, unchanged since) repeats rotated out below the boundary
+    # to make room for the six round-4 ops.
     "q_sequence_pack",
     "q_domain_cap",
     "q_phash_pairs",
     # ---- 50-row prefix boundary ----
+    "q_sort_rank",
+    "q_length_quantiles",
+    "q_quality_curriculum",
     "q_weighted_sample",
     "q_web_pipeline",
     "q_funnel",

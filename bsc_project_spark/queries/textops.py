@@ -3594,3 +3594,299 @@ _q(
     "vectors; rare-term inverted-index candidates (df<=10), exact int64 "
     "dots/norms over all shared terms",
 )
+
+
+# ---------------------------------------------------------------------------
+# q_winnowing — MOSS winnowing fingerprints (Schleimer, Wilkerson,
+# Aiken 2003), the selection-based document fingerprinting used for
+# plagiarism / benchmark-contamination sweeps: hash every word 3-gram,
+# slide a window of 4 consecutive gram hashes, keep each window's MINIMUM
+# (rightmost position on ties — the guarantee that shared substrings of
+# length >= k+w-1 always share a fingerprint).  Output: the shared-
+# fingerprint profile (fingerprints seen in >= 2 documents, with doc and
+# occurrence counts) — the contamination candidate list.
+#
+# Scale shape: every window is a BOUNDED frame PARTITIONed BY doc_id
+# (ROWS BETWEEN CURRENT AND 3 FOLLOWING), the profile is one
+# map-side-combinable groupBy(fp).  Exactness: the (min h, rightmost
+# pos) choice is packed into ONE BIGINT key = h * 2^20 + (2^20-1-pos)
+# (h < 2^32, pos < 2^20 -> key < 2^52, exact everywhere), so the window
+# MIN is plain integer ordering on both engines; unpacking uses a
+# power-of-two float division (exact in binary) + floor.
+# ---------------------------------------------------------------------------
+
+_WINNOW_K = 3   # words per gram
+_WINNOW_W = 4   # gram hashes per window
+
+_WINNOW_BODY = f"""
+    grams AS (
+      SELECT doc_id, pos, {{h}} AS h FROM gtext
+    ),
+    sel AS (
+      SELECT doc_id,
+             min(h * 1048576 + (1048575 - pos)) OVER (
+               PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN CURRENT ROW AND {_WINNOW_W - 1} FOLLOWING) AS key,
+             count(*) OVER (
+               PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN CURRENT ROW AND {_WINNOW_W - 1} FOLLOWING) AS wn
+      FROM grams
+    ),
+    fps AS (
+      SELECT DISTINCT doc_id,
+             CAST(floor(key / 1048576.0) AS BIGINT) AS fp
+      FROM sel WHERE wn = {_WINNOW_W}
+    )
+    SELECT fp,
+           CAST(count(*) AS BIGINT) AS n_docs
+    FROM fps GROUP BY fp HAVING count(*) >= 2
+"""
+
+_WINNOW_SPARK = f"""
+    WITH base AS (
+      SELECT doc_id, split(lower(trim(text)), '\\\\s+') AS arr FROM documents
+    ),
+    gtext AS (
+      SELECT doc_id, pos, g FROM (
+        SELECT doc_id, posexplode(CASE WHEN size(arr) >= {_WINNOW_K}
+          THEN transform(sequence(0, size(arr) - {_WINNOW_K}),
+                         i -> concat_ws(' ', slice(arr, i + 1, {_WINNOW_K})))
+          ELSE array() END) AS (pos, g)
+        FROM base
+      )
+    ),
+    {_WINNOW_BODY.format(h=_hex8_of("md5(g)"))}
+"""
+
+_WINNOW_DUCK = rf"""
+    WITH base AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS arr
+      FROM documents
+    ),
+    gtext AS (
+      SELECT doc_id, i - 1 AS pos,
+             array_to_string(arr[i:i + {_WINNOW_K} - 1], ' ') AS g
+      FROM base,
+           LATERAL (SELECT unnest(generate_series(1, len(arr) - {_WINNOW_K} + 1))
+                    AS i) s
+    ),
+    {_WINNOW_BODY.format(h=_hex8_of("md5(g)"))}
+"""
+
+_q(
+    "q_winnowing",
+    _WINNOW_SPARK,
+    _WINNOW_DUCK,
+    f"MOSS winnowing (k={_WINNOW_K} word-grams, w={_WINNOW_W} windows, "
+    "rightmost-min selection): shared-fingerprint contamination profile; "
+    "bounded per-doc frames, integer-packed tie-breaking",
+)
+
+
+# ---------------------------------------------------------------------------
+# q_containment — Broder CONTAINMENT C(A in B) = |S(A) n S(B)| / |S(A)|
+# over word 4-gram shingle sets: the ASYMMETRIC near-dup direction that
+# Jaccard misses — a short document quoted wholesale inside a long one
+# has low Jaccard but containment ~1, exactly the quote/subset/expansion
+# cases a dedup policy must treat differently from mutual duplicates.
+# Candidates come from the same rare-shingle (df <= 10) inverted-index
+# join as q_sparse_knn (sum(df_rare^2) candidate bound, never n^2);
+# containment is then EXACT over the full shingle sets (integer distinct
+# counts, one divide + round).  Output: ordered (src, dst) pairs where
+# >= 60% of src's shingles appear in dst.
+# ---------------------------------------------------------------------------
+
+_CONTAIN_K = 4
+_CONTAIN_TAU = 0.6
+
+_CONTAIN_BODY = f"""
+    sh AS (SELECT DISTINCT doc_id, g FROM gtext),
+    sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh FROM sh GROUP BY 1),
+    dfreq AS (SELECT g, count(*) AS df FROM sh GROUP BY 1),
+    rare AS (SELECT g FROM dfreq WHERE df BETWEEN 2 AND 10),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+      FROM sh a JOIN rare USING (g) JOIN sh b USING (g)
+      WHERE a.doc_id < b.doc_id
+    ),
+    inter AS (
+      SELECT c.d1, c.d2, CAST(count(*) AS BIGINT) AS inter
+      FROM sh x JOIN sh y ON x.g = y.g
+      JOIN cand c ON c.d1 = x.doc_id AND c.d2 = y.doc_id
+      GROUP BY c.d1, c.d2
+    ),
+    both_dirs AS (
+      SELECT d1 AS src_doc, d2 AS dst_doc,
+             round(CAST(inter AS DOUBLE) / s1.n_sh, 6) AS containment
+      FROM inter JOIN sizes s1 ON s1.doc_id = inter.d1
+      UNION ALL
+      SELECT d2 AS src_doc, d1 AS dst_doc,
+             round(CAST(inter AS DOUBLE) / s2.n_sh, 6) AS containment
+      FROM inter JOIN sizes s2 ON s2.doc_id = inter.d2
+    )
+    SELECT src_doc, dst_doc, containment
+    FROM both_dirs WHERE containment >= {_CONTAIN_TAU}
+"""
+
+_CONTAIN_SPARK = f"""
+    WITH base AS (
+      SELECT doc_id, split(lower(trim(text)), '\\\\s+') AS arr FROM documents
+    ),
+    gtext AS (
+      SELECT doc_id, g FROM (
+        SELECT doc_id, explode(CASE WHEN size(arr) >= {_CONTAIN_K}
+          THEN transform(sequence(0, size(arr) - {_CONTAIN_K}),
+                         i -> concat_ws(' ', slice(arr, i + 1, {_CONTAIN_K})))
+          ELSE array() END) AS g
+        FROM base
+      )
+    ),
+    {_CONTAIN_BODY}
+"""
+
+_CONTAIN_DUCK = rf"""
+    WITH base AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS arr
+      FROM documents
+    ),
+    gtext AS (
+      SELECT doc_id, array_to_string(arr[i:i + {_CONTAIN_K} - 1], ' ') AS g
+      FROM base,
+           LATERAL (SELECT unnest(generate_series(1, len(arr) - {_CONTAIN_K} + 1))
+                    AS i) s
+    ),
+    {_CONTAIN_BODY}
+"""
+
+_q(
+    "q_containment",
+    _CONTAIN_SPARK,
+    _CONTAIN_DUCK,
+    f"Broder containment (word {_CONTAIN_K}-gram shingles, tau="
+    f"{_CONTAIN_TAU}): asymmetric quote/subset detection; rare-shingle "
+    "candidates, exact integer intersections",
+)
+
+
+# ---------------------------------------------------------------------------
+# q_cdc_chunks — content-defined chunking (the rolling-hash boundary
+# trick behind rsync / LBFS / FastCDC), applied to text dedup: chunk
+# boundaries are placed where a hash of the trailing 8 characters hits a
+# divisor condition, so INSERTING text into a document shifts only the
+# chunks it touches — byte-offset chunking would shift every later
+# chunk and defeat chunk-level dedup.  Output: the chunk-level dedup
+# profile (md5 of each chunk's text -> occurrence and document counts,
+# duplicated chunks only) — the sub-document dedup signal exact-dedup
+# misses and q_substring_dedup finds only pairwise.
+#
+# Exactness: the window hash is an 8-term integer polynomial
+# (sum ascii(c_{{i-j}}) * 131^j, j=0..7, mod 2^31) — every term and sum
+# exact in int64, identical both engines; boundary iff hash % 64 = 0.
+# Pure gear boundaries (no min/max chunk clamps — those need a
+# sequential scan; the divisor alone gives E[chunk] = 64 chars).
+# Scale shape: per-position work is a fixed 8-char expression, the
+# boundary list folds per document (bounded by doc length), the profile
+# is one map-side-combinable groupBy(chunk hash).
+# ---------------------------------------------------------------------------
+
+_CDC_WIN = 8
+_CDC_DIV = 64
+
+
+def _cdc_hash(expr_text: str, pos: str) -> str:
+    """Windowed polynomial hash of the 8 chars of ``expr_text`` ending at
+    1-based position ``pos`` (requires pos >= 8), exact int64 both
+    dialects."""
+    terms = " + ".join(
+        f"CAST(ascii(substring({expr_text}, {pos} - {j}, 1)) AS BIGINT) * {131 ** j}"
+        for j in range(_CDC_WIN)
+    )
+    return f"(({terms}) % 2147483647)"
+
+
+_CDC_BODY = f"""
+    doc AS (SELECT doc_id, text, length(text) AS L FROM documents
+            WHERE length(text) >= {_CDC_WIN}),
+    bounds AS (
+      SELECT doc_id, i AS b
+      FROM positions
+      WHERE {{h}} % {_CDC_DIV} = 0
+    ),
+    blist AS (
+      SELECT d.doc_id, d.text, d.L, {{asort}} AS bs
+      FROM doc d LEFT JOIN (
+        SELECT doc_id, {{collect}} AS raw_bs FROM bounds GROUP BY doc_id
+      ) b ON b.doc_id = d.doc_id
+    ),
+    spans AS (
+      SELECT doc_id, text,
+             {{starts}} AS starts,
+             {{ends}} AS ends
+      FROM blist
+    ),
+    chunks AS (
+      SELECT doc_id, md5(substring(text, s, e - s + 1)) AS chunk_hash,
+             CAST(e - s + 1 AS BIGINT) AS chunk_len
+      FROM exploded WHERE e >= s
+    )
+    SELECT chunk_hash,
+           CAST(count(*) AS BIGINT) AS n_occ,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(min(chunk_len) AS BIGINT) AS chunk_len
+    FROM chunks GROUP BY chunk_hash HAVING count(*) >= 2
+"""
+
+
+def _cdc_spark_sql() -> str:
+    h = _cdc_hash("text", "i")
+    body = _CDC_BODY.format(
+        h=h,
+        collect="collect_list(b)",
+        asort="array_sort(coalesce(b.raw_bs, array()))",
+        starts="concat(array(1), transform(bs, x -> CAST(x + 1 AS INT)))",
+        ends="concat(transform(bs, x -> CAST(x AS INT)), array(CAST(L AS INT)))",
+    )
+    return f"""
+    WITH documents0 AS (SELECT * FROM documents),
+    positions AS (
+      SELECT doc_id, text, posexplode(sequence({_CDC_WIN}, length(text))) AS (z, i)
+      FROM documents WHERE length(text) >= {_CDC_WIN}
+    ),
+    {body.replace("FROM exploded", '''FROM (
+      SELECT doc_id, text, se.starts AS s, se.ends AS e
+      FROM spans LATERAL VIEW explode(arrays_zip(starts, ends)) t AS se
+    ) t''')}
+"""
+
+
+def _cdc_duck_sql() -> str:
+    h = _cdc_hash("text", "i")
+    body = _CDC_BODY.format(
+        h=h,
+        collect="list(b)",
+        asort="list_sort(coalesce(b.raw_bs, []))",
+        starts="list_prepend(1, list_transform(bs, x -> CAST(x + 1 AS INT)))",
+        ends="list_append(list_transform(bs, x -> CAST(x AS INT)), CAST(L AS INT))",
+    )
+    return f"""
+    WITH positions AS (
+      SELECT doc_id, text, i
+      FROM (SELECT doc_id, text, length(text) AS L FROM documents
+            WHERE length(text) >= {_CDC_WIN}) d,
+           LATERAL (SELECT unnest(generate_series({_CDC_WIN}, L)) AS i) g
+    ),
+    {body.replace("FROM exploded", '''FROM (
+      SELECT doc_id, text, starts[k] AS s, ends[k] AS e
+      FROM spans, LATERAL (SELECT unnest(generate_series(1, len(starts))) AS k) gk
+    ) t''')}
+"""
+
+
+_q(
+    "q_cdc_chunks",
+    _cdc_spark_sql(),
+    _cdc_duck_sql(),
+    f"content-defined chunking (8-char polynomial gear hash, divisor "
+    f"{_CDC_DIV}): chunk-level dedup profile of duplicated chunks "
+    "(insert-shift-robust sub-document dedup)",
+)

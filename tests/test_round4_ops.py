@@ -161,3 +161,110 @@ def test_pq_codes_matches_python(spark):
         wc, ws = want[(r.vec_id, r.sub)]
         assert r.code == wc, (r.vec_id, r.sub)
         assert abs(r.cosine - ws) < 1e-9, (r.vec_id, r.sub)
+
+
+def test_winnowing_matches_python(spark, docs):
+    K, W = 3, 4
+    fps_by_doc = defaultdict(set)
+    for r in docs.itertuples():
+        words = [w for w in re.split(r"\s+", r.text.strip().lower()) if w != ""]
+        hs = [
+            _hex8(" ".join(words[i : i + K]))
+            for i in range(len(words) - K + 1)
+        ]
+        for i in range(len(hs) - W + 1):
+            win = hs[i : i + W]
+            m = min(win)
+            # rightmost minimal position (the packed-key tie rule)
+            pos = max(j for j in range(W) if win[j] == m) + i
+            fps_by_doc[r.doc_id].add((pos, m))
+    cnt = Counter()
+    for _d, fps in fps_by_doc.items():
+        for h in {h for _p, h in fps}:
+            cnt[h] += 1
+    want = {(h, n) for h, n in cnt.items() if n >= 2}
+
+    got = {
+        (r.fp, r.n_docs)
+        for r in all_queries()["q_winnowing"].spark(spark, SF_DIR).collect()
+    }
+    assert got == want
+    assert len(got) > 0
+
+
+def test_containment_matches_python(spark, docs):
+    K, TAU = 4, 0.6
+    sh = {}
+    for r in docs.itertuples():
+        words = [w for w in re.split(r"\s+", r.text.strip().lower()) if w != ""]
+        sh[r.doc_id] = {
+            " ".join(words[i : i + K]) for i in range(len(words) - K + 1)
+        }
+    df = Counter()
+    for s in sh.values():
+        df.update(s)
+    rare = {g for g, f in df.items() if 2 <= f <= 10}
+    post = defaultdict(list)
+    for d, s in sh.items():
+        for g in s:
+            if g in rare:
+                post[g].append(d)
+    cand = set()
+    for ds in post.values():
+        for a in ds:
+            for b in ds:
+                if a < b:
+                    cand.add((a, b))
+    want = set()
+    for a, b in cand:
+        inter = len(sh[a] & sh[b])
+        ca = round(inter / len(sh[a]), 6)
+        cb = round(inter / len(sh[b]), 6)
+        if ca >= TAU:
+            want.add((a, b, ca))
+        if cb >= TAU:
+            want.add((b, a, cb))
+
+    got = {
+        (r.src_doc, r.dst_doc, r.containment)
+        for r in all_queries()["q_containment"].spark(spark, SF_DIR).collect()
+    }
+    assert got == want
+    assert len(got) > 0
+
+
+def test_cdc_chunks_matches_python(spark, docs):
+    WIN, DIV = 8, 64
+    chunk_occ = Counter()
+    chunk_docs = defaultdict(set)
+    chunk_len = {}
+    for r in docs.itertuples():
+        t = r.text
+        if len(t) < WIN:
+            continue
+        bounds = []
+        for i in range(WIN, len(t) + 1):  # 1-based end positions
+            h = sum(ord(t[i - 1 - j]) * (131 ** j) for j in range(WIN)) % 2147483647
+            if h % DIV == 0:
+                bounds.append(i)
+        starts = [1] + [b + 1 for b in bounds]
+        ends = bounds + [len(t)]
+        for s, e in zip(starts, ends):
+            if e >= s:
+                chunk = t[s - 1 : e]
+                key = hashlib.md5(chunk.encode()).hexdigest()
+                chunk_occ[key] += 1
+                chunk_docs[key].add(r.doc_id)
+                chunk_len[key] = min(chunk_len.get(key, 1 << 60), e - s + 1)
+    want = {
+        (k, n, len(chunk_docs[k]), chunk_len[k])
+        for k, n in chunk_occ.items()
+        if n >= 2
+    }
+
+    got = {
+        (r.chunk_hash, r.n_occ, r.n_docs, r.chunk_len)
+        for r in all_queries()["q_cdc_chunks"].spark(spark, SF_DIR).collect()
+    }
+    assert got == want
+    assert len(got) > 0
