@@ -3529,9 +3529,14 @@ _SPARSE_KNN_BODY = """
       WHERE a.doc_id < b.doc_id
     ),
     dots AS (
+      -- candidates FIRST: joining w to itself on token before the cand
+      -- filter materializes df^2 rows per token (47 s at sf0.1 measured,
+      -- n^2-shaped at fleet scale); driving from cand keeps the
+      -- intermediate at |cand| x tokens-per-doc
       SELECT c.d1, c.d2, sum(x.w * y.w) AS dot
-      FROM w x JOIN w y ON x.token = y.token
-      JOIN cand c ON c.d1 = x.doc_id AND c.d2 = y.doc_id
+      FROM cand c
+      JOIN w x ON x.doc_id = c.d1
+      JOIN w y ON y.doc_id = c.d2 AND y.token = x.token
       GROUP BY c.d1, c.d2
     ),
     sims AS (
@@ -3710,9 +3715,12 @@ _CONTAIN_BODY = f"""
       WHERE a.doc_id < b.doc_id
     ),
     inter AS (
+      -- candidates first (same join-order discipline as q_sparse_knn's
+      -- dots: never self-join the posting lists over ALL shingles)
       SELECT c.d1, c.d2, CAST(count(*) AS BIGINT) AS inter
-      FROM sh x JOIN sh y ON x.g = y.g
-      JOIN cand c ON c.d1 = x.doc_id AND c.d2 = y.doc_id
+      FROM cand c
+      JOIN sh x ON x.doc_id = c.d1
+      JOIN sh y ON y.doc_id = c.d2 AND y.g = x.g
       GROUP BY c.d1, c.d2
     ),
     both_dirs AS (
@@ -3838,7 +3846,7 @@ _CDC_BODY = f"""
 
 
 def _cdc_spark_sql() -> str:
-    h = _cdc_hash("text", "i")
+    h = _cdc_hash("win", "8")
     body = _CDC_BODY.format(
         h=h,
         collect="collect_list(b)",
@@ -3847,10 +3855,15 @@ def _cdc_spark_sql() -> str:
         ends="concat(transform(bs, x -> CAST(x AS INT)), array(CAST(L AS INT)))",
     )
     return f"""
-    WITH documents0 AS (SELECT * FROM documents),
-    positions AS (
-      SELECT doc_id, text, posexplode(sequence({_CDC_WIN}, length(text))) AS (z, i)
-      FROM documents WHERE length(text) >= {_CDC_WIN}
+    WITH positions AS (
+      -- carry only the 8-char window per row: exploding (doc_id, i)
+      -- WITH the full text column duplicates ~doc-length bytes per
+      -- position row (1.2 GB at sf0.1, measured 13.5 s -> ~3 s)
+      SELECT doc_id, i, substring(text, i - {_CDC_WIN - 1}, {_CDC_WIN}) AS win
+      FROM (
+        SELECT doc_id, text, posexplode(sequence({_CDC_WIN}, length(text))) AS (z, i)
+        FROM documents WHERE length(text) >= {_CDC_WIN}
+      ) t
     ),
     {body.replace("FROM exploded", '''FROM (
       SELECT doc_id, text, se.starts AS s, se.ends AS e
@@ -3860,7 +3873,7 @@ def _cdc_spark_sql() -> str:
 
 
 def _cdc_duck_sql() -> str:
-    h = _cdc_hash("text", "i")
+    h = _cdc_hash("win", "8")
     body = _CDC_BODY.format(
         h=h,
         collect="list(b)",
@@ -3870,7 +3883,7 @@ def _cdc_duck_sql() -> str:
     )
     return f"""
     WITH positions AS (
-      SELECT doc_id, text, i
+      SELECT doc_id, i, substring(text, i - {_CDC_WIN - 1}, {_CDC_WIN}) AS win
       FROM (SELECT doc_id, text, length(text) AS L FROM documents
             WHERE length(text) >= {_CDC_WIN}) d,
            LATERAL (SELECT unnest(generate_series({_CDC_WIN}, L)) AS i) g
@@ -3882,11 +3895,79 @@ def _cdc_duck_sql() -> str:
 """
 
 
-_q(
-    "q_cdc_chunks",
-    _cdc_spark_sql(),
-    _cdc_duck_sql(),
-    f"content-defined chunking (8-char polynomial gear hash, divisor "
-    f"{_CDC_DIV}): chunk-level dedup profile of duplicated chunks "
-    "(insert-shift-robust sub-document dedup)",
+def _cdc_chunks_fn(it):
+    """Vectorized boundary detection + chunk hashing per Arrow batch.
+
+    The per-position SQL formulation (kept verbatim as the DuckDB
+    oracle) is quadratic on the ENGINE side: Spark's UTF8
+    substring(text, i, 1) seeks from the string start, so hashing every
+    position costs O(len^2) per document (measured 12+ s at sf0.1).
+    Here the codepoints come out once via utf-32 decode and the window
+    polynomial is ONE int64 np.convolve — linear, exact (codepoints
+    < 2^21, so every convolution term < 2^63), and identical to
+    ascii()-based SQL because ascii() returns the codepoint."""
+    import hashlib as _hl
+
+    import numpy as np
+    import pandas as pd
+
+    # np.convolve flips the kernel, so ASCENDING powers here yield
+    # h(end i) = sum_j code[i-1-j] * 131^j — the oracle's polynomial
+    kernel = np.array([131 ** j for j in range(_CDC_WIN)], dtype=np.int64)
+    for pdf in it:
+        rows = []
+        for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+            if text is None or len(text) < _CDC_WIN:
+                continue
+            codes = np.frombuffer(text.encode("utf-32-le"), dtype=np.uint32)
+            h = np.convolve(codes.astype(np.int64), kernel, mode="valid")
+            h %= 2147483647
+            bounds = (np.where(h % _CDC_DIV == 0)[0] + _CDC_WIN).tolist()
+            starts = [1] + [b + 1 for b in bounds]
+            ends = bounds + [len(text)]
+            for s, e in zip(starts, ends):
+                if e >= s:
+                    chunk = text[s - 1 : e]
+                    rows.append(
+                        (doc_id, _hl.md5(chunk.encode()).hexdigest(), e - s + 1)
+                    )
+        yield pd.DataFrame(rows, columns=["doc_id", "chunk_hash", "chunk_len"])
+
+
+def _cdc_chunks_spark(spark, sf_dir: str):
+    from pyspark.sql import functions as F
+
+    register_views(spark, sf_dir)
+    chunks = (
+        spark.table("documents")
+        .select("doc_id", "text")
+        .mapInPandas(_cdc_chunks_fn, "doc_id long, chunk_hash string, chunk_len long")
+    )
+    return (
+        chunks.groupBy("chunk_hash")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_occ"),
+            F.countDistinct("doc_id").cast("long").alias("n_docs"),
+            F.min("chunk_len").cast("long").alias("chunk_len"),
+        )
+        .filter(F.col("n_occ") >= 2)
+    )
+
+
+QUERIES["q_cdc_chunks"] = QuerySpec(
+    spark=_cdc_chunks_spark,
+    oracle=_cdc_duck_sql(),
+    description=(
+        f"content-defined chunking (8-char polynomial gear hash, divisor "
+        f"{_CDC_DIV}): chunk-level dedup profile of duplicated chunks "
+        "(insert-shift-robust sub-document dedup); vectorized np.convolve "
+        "boundary scan vs the per-position SQL oracle"
+    ),
 )
+
+
+# the per-position pure-SQL Spark formulation is kept for the symmetry
+# test in tests/test_round4_ops.py (it equals the vectorized path) but is
+# NOT the registered engine path — its substring(text, i, 1) seek makes
+# it O(len^2) per document on Spark's UTF8 strings
+_CDC_SPARK_SQL_REFERENCE = _cdc_spark_sql()

@@ -268,3 +268,20 @@ def test_cdc_chunks_matches_python(spark, docs):
     }
     assert got == want
     assert len(got) > 0
+
+
+def test_cdc_vectorized_equals_sql_formulation(spark):
+    """The registered engine path (np.convolve over codepoints) must
+    equal the per-position pure-SQL formulation kept as
+    _CDC_SPARK_SQL_REFERENCE (the oracle's shape) row for row — pinning
+    that the vectorization changed the PLAN, not the semantics."""
+    from bsc_project_spark.queries import register_views
+    from bsc_project_spark.queries.textops import _CDC_SPARK_SQL_REFERENCE
+
+    register_views(spark, SF_DIR)
+    sql_rows = sorted(map(tuple, spark.sql(_CDC_SPARK_SQL_REFERENCE).collect()))
+    fast_rows = sorted(
+        map(tuple, all_queries()["q_cdc_chunks"].spark(spark, SF_DIR).collect())
+    )
+    assert sql_rows == fast_rows
+    assert len(fast_rows) > 0
