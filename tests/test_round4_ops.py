@@ -285,3 +285,29 @@ def test_cdc_vectorized_equals_sql_formulation(spark):
     )
     assert sql_rows == fast_rows
     assert len(fast_rows) > 0
+
+
+def test_round4_ops_have_no_global_sort_task(spark):
+    """None of the six round-4 ops may funnel data through a single-task
+    global sort/window: every Exchange SinglePartition in their plans
+    must be fed by a map-side-combined keyless partial aggregate (the
+    scalar-count / bounded-fold exemption test_plans.py documents)."""
+    qs = all_queries()
+    for name in ("q_kcore", "q_sparse_knn", "q_pq_codes",
+                 "q_winnowing", "q_containment", "q_cdc_chunks"):
+        plan = (
+            qs[name].spark(spark, SF_DIR)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        lines = plan.splitlines()
+        for i, line in enumerate(lines):
+            if "Exchange SinglePartition" not in line:
+                continue
+            child = lines[i + 1] if i + 1 < len(lines) else ""
+            # a keyless aggregate child = scalar count / bounded fold
+            # (1-row or k-row state); a Sort/Generate/scan child would be
+            # the global-order single-task shape this test forbids
+            assert "Aggregate" in child and "keys=[]" in child, (
+                f"{name}: SinglePartition fed by non-scalar child:\n"
+                f"{line}\n{child}"
+            )
