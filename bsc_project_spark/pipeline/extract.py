@@ -172,7 +172,9 @@ def serpentine_bins(
     size-descending boustrophedon deal (the semantics assign_size_bins
     documents), as a pure function so callers that already hold the
     collected sizes (run_page_stage's tile split) don't re-run the job."""
-    order = sorted(pairs, key=lambda p: (-p[1], p[0]))
+    # NULL metadata sizes arrive as None after a collect; treat them as 0
+    # (smallest bin) rather than TypeError-ing the whole driver plan.
+    order = sorted(pairs, key=lambda p: (-(p[1] or 0), p[0]))
     out = []
     for rn0, (ref, _sz) in enumerate(order):
         pos = rn0 % n_bins
@@ -192,8 +194,16 @@ def _bins_local_df(spark: SparkSession, data: list[tuple[str, int]]) -> DataFram
     if not data:
         return spark.createDataFrame([], "media_ref string, bin int")
     if len(data) <= 65536:
+        # Spark's SQL parser processes backslash escapes inside string
+        # literals by default, so backslashes must be doubled BEFORE the
+        # quote-doubling — an unescaped '\' would corrupt the ref (and a
+        # trailing one would swallow the closing quote), silently
+        # dropping those pages from the inner/semi bins joins.
         vals = ", ".join(
-            "('{}', {})".format(ref.replace("'", "''"), b) for ref, b in data
+            "('{}', {})".format(
+                ref.replace("\\", "\\\\").replace("'", "''"), b
+            )
+            for ref, b in data
         )
         return spark.sql(f"SELECT * FROM VALUES {vals} AS t(media_ref, bin)")
     return spark.createDataFrame(data, "media_ref string, bin int")
@@ -232,7 +242,11 @@ def assign_size_bins(
       the path a non-broadcast consumer at 10^12 refs would need.
     """
     spark = sizes.sparkSession
-    skinny = sizes.select("media_ref", "sz")
+    # NULL sizes (missing width/height metadata, NULL content) sort as 0:
+    # both the driver serpentine and the two-phase rank need a total order.
+    skinny = sizes.select(
+        "media_ref", F.coalesce(F.col("sz").cast("long"), F.lit(0)).alias("sz")
+    )
     head: list | None = None
     if assume_bounded:
         head = skinny.collect()
@@ -342,7 +356,11 @@ def run_page_stage(
     if {"width", "height"} <= set(media.columns):
         sizes = media.join(F.broadcast(refs), on="media_ref", how="left_semi").select(
             "media_ref",
-            (F.col("width").cast("long") * F.col("height")).alias("sz"),
+            # NULL width/height -> sz 0 (smallest bin, never tiled) so the
+            # driver-side giant filter and serpentine sort stay total
+            F.coalesce(
+                F.col("width").cast("long") * F.col("height"), F.lit(0)
+            ).alias("sz"),
         )
         # Giant-page tile split (pipeline/tiling.py): pages at or above
         # tile_threshold_px native pixels leave the atomic per-page path

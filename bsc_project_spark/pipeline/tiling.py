@@ -217,6 +217,7 @@ def _stitch_page(cfg: ExtractConfig, key, pdf: pd.DataFrame) -> pd.DataFrame:
     bboxes = extract_row_col_bboxes(final_mask, cfg)
 
     out = []
+    inline_chars = 0
     media_ref = pdf["media_ref"].iloc[0]
     for bbox in bboxes:
         row, col, x1, y1, x2, y2 = scale_bbox(
@@ -236,6 +237,7 @@ def _stitch_page(cfg: ExtractConfig, key, pdf: pd.DataFrame) -> pd.DataFrame:
                 cfg, cfg.ocr_glyph_scale,
             )
             out.append((media_ref, row, col, -1, -1, -1, -1, "ocr", text))
+            inline_chars += len(text)
         else:
             out.append((media_ref, row, col, x1c, y1c, x2c, y2c, "_spec", None))
     out.append(
@@ -244,7 +246,10 @@ def _stitch_page(cfg: ExtractConfig, key, pdf: pd.DataFrame) -> pd.DataFrame:
              "partition_id": -1,  # per-page row, not per-partition
              "page_count": 1,
              "cell_count": len(bboxes),
-             "ocr_char_count": 0,  # chars counted from decoded cells
+             # inline (degenerate-clamp) cells decode right here; every
+             # other cell's chars arrive via _decode_cells' lineage rows,
+             # so summed lineage char counts equal the single-task path's
+             "ocr_char_count": inline_chars,
              "wall_time_ms": int((time.monotonic() - t_start) * 1000),
          }))
     )
@@ -295,9 +300,15 @@ def _slice_pieces_udf(cfg: ExtractConfig) -> Callable:
 
 def _decode_cells(cfg: ExtractConfig, key, pdf: pd.DataFrame) -> pd.DataFrame:
     """applyInPandas per (media_ref,row,col,bbox): stitch gray pieces
-    spanning band boundaries, pad, decode."""
+    spanning band boundaries, pad, decode.  Emits the cell row PLUS a
+    per-cell _lineage row carrying the decoded char count and decode
+    wall, so run_job's summed ocr_char_count covers tiled pages too
+    (round-4 advice: the stitch row can't know chars — decode happens
+    here — and used to hardcode 0, under-reporting giants)."""
+    t_start = time.monotonic()
     decode = cfg.ocr_decoder or decode_cell
     pdf = pdf.sort_values("py0")
+    media_ref = pdf["media_ref"].iloc[0]
     cx1 = int(pdf["cx1"].iloc[0])
     cx2 = int(pdf["cx2"].iloc[0])
     width = cx2 - cx1
@@ -307,9 +318,19 @@ def _decode_cells(cfg: ExtractConfig, key, pdf: pd.DataFrame) -> pd.DataFrame:
     ]
     crop = np.concatenate(pieces) if len(pieces) > 1 else pieces[0]
     text = decode(pad_for_ocr(crop, cfg.ocr_min_size), cfg, cfg.ocr_glyph_scale)
+    lineage = json.dumps({
+        "partition_id": -1,  # per-cell row, not per-partition
+        "page_count": 0,     # the page is counted by the stitch row
+        "cell_count": 0,     # ditto
+        "ocr_char_count": len(text),
+        "wall_time_ms": int((time.monotonic() - t_start) * 1000),
+    })
     return pd.DataFrame(
-        [(pdf["media_ref"].iloc[0], int(pdf["row"].iloc[0]),
-          int(pdf["col"].iloc[0]), text, "ocr")],
+        [
+            (media_ref, int(pdf["row"].iloc[0]), int(pdf["col"].iloc[0]),
+             text, "ocr"),
+            (media_ref, None, None, lineage, "_lineage"),
+        ],
         columns=["media_ref", "row", "col", "text", "kind"],
     )
 

@@ -568,7 +568,7 @@ _DQ_SQL = """
     UNION ALL
     SELECT 'documents_duplicate_pk',
            (SELECT count(*) FROM documents),
-           coalesce(sum(n - 1), 0)
+           CAST(coalesce(sum(n - 1), 0) AS BIGINT)
     FROM (SELECT doc_id, count(*) AS n FROM documents GROUP BY doc_id) d
     WHERE n > 1
     UNION ALL

@@ -3614,22 +3614,27 @@ _q(
 # Scale shape: every window is a BOUNDED frame PARTITIONed BY doc_id
 # (ROWS BETWEEN CURRENT AND 3 FOLLOWING), the profile is one
 # map-side-combinable groupBy(fp).  Exactness: the (min h, rightmost
-# pos) choice is packed into ONE BIGINT key = h * 2^20 + (2^20-1-pos)
-# (h < 2^32, pos < 2^20 -> key < 2^52, exact everywhere), so the window
-# MIN is plain integer ordering on both engines; unpacking uses a
-# power-of-two float division (exact in binary) + floor.
+# pos) choice is packed into ONE BIGINT key = h * 2^26 + (2^26-1-pos)
+# (h < 2^32 -> key < 2^58, exact int64; unpacked with INTEGER division
+# — float division is only exact below 2^53).  pos < 2^26 covers ~67M
+# grams per document; beyond that the packed tie-break would corrupt
+# silently (round-4 advice: the old 2^20 field broke at ~1M grams), so
+# each dialect raises LOUDLY on pos overflow instead (Spark assert_true
+# / DuckDB error()) — a 67M-word single document means upstream doc
+# assembly is broken, not that fingerprints should quietly go wrong.
 # ---------------------------------------------------------------------------
 
 _WINNOW_K = 3   # words per gram
 _WINNOW_W = 4   # gram hashes per window
+_WINNOW_POS_W = 1 << 26  # position-field width of the packed key
 
 _WINNOW_BODY = f"""
     grams AS (
-      SELECT doc_id, pos, {{h}} AS h FROM gtext
+      SELECT doc_id, {{posguard}} AS pos, {{h}} AS h FROM gtext
     ),
     sel AS (
       SELECT doc_id,
-             min(h * 1048576 + (1048575 - pos)) OVER (
+             min(h * {_WINNOW_POS_W} + ({_WINNOW_POS_W - 1} - pos)) OVER (
                PARTITION BY doc_id ORDER BY pos
                ROWS BETWEEN CURRENT ROW AND {_WINNOW_W - 1} FOLLOWING) AS key,
              count(*) OVER (
@@ -3638,14 +3643,26 @@ _WINNOW_BODY = f"""
       FROM grams
     ),
     fps AS (
-      SELECT DISTINCT doc_id,
-             CAST(floor(key / 1048576.0) AS BIGINT) AS fp
+      SELECT DISTINCT doc_id, {{unpack}} AS fp
       FROM sel WHERE wn = {_WINNOW_W}
     )
     SELECT fp,
            CAST(count(*) AS BIGINT) AS n_docs
     FROM fps GROUP BY fp HAVING count(*) >= 2
 """
+
+# loud per-dialect pos-overflow guards + exact integer-division unpack
+_WINNOW_GUARD_SPARK = (
+    f"pos + CAST(coalesce(assert_true(pos < {_WINNOW_POS_W}, "
+    f"'q_winnowing: document exceeds {_WINNOW_POS_W} grams'), 0) AS INT)"
+)
+_WINNOW_GUARD_DUCK = (
+    f"pos + CASE WHEN pos < {_WINNOW_POS_W} THEN 0 "
+    f"ELSE CAST(error('q_winnowing: document exceeds {_WINNOW_POS_W} grams') "
+    f"AS INT) END"
+)
+_WINNOW_UNPACK_SPARK = f"CAST(key DIV {_WINNOW_POS_W} AS BIGINT)"
+_WINNOW_UNPACK_DUCK = f"CAST(key // {_WINNOW_POS_W} AS BIGINT)"
 
 _WINNOW_SPARK = f"""
     WITH base AS (
@@ -3660,7 +3677,9 @@ _WINNOW_SPARK = f"""
         FROM base
       )
     ),
-    {_WINNOW_BODY.format(h=_hex8_of("md5(g)"))}
+    {_WINNOW_BODY.format(h=_hex8_of("md5(g)"),
+                         posguard=_WINNOW_GUARD_SPARK,
+                         unpack=_WINNOW_UNPACK_SPARK)}
 """
 
 _WINNOW_DUCK = rf"""
@@ -3675,7 +3694,9 @@ _WINNOW_DUCK = rf"""
            LATERAL (SELECT unnest(generate_series(1, len(arr) - {_WINNOW_K} + 1))
                     AS i) s
     ),
-    {_WINNOW_BODY.format(h=_hex8_of("md5(g)"))}
+    {_WINNOW_BODY.format(h=_hex8_of("md5(g)"),
+                         posguard=_WINNOW_GUARD_DUCK,
+                         unpack=_WINNOW_UNPACK_DUCK)}
 """
 
 _q(
@@ -3788,8 +3809,15 @@ _q(
 # misses and q_substring_dedup finds only pairwise.
 #
 # Exactness: the window hash is an 8-term integer polynomial
-# (sum ascii(c_{{i-j}}) * 131^j, j=0..7, mod 2^31) — every term and sum
-# exact in int64, identical both engines; boundary iff hash % 64 = 0.
+# (sum ascii(c_{{i-j}}) * (131^j mod p), j=0..7, mod p, p = 2^31-1) —
+# the coefficients are pre-reduced mod p so every term stays below
+# 2^21 * 2^31 = 2^52 and the 8-term sum below 2^55, exact in int64 for
+# EVERY Unicode codepoint (raw 131^7 * U+10FFFF would overflow 2^63:
+# DuckDB raises, numpy wraps silently — round-4 advice).  The reduced
+# form is congruent mod p to the raw polynomial, so boundaries on
+# ASCII-safe corpora are bit-identical to the pre-fix hash.  Spark's
+# ascii() returns the full codepoint (verified vs DuckDB on CJK/emoji),
+# so all three formulations agree; boundary iff hash % 64 = 0.
 # Pure gear boundaries (no min/max chunk clamps — those need a
 # sequential scan; the divisor alone gives E[chunk] = 64 chars).
 # Scale shape: per-position work is a fixed 8-char expression, the
@@ -3801,15 +3829,20 @@ _CDC_WIN = 8
 _CDC_DIV = 64
 
 
+_CDC_P = 2147483647  # 2^31 - 1
+
+
 def _cdc_hash(expr_text: str, pos: str) -> str:
     """Windowed polynomial hash of the 8 chars of ``expr_text`` ending at
     1-based position ``pos`` (requires pos >= 8), exact int64 both
-    dialects."""
+    dialects: coefficients pre-reduced mod 2^31-1 so codepoint * coeff
+    < 2^52 for any Unicode codepoint (raw 131^7 * U+10FFFF > 2^63)."""
     terms = " + ".join(
-        f"CAST(ascii(substring({expr_text}, {pos} - {j}, 1)) AS BIGINT) * {131 ** j}"
+        f"CAST(ascii(substring({expr_text}, {pos} - {j}, 1)) AS BIGINT)"
+        f" * {131 ** j % _CDC_P}"
         for j in range(_CDC_WIN)
     )
-    return f"(({terms}) % 2147483647)"
+    return f"(({terms}) % {_CDC_P})"
 
 
 _CDC_BODY = f"""
@@ -3903,17 +3936,23 @@ def _cdc_chunks_fn(it):
     substring(text, i, 1) seeks from the string start, so hashing every
     position costs O(len^2) per document (measured 12+ s at sf0.1).
     Here the codepoints come out once via utf-32 decode and the window
-    polynomial is ONE int64 np.convolve — linear, exact (codepoints
-    < 2^21, so every convolution term < 2^63), and identical to
-    ascii()-based SQL because ascii() returns the codepoint."""
+    polynomial is ONE int64 np.convolve — linear and exact: kernel
+    coefficients are 131^j mod p (p = 2^31-1), so every convolution term
+    is < 2^21 * 2^31 = 2^52 and the 8-term sum < 2^55 for ANY Unicode
+    codepoint (a raw 131^7 coefficient would overflow int64 above
+    codepoint ~13.9k and wrap silently).  Identical to the ascii()-based
+    SQL because ascii() returns the codepoint in both engines and the
+    reduced polynomial is congruent mod p to the raw one."""
     import hashlib as _hl
 
     import numpy as np
     import pandas as pd
 
     # np.convolve flips the kernel, so ASCENDING powers here yield
-    # h(end i) = sum_j code[i-1-j] * 131^j — the oracle's polynomial
-    kernel = np.array([131 ** j for j in range(_CDC_WIN)], dtype=np.int64)
+    # h(end i) = sum_j code[i-1-j] * (131^j mod p) — the oracle's polynomial
+    kernel = np.array(
+        [131 ** j % _CDC_P for j in range(_CDC_WIN)], dtype=np.int64
+    )
     for pdf in it:
         rows = []
         for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
@@ -3921,7 +3960,7 @@ def _cdc_chunks_fn(it):
                 continue
             codes = np.frombuffer(text.encode("utf-32-le"), dtype=np.uint32)
             h = np.convolve(codes.astype(np.int64), kernel, mode="valid")
-            h %= 2147483647
+            h %= _CDC_P
             bounds = (np.where(h % _CDC_DIV == 0)[0] + _CDC_WIN).tolist()
             starts = [1] + [b + 1 for b in bounds]
             ends = bounds + [len(text)]

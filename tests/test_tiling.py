@@ -111,6 +111,12 @@ def test_tiled_stage_equals_single_task_kernel(spark, giant_gray):
     assert sum(p["page_count"] for p in lin) == 1
     assert sum(p["cell_count"] for p in lin) == len(cells)
     assert sum(p.get("band_count", 0) for p in lin) == n_bands
+    # chars: decode-stage lineage rows + inline stitch chars must account
+    # every decoded character (round-4 advice: was hardcoded 0 -> tiled
+    # pages under-reported run_job's summed ocr_char_count)
+    assert sum(p["ocr_char_count"] for p in lin) == sum(
+        len(t) for _, _, t in cells
+    )
 
 
 def test_mixed_corpus_span_equality_tile_on_vs_off(spark, giant_gray):
