@@ -745,17 +745,25 @@ def lloyd_assign(
     ).persist()
 
     out_schema = "vec_id long, centroid_id int, cosine double"
+    # ONE job for the seeds: each bucket ships its k smallest vec_ids
+    # WITH their (q, vn) payloads (k structs x 64 buckets, driver-tiny),
+    # so no second fetch-by-id job is needed.  array_sort on the struct
+    # orders by vec_id (first field; unique, so later fields never tie).
     seed_buckets = (
         vq.groupBy(F.pmod(F.col("vec_id"), F.lit(64)).alias("b"))
-        .agg(F.slice(F.array_sort(F.collect_list("vec_id")), 1, k).alias("ids"))
+        .agg(
+            F.slice(
+                F.array_sort(F.collect_list(F.struct("vec_id", "q", "vn"))),
+                1, k,
+            ).alias("s")
+        )
         .collect()
     )
-    ids = sorted(int(i) for r in seed_buckets for i in r["ids"])[:k]
-    if not ids:
-        return spark.createDataFrame([], out_schema)
     seeds = sorted(
-        vq.filter(F.col("vec_id").isin(ids)).collect(), key=lambda r: r["vec_id"]
-    )
+        (s for r in seed_buckets for s in r["s"]), key=lambda s: s["vec_id"]
+    )[:k]
+    if not seeds:
+        return spark.createDataFrame([], out_schema)
     cents = {
         cid: (list(r["q"]), float(r["vn"])) for cid, r in enumerate(seeds)
     }
@@ -781,7 +789,52 @@ def lloyd_assign(
     else:  # very wide embeddings: expression-tree size beats lambda cost
         dot_expr = _SPARK_DOT.format(a="q", b="cv")
 
+    def _lit_d(x: float) -> str:
+        # exact double literal: quantized components are exact integers
+        # in double, so a plain numeric literal suffices (smaller AST =
+        # faster per-iteration analysis); anything else goes through a
+        # correctly-rounded string parse (shortest-roundtrip repr -> the
+        # same IEEE double both sides)
+        if float(x).is_integer() and abs(x) < 2 ** 53:
+            return f"{int(x)}.0D"
+        return f"CAST('{x!r}' AS DOUBLE)"
+
     def assignment():
+        """(vec_id, q, cid, cos) under the CURRENT driver-held centroids.
+
+        Fast path (k*d small, the q_ivf_kmeans / q_pq_codes shape): the
+        centroids are already k x d integers ON THE DRIVER, so inline
+        them as literals and compute all k cosines in ONE map-only
+        projection — argmax = array_position(arr, array_max(arr)), whose
+        first-occurrence rule IS the (cos DESC, cid ASC) tie-break.  No
+        crossJoin row blow-up, no broadcast build, and above all no
+        window shuffle+sort of N*k rows per iteration: the round-4 bench
+        showed ~13 s of q_ivf_kmeans's 18.6 s wall was per-iteration
+        fixed cost, which this removes (each Lloyd step becomes scan ->
+        project -> tiny k*d partial-sum).  Values are bit-identical to
+        the join path: same expanded integer dots, same round(x, 5),
+        same literal doubles (shortest-roundtrip parse).
+
+        Join path (large k, the derived-K q_semantic_dedup shape): k*d
+        literals would outgrow codegen, so keep the broadcast crossJoin
+        + map-side-combinable max(struct) argmax."""
+        ordered = sorted(cents.items())
+        if d * len(ordered) <= 2048:
+            dots = []
+            for _cid, (cv, cn) in ordered:
+                dot = " + ".join(f"(q[{i}] * {_lit_d(cv[i])})" for i in range(d))
+                dots.append(f"round(({dot}) / (vn * {_lit_d(cn)}), 5)")
+            arr = "array(" + ", ".join(dots) + ")"
+            return (
+                vq.selectExpr("vec_id", "q", f"{arr} AS cos_arr")
+                .selectExpr(
+                    "vec_id",
+                    "q",
+                    "CAST(array_position(cos_arr, array_max(cos_arr)) - 1 AS INT)"
+                    " AS cid",
+                    "array_max(cos_arr) AS cos",
+                )
+            )
         cos = F.round(F.expr(dot_expr) / (F.col("vn") * F.col("cn")), 5)
         w = Window.partitionBy("vec_id").orderBy(F.desc("cos"), "cid")
         return (
