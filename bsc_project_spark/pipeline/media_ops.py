@@ -2,12 +2,13 @@
 
 Media are opaque ``binary`` columns with typed metadata; every operator is
 an Arrow-batched ``mapInPandas`` stage (no per-row Python).  Image ops are
-REAL (this repo ships its own PNG codec + resize kernels).  Audio/video
-decode is STUBBED — the decoding libraries are not in this container — but
+REAL (this repo ships its own PNG codec + resize kernels), and so is PCM
+WAV audio (own RIFF codec, ``io/wav.py``).  Compressed audio and video
+decode is STUBBED — those codec libraries are not in this container — but
 the Spark-side plumbing (schemas, batch shapes, partitioning, UDF
 signatures) is real and tested; set ``deterministic_fake=True`` to replace
-the decoder with a seeded fake so downstream stages can be exercised
-end-to-end.
+the compressed decoder with a seeded fake so downstream stages can be
+exercised end-to-end.
 """
 
 from __future__ import annotations
@@ -30,7 +31,8 @@ IMAGE_FEATURES_SCHEMA = (
     "row_profile array<double>"
 )
 AUDIO_FEATURES_SCHEMA = (
-    "media_ref string, n_samples long, sample_rate int, rms double, "
+    "media_ref string, n_samples long, sample_rate int, n_channels int, "
+    "duration_s double, rms double, zcr double, spectral_centroid_hz double, "
     "mfcc array<double>"
 )
 VIDEO_FRAMES_SCHEMA = "media_ref string, frame_index int, frame binary"
@@ -237,34 +239,65 @@ def _fake_signal(ref: str, content: bytes, n: int) -> np.ndarray:
 
 
 def audio_features(media: DataFrame, deterministic_fake: bool = False) -> DataFrame:
-    """Audio decode + MFCC-ish features.
+    """Audio decode + signal features (duration, RMS, zero-crossing rate,
+    spectral centroid, MFCC-ish log band energies).
 
-    STUB: no audio codec ships in this container.  The Spark plumbing
-    (schema, Arrow batching) is real; with ``deterministic_fake`` the
-    decode step is a seeded fake, otherwise it raises NotImplementedError
-    (replace ``_decode`` with a real codec on a production cluster).
+    PCM WAV content (RIFF magic) is decoded for REAL by this repo's own
+    stdlib/numpy codec (``io/wav.py`` — the PNG-codec precedent applied
+    to the one audio container that needs no codec library).  Compressed
+    formats (MP3/AAC/...) remain environmental: with
+    ``deterministic_fake`` they decode as a seeded fake signal so the
+    plumbing can be exercised, otherwise they raise NotImplementedError.
     """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..io.wav import decode_wav
+
         def _decode(ref: str, content: bytes) -> tuple[np.ndarray, int]:
+            # (n_frames, n_channels) float64 in [-1, 1], sample rate
+            if content[:4] == b"RIFF" and content[8:12] == b"WAVE":
+                return decode_wav(content)
             if not deterministic_fake:
                 raise NotImplementedError(
-                    "audio decoding requires a codec library not present in "
-                    "this container; pass deterministic_fake=True to exercise "
-                    "the pipeline plumbing"
+                    "compressed audio decoding requires a codec library not "
+                    "present in this container (PCM WAV decodes natively); "
+                    "pass deterministic_fake=True to exercise the plumbing"
                 )
-            return _fake_signal(ref, content, 16000), 16000
+            return _fake_signal(ref, content, 16000)[:, None], 16000
 
         for pdf in batches:
             rows = []
             for ref, content in zip(pdf["media_ref"], pdf["content"]):
-                signal, sr = _decode(ref, bytes(content))
-                rms = float(np.sqrt(np.mean(signal**2)))
-                spec = np.abs(np.fft.rfft(signal[:2048]))
+                frames, sr = _decode(ref, bytes(content))
+                n_frames, n_ch = frames.shape
+                mono = frames.mean(axis=1) if n_ch > 1 else frames[:, 0]
+                rms = float(np.sqrt(np.mean(mono**2))) if n_frames else 0.0
+                # zero-crossing rate: sign changes per sample (zeros count
+                # as positive so silence doesn't read as oscillation)
+                signs = np.where(mono >= 0.0, 1, -1)
+                zcr = (
+                    float(np.count_nonzero(np.diff(signs)) / (n_frames - 1))
+                    if n_frames > 1
+                    else 0.0
+                )
+                seg = mono[:2048]
+                # Hann window: rectangular-window leakage otherwise skews
+                # the centroid of off-bin tones by ~100 Hz
+                spec = np.abs(np.fft.rfft(seg * np.hanning(len(seg))))
+                freqs = np.fft.rfftfreq(len(seg) or 1, d=1.0 / sr)
+                denom = float(spec.sum())
+                centroid = float((freqs * spec).sum() / denom) if denom > 0 else 0.0
                 mfcc = [float(np.log1p(b.mean())) for b in np.array_split(spec, 8)]
-                rows.append((ref, len(signal), sr, rms, mfcc))
+                rows.append(
+                    (ref, n_frames, sr, n_ch, n_frames / sr, rms, zcr,
+                     centroid, mfcc)
+                )
             yield pd.DataFrame(
-                rows, columns=["media_ref", "n_samples", "sample_rate", "rms", "mfcc"]
+                rows,
+                columns=[
+                    "media_ref", "n_samples", "sample_rate", "n_channels",
+                    "duration_s", "rms", "zcr", "spectral_centroid_hz", "mfcc",
+                ],
             )
 
     return media.select("media_ref", "content").mapInPandas(run, AUDIO_FEATURES_SCHEMA)
