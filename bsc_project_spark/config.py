@@ -96,6 +96,24 @@ class ExtractConfig:
     tile_threshold_px: Optional[int] = 12_000_000
     tile_band_px: int = 8_000_000
 
+    # Bins-planner driver contract (pipeline/extract.py run_page_stage).
+    # The serpentine planner collects one skinny (media_ref, sz) row per
+    # UNIQUE page — ≈40-100 B each pickled, so the default ceiling of
+    # 2,000,000 refs (extract._DRIVER_PLAN_MAX) costs ≤~200 MB driver
+    # heap, well inside a multi-GB driver and no bigger than the bins
+    # broadcast the page join ships anyway.  assume_bounded_refs=True
+    # (default) asserts the per-stage unique-ref count stays under that
+    # ceiling — true by construction when extraction runs per checkpoint
+    # bucket (pipeline/checkpoint.py bounds bucket size).  Set False to
+    # spend one skinny count() job per stage build: ref sets over the
+    # ceiling then route through the fully-distributed planner
+    # (assign_size_bins' two-phase range-rank + a shuffle-joined bins
+    # frame, giants filtered by a distributed semi/anti join) with zero
+    # driver-side collects.  driver_plan_max overrides the ceiling
+    # (None -> extract._DRIVER_PLAN_MAX).
+    assume_bounded_refs: bool = True
+    driver_plan_max: Optional[int] = None
+
 
 # Reference-faithful defaults (full-resolution logbook pages).
 REFERENCE_CONFIG = ExtractConfig()

@@ -278,6 +278,8 @@ def repartition_by_size(
     n_parts: int,
     sizes: DataFrame | None = None,
     bins: DataFrame | None = None,
+    broadcast_bins: bool = True,
+    assume_bounded: bool = True,
 ) -> DataFrame:
     """Spread (media_ref, content) rows over n_parts shuffle partitions
     balancing total BYTES per partition, not row counts.  One byte-shuffle,
@@ -294,18 +296,29 @@ def repartition_by_size(
     a 100 TB media table cannot afford.  ``bins``: optional prebuilt
     (media_ref, bin) frame (callers that already collected the sizes,
     like run_page_stage's tile split, pass serpentine_bins output and no
-    planning job runs here at all)."""
+    planning job runs here at all).  ``broadcast_bins=False`` drops the
+    explicit broadcast hint for callers whose bins frame may exceed the
+    driver contract (run_page_stage's unbounded route) — AQE still
+    broadcasts small frames on its own; a genuinely huge bins frame joins
+    by shuffle on media_ref.  ``assume_bounded=False`` forwards the
+    count() gate to assign_size_bins when this function plans the bins
+    itself."""
     spark = pages.sparkSession
     if bins is None:
         if sizes is None:
             sizes = pages.select("media_ref", F.length("content").alias("sz"))
-        # assume_bounded: bins is broadcast into the page join below, so
-        # the planner's input is driver-sized by the same contract — take
-        # the one-job driver serpentine instead of spending a count() gate
-        bins = assign_size_bins(sizes, n_parts, assume_bounded=True)
+        # assume_bounded (default): bins is broadcast into the page join
+        # below, so the planner's input is driver-sized by the same
+        # contract — take the one-job driver serpentine instead of
+        # spending a count() gate.  The numeric ceiling that makes the
+        # contract safe is extract._DRIVER_PLAN_MAX (see config.py's
+        # assume_bounded_refs note).
+        bins = assign_size_bins(sizes, n_parts, assume_bounded=assume_bounded)
+        broadcast_bins = broadcast_bins and assume_bounded
     tokens = _partition_tokens(spark, n_parts)
     token_arr = F.array(*[F.lit(t) for t in tokens])
-    routed = pages.join(F.broadcast(bins), on="media_ref", how="inner").select(
+    bins_side = F.broadcast(bins) if broadcast_bins else bins
+    routed = pages.join(bins_side, on="media_ref", how="inner").select(
         "media_ref",
         "content",
         F.element_at(token_arr, F.col("bin") + 1).alias("_route"),
@@ -362,16 +375,36 @@ def run_page_stage(
                 F.col("width").cast("long") * F.col("height"), F.lit(0)
             ).alias("sz"),
         )
+        # Driver contract gate (config.assume_bounded_refs): the default
+        # asserts |unique refs| <= driver_plan_max (~2M rows ≈ 200 MB
+        # driver heap — the numeric contract lives on config.py) so
+        # planning costs ONE collect job, reused by both the serpentine
+        # and the giant-tile routing.  Opting out spends one skinny
+        # count() per stage build; ref sets over the ceiling then plan
+        # fully distributed — two-phase bins, shuffle-joined (no
+        # broadcast hint), giants filtered by semi/anti join — with zero
+        # driver-side ref materialization.
+        bounded = cfg.assume_bounded_refs
+        if not bounded:
+            cap = (
+                cfg.driver_plan_max
+                if cfg.driver_plan_max is not None
+                else _DRIVER_PLAN_MAX
+            )
+            sizes = sizes.persist()
+            bounded = sizes.count() <= cap
         # Giant-page tile split (pipeline/tiling.py): pages at or above
         # tile_threshold_px native pixels leave the atomic per-page path
         # for the banded one, so one 100x page cannot pin a task for 100x
-        # the median task time.  The routing decision reuses the SAME
-        # driver-side sizes collect the serpentine planner needs (bins is
-        # broadcast -> driver-sized by contract), so no extra job.
-        # Deskew is a global-rotation op that cannot band — deskewing
-        # corpora keep the single-task path for giants too.
+        # the median task time.  On the bounded path the routing decision
+        # reuses the SAME driver-side sizes collect the serpentine
+        # planner needs (bins is broadcast -> driver-sized by contract),
+        # so no extra job.  Deskew is a global-rotation op that cannot
+        # band — deskewing corpora keep the single-task path for giants
+        # too.
         thr = cfg.tile_threshold_px
-        if thr is not None and not cfg.deskew_enabled:
+        tiling = thr is not None and not cfg.deskew_enabled
+        if bounded and tiling:
             spark = media.sparkSession
             pairs = [(r["media_ref"], r["sz"]) for r in sizes.collect()]
             giant = [(ref, sz) for ref, sz in pairs if sz >= thr]
@@ -399,6 +432,35 @@ def run_page_stage(
                 )
             bins = _bins_local_df(spark, serpentine_bins(pairs, n_parts))
             unique_pages = repartition_by_size(unique_pages, n_parts, bins=bins)
+            return unique_pages.mapInPandas(
+                _make_extract_udf(cfg), schema=EXTRACT_STAGE_SCHEMA
+            )
+        if not bounded:
+            if tiling:
+                from .tiling import run_tiled_page_stage
+
+                giant_refs = sizes.filter(F.col("sz") >= thr).select("media_ref")
+                normal_pages = unique_pages.join(
+                    giant_refs, on="media_ref", how="left_anti"
+                )
+                giant_pages = unique_pages.join(
+                    giant_refs, on="media_ref", how="left_semi"
+                )
+                bins = assign_size_bins(
+                    sizes.filter(F.col("sz") < thr), n_parts, driver_max=0
+                )
+                normal_out = repartition_by_size(
+                    normal_pages, n_parts, bins=bins, broadcast_bins=False
+                ).mapInPandas(_make_extract_udf(cfg), schema=EXTRACT_STAGE_SCHEMA)
+                return normal_out.unionByName(
+                    run_tiled_page_stage(giant_pages, cfg, n_parts)
+                )
+            # driver_max=0: the count above already proved the frame is
+            # over the ceiling — go straight to the two-phase rank.
+            bins = assign_size_bins(sizes, n_parts, driver_max=0)
+            unique_pages = repartition_by_size(
+                unique_pages, n_parts, bins=bins, broadcast_bins=False
+            )
             return unique_pages.mapInPandas(
                 _make_extract_udf(cfg), schema=EXTRACT_STAGE_SCHEMA
             )

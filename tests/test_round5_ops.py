@@ -221,3 +221,57 @@ def test_serpentine_and_assign_bins_tolerate_null_sizes(spark):
     bins = assign_size_bins(sizes, 2, driver_max=0)
     rows = {r.media_ref: r.bin for r in bins.collect()}
     assert set(rows) == {"a", "b", "c"}
+
+
+def test_unbounded_refs_route_plans_fully_distributed(spark, monkeypatch):
+    """Verdict-r4 item 6: the bins-planner driver contract must be a
+    numeric SWITCH, not just a comment.  With assume_bounded_refs=False
+    and the ceiling forced to 0, run_extract_stage must take the
+    fully-distributed planning route — two-phase bins (shuffle-joined),
+    giants filtered by semi/anti join — and produce span-for-span the
+    same output as the default driver-serpentine route.  The driver-side
+    planners (serpentine_bins / _bins_local_df) are monkeypatched into
+    bombs to PROVE no ref list is materialized on the driver."""
+    import dataclasses
+
+    from bsc_project_spark.fixtures import spark_io
+    from bsc_project_spark.fixtures.corpus import FIXTURE_CONFIG, build_corpus
+    from bsc_project_spark.pipeline import extract as ex
+
+    corpus = build_corpus(n_docs=3)
+    docs = spark_io.documents_df(spark, corpus)
+    media = spark_io.media_df(spark, corpus)
+
+    base = ex.run_extract_stage(docs, media, FIXTURE_CONFIG).extracted
+    base_rows = sorted(map(tuple, base.collect()))
+    assert base_rows, "fixture corpus extracted nothing"
+
+    cfg = dataclasses.replace(
+        FIXTURE_CONFIG, assume_bounded_refs=False, driver_plan_max=0
+    )
+    # tiling stays enabled (tile_threshold_px is the default 12M px) so
+    # the distributed giant semi/anti-join branch runs too (empty giants)
+
+    def bomb(*a, **k):  # pragma: no cover - firing IS the failure
+        raise AssertionError("driver-side planner ran on the distributed route")
+
+    monkeypatch.setattr(ex, "serpentine_bins", bomb)
+    monkeypatch.setattr(ex, "_bins_local_df", bomb)
+    out = ex.run_extract_stage(docs, media, cfg).extracted
+    assert sorted(map(tuple, out.collect())) == base_rows
+
+
+def test_register_views_cache_self_heals_after_drop(spark):
+    """Several tests shadow a registry table with createOrReplaceTempView
+    and dropTempView it in cleanup; register_views' seen-cache must not
+    keep claiming a registration the catalog no longer has (the
+    TABLE_OR_VIEW_NOT_FOUND flake that killed full-suite runs in r04/r05
+    sessions)."""
+    from bsc_project_spark.queries import register_views
+
+    sf = "/root/testdata/sf0.001"
+    register_views(spark, sf)
+    n = spark.table("documents").count()
+    spark.catalog.dropTempView("documents")
+    register_views(spark, sf)  # cache hit, but the view is gone — heal
+    assert spark.table("documents").count() == n
