@@ -97,6 +97,8 @@ _CHECK_FIRST = [
     "q_compaction_plan",
     "q_ks_distance",
     "q_vocab_growth",
+    "q_dsir",
+    "q_incremental_dedup",
     "q_data_quality",
     "q_cdc_chunks",
     "q_winnowing",
@@ -136,8 +138,6 @@ _CHECK_FIRST = [
     "q_ngram_jaccard",
     "q_ffill",
     "q_cer",
-    "q_worst_cer",
-    "q_cer_stats",
     "q_topk_orders",
     "q_quality_score",
     "q_lang_id",
@@ -149,7 +149,10 @@ _CHECK_LAST = [
     # r02-vintage repeats deferred below the boundary (simple
     # single-expression queries, untouched since r01/r02, local-gate
     # green; everything between the boundary and these has an r03/r04
-    # driver row)
+    # driver row).  q_worst_cer / q_cer_stats share q_cer's Levenshtein
+    # machinery, so q_cer in the prefix covers the shared path.
+    "q_worst_cer",
+    "q_cer_stats",
     "q_dot_to_null",
     "q_clean_year",
     "q_union_pages",

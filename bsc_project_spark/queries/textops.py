@@ -4010,3 +4010,190 @@ QUERIES["q_cdc_chunks"] = QuerySpec(
 # NOT the registered engine path — its substring(text, i, 1) seek makes
 # it O(len^2) per document on Spark's UTF8 strings
 _CDC_SPARK_SQL_REFERENCE = _cdc_spark_sql()
+
+
+# ---------------------------------------------------------------------------
+# DSIR-style importance weighting (round 5): score every raw document by
+# how much its hashed-unigram distribution looks like a TARGET corpus
+# (here the English subset — the stand-in for "high-quality reference
+# data" in Xie et al.'s Data Selection via Importance Resampling).
+#
+# Shape at 100 TB: token explode -> (doc, bucket) counts (map-side
+# combinable), bucket aggregates (B = 1024 rows per side) broadcast back,
+# one groupBy(doc).  Scan-shaped: two shuffles, no self-joins, the
+# importance table is O(B) regardless of corpus size.
+#
+# Exactness discipline (the q_tfidf_topk linear-instead-of-ln rule): the
+# per-bucket importance ratio is LINEARIZED and floored to integer ppm in
+# two scale-safe steps — pt_ppm = (ct+1)*1e6 DIV (Tt+B), pr_ppm likewise,
+# w_ppm = pt_ppm*1e6 DIV max(pr_ppm, 1) — so every intermediate stays
+# below 1e12 and int64 arithmetic is exact at ANY corpus size (the naive
+# (ct+1)*(Tr+B)*1e6 cross-product overflows int64 once the corpus passes
+# ~1e9 tokens).  Per-doc score = floor(mean over gram OCCURRENCES of
+# w_ppm(bucket)), again integer.
+# ---------------------------------------------------------------------------
+
+_DSIR_B = 1024  # hashed-feature buckets (DSIR uses 10^4; 1024 keeps the
+# fixture buckets multiply-occupied so collisions are exercised)
+
+_DSIR_TOKENS_SPARK = """
+      SELECT doc_id, lang, explode(split(lower(trim(text)), '\\\\s+')) AS token
+      FROM documents WHERE length(trim(text)) > 0
+"""
+_DSIR_TOKENS_DUCK = r"""
+      SELECT doc_id, lang,
+             unnest(string_split_regex(lower(trim(text)), '\s+')) AS token
+      FROM documents WHERE length(trim(text)) > 0
+"""
+
+_DSIR_BODY = f"""
+    WITH tok AS (
+      SELECT doc_id, lang, token FROM ({{tokens}}) t WHERE token <> ''
+    ),
+    hv AS (
+      SELECT doc_id, lang, CAST({_HEX8_FROM_H} AS BIGINT) % {_DSIR_B} AS bucket
+      FROM (SELECT doc_id, lang, md5(token) AS h FROM tok)
+    ),
+    db AS (
+      SELECT doc_id, bucket, CAST(count(*) AS BIGINT) AS n
+      FROM hv GROUP BY doc_id, bucket
+    ),
+    raw_b AS (SELECT bucket, CAST(sum(n) AS BIGINT) AS cr FROM db GROUP BY bucket),
+    tgt_b AS (
+      SELECT bucket, CAST(count(*) AS BIGINT) AS ct
+      FROM hv WHERE lang = 'en' GROUP BY bucket
+    ),
+    tot AS (
+      SELECT CAST(sum(cr) AS BIGINT) AS tr,
+             (SELECT CAST(coalesce(sum(ct), 0) AS BIGINT) FROM tgt_b) AS tt
+      FROM raw_b
+    ),
+    w AS (
+      SELECT raw_b.bucket,
+             CAST(
+               ((coalesce(tgt_b.ct, 0) + 1) * 1000000 {{idiv}} (tot.tt + {_DSIR_B}))
+               * 1000000 {{idiv}} greatest(
+                   (raw_b.cr + 1) * 1000000 {{idiv}} (tot.tr + {_DSIR_B}), 1)
+             AS BIGINT) AS w_ppm
+      FROM raw_b LEFT JOIN tgt_b ON tgt_b.bucket = raw_b.bucket CROSS JOIN tot
+    )
+    SELECT db.doc_id,
+           CAST(sum(db.n) AS BIGINT) AS n_grams,
+           CAST(sum(db.n * w.w_ppm) {{idiv}} sum(db.n) AS BIGINT) AS dsir_ppm
+    FROM db JOIN w ON w.bucket = db.bucket
+    GROUP BY db.doc_id
+"""
+
+QUERIES["q_dsir"] = QuerySpec(
+    spark=sql_query(_DSIR_BODY.format(tokens=_DSIR_TOKENS_SPARK, idiv="DIV")),
+    oracle=_DSIR_BODY.format(tokens=_DSIR_TOKENS_DUCK, idiv="//"),
+    description=(
+        "DSIR-style importance weights: per-doc mean hashed-unigram "
+        f"target/raw ratio (B={_DSIR_B} buckets, add-1 smoothed, integer "
+        "ppm) against the English subset as the target distribution"
+    ),
+)
+
+
+# ---------------------------------------------------------------------------
+# Incremental ingest dedup (round 5): dedup a NEW BATCH against the
+# standing corpus without ever joining the corpus to itself — the shape a
+# 100 TB pipeline actually runs per ingest.  Batch = doc_id % 10 = 0 (the
+# synthetic "arriving shard"), corpus = the rest.
+#
+# Two legs, both candidates-first and batch-anchored:
+#   exact    — md5(text) of the batch semi-joined against corpus hashes
+#              (at scale: the corpus side is a materialized hash index;
+#              the small batch side broadcasts, so the "join" is one
+#              corpus scan with a bloom-prunable probe);
+#   near-dup — banded MinHash: batch band signatures equi-joined against
+#              corpus band signatures (the same materialized signature
+#              table q_lsh_pairs reads); candidate volume is bounded by
+#              band-bucket collisions, never |batch| x |corpus|.
+# Verdict: drop_exact > review_near > ingest.
+# ---------------------------------------------------------------------------
+
+_INC_BATCH = "SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0"
+_INC_CORPUS = "SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 0"
+
+_INC_WIDE = f"""
+      SELECT doc_id, {_MINHASH_WIDE_AGGS}
+      FROM (SELECT doc_id, CAST({_HEX8_FROM_H} AS BIGINT) AS v
+            FROM (SELECT doc_id, md5(s) AS h FROM ({{shingles}}) sh))
+      GROUP BY doc_id
+"""
+
+_INC_FINAL = """
+    exact AS (
+      SELECT b.doc_id,
+             CAST(max(CASE WHEN c.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS is_exact_dup
+      FROM (SELECT doc_id, md5(text) AS k FROM batch) b
+      LEFT JOIN (SELECT DISTINCT md5(text) AS k, 1 AS doc_id FROM corpus) c
+        ON c.k = b.k
+      GROUP BY b.doc_id
+    ),
+    near AS (
+      SELECT bb.doc_id,
+             CAST(count(DISTINCT cb.doc_id) AS BIGINT) AS n_candidates
+      FROM batch_bands bb
+      JOIN corpus_bands cb ON cb.band = bb.band AND cb.bsig = bb.bsig
+      GROUP BY bb.doc_id
+    )
+    SELECT exact.doc_id,
+           exact.is_exact_dup,
+           CAST(coalesce(near.n_candidates, 0) AS BIGINT) AS n_candidates,
+           CASE WHEN exact.is_exact_dup = 1 THEN 'drop_exact'
+                WHEN coalesce(near.n_candidates, 0) > 0 THEN 'review_near'
+                ELSE 'ingest' END AS decision
+    FROM exact LEFT JOIN near ON near.doc_id = exact.doc_id
+"""
+
+
+def _incremental_dedup_spark(spark, sf_dir: str):
+    from pyspark.sql import functions as F
+
+    register_views(spark, sf_dir)
+    spark.sql(f"SELECT * FROM ({_INC_BATCH})").createOrReplaceTempView("batch")
+    spark.sql(f"SELECT * FROM ({_INC_CORPUS})").createOrReplaceTempView("corpus")
+    for side in ("batch", "corpus"):
+        wide = spark.sql(
+            _INC_WIDE.format(shingles=_SHINGLES_SPARK.format(src=side))
+        )
+        bands = wide.selectExpr(
+            "doc_id", f"stack({_N_BANDS}, {_BANDS_STACK_SPARK}) AS (band, bsig)"
+        )
+        # the batch side is the small one per the ingest contract —
+        # broadcast it into the band probe so the corpus signature scan
+        # never shuffles (checked by tests/test_round5_ops.py plan pin)
+        if side == "batch":
+            bands = F.broadcast(bands)
+        bands.createOrReplaceTempView(f"{side}_bands")
+    return spark.sql(f"WITH {_INC_FINAL}")
+
+
+_INC_DUCK = f"""
+    WITH batch AS ({_INC_BATCH}),
+    corpus AS ({_INC_CORPUS}),
+    batch_wide AS ({_INC_WIDE.format(shingles=_SHINGLES_DUCK.format(src='batch'))}),
+    corpus_wide AS ({_INC_WIDE.format(shingles=_SHINGLES_DUCK.format(src='corpus'))}),
+    batch_bandsw AS (SELECT doc_id, {_BANDS_WIDE_DUCK} FROM batch_wide),
+    corpus_bandsw AS (SELECT doc_id, {_BANDS_WIDE_DUCK} FROM corpus_wide),
+    batch_bands AS (
+      UNPIVOT batch_bandsw ON {_BANDS_UNPIVOT_DUCK} INTO NAME band VALUE bsig
+    ),
+    corpus_bands AS (
+      UNPIVOT corpus_bandsw ON {_BANDS_UNPIVOT_DUCK} INTO NAME band VALUE bsig
+    ),
+    {_INC_FINAL}
+"""
+
+QUERIES["q_incremental_dedup"] = QuerySpec(
+    spark=_incremental_dedup_spark,
+    oracle=_INC_DUCK,
+    description=(
+        "incremental ingest dedup: new-batch docs vs the standing corpus "
+        "— exact md5 semi-probe + banded-MinHash near-dup candidates, "
+        "batch side broadcast, never corpus x corpus"
+    ),
+)

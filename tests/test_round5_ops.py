@@ -275,3 +275,126 @@ def test_register_views_cache_self_heals_after_drop(spark):
     spark.catalog.dropTempView("documents")
     register_views(spark, sf)  # cache hit, but the view is gone — heal
     assert spark.table("documents").count() == n
+
+
+# ---------------------------------------------------------------------------
+# Round-5 ops: q_dsir and q_incremental_dedup independent recomputes
+# ---------------------------------------------------------------------------
+
+_SF001 = "/root/testdata/sf0.001"
+
+
+def _docs_001():
+    import duckdb as _d
+
+    return _d.connect().execute(
+        f"SELECT doc_id, text, lang FROM '{_SF001}/documents.parquet' ORDER BY doc_id"
+    ).fetchall()
+
+
+def _hex8(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+
+def test_dsir_matches_python_recompute(spark):
+    """Arbitrary-precision Python recompute of the two-step floored-ppm
+    importance ratio (target = lang 'en'), exact per doc."""
+    from collections import Counter
+
+    from bsc_project_spark.queries.textops import _DSIR_B, QUERIES
+
+    B = _DSIR_B
+    raw, tgt = Counter(), Counter()
+    per_doc: dict[int, Counter] = {}
+    for doc_id, text, lang in _docs_001():
+        toks = [t for t in text.strip().lower().split() if t]
+        if not toks:
+            continue
+        c = Counter(_hex8(t) % B for t in toks)
+        per_doc[doc_id] = c
+        raw.update(c)
+        if lang == "en":
+            tgt.update(c)
+    tr, tt = sum(raw.values()), sum(tgt.values())
+    w = {
+        b: ((tgt.get(b, 0) + 1) * 1_000_000 // (tt + B)) * 1_000_000
+        // max((cr + 1) * 1_000_000 // (tr + B), 1)
+        for b, cr in raw.items()
+    }
+    want = {
+        doc_id: (
+            sum(c.values()),
+            sum(n * w[b] for b, n in c.items()) // sum(c.values()),
+        )
+        for doc_id, c in per_doc.items()
+    }
+    got = {
+        r.doc_id: (r.n_grams, r.dsir_ppm)
+        for r in QUERIES["q_dsir"].spark(spark, _SF001).collect()
+    }
+    assert got == want
+    # the target language must actually score higher on average — the
+    # property DSIR selection relies on (not just hash equality)
+    langs = {doc_id: lang for doc_id, _, lang in _docs_001()}
+    en = [v[1] for k, v in want.items() if langs[k] == "en"]
+    rest = [v[1] for k, v in want.items() if langs[k] != "en"]
+    assert sum(en) / len(en) > sum(rest) / len(rest)
+
+
+def test_incremental_dedup_recompute_and_batch_broadcast(spark):
+    """Exact leg recomputed in Python; near-dup leg recomputed from
+    first principles (shingles -> md5 perms -> bands); and the band
+    probe's plan must broadcast the BATCH side (the ingest contract:
+    corpus signatures never shuffle)."""
+    from bsc_project_spark.queries.textops import (
+        _MH_A,
+        _MH_B,
+        _MH_P,
+        _N_SEEDS,
+        QUERIES,
+    )
+
+    docs = {d: t for d, t, _ in _docs_001()}
+    batch = {d: t for d, t in docs.items() if d % 10 == 0}
+    corpus_keys = {
+        hashlib.md5(t.encode()).hexdigest()
+        for d, t in docs.items()
+        if d % 10 != 0
+    }
+
+    def bands(text):
+        sh = {text[i : i + 8] for i in range(0, max(len(text) - 7, 1), 4)}
+        vs = [_hex8(s) for s in sh]
+        sig = [
+            min((_MH_A[k] * v + _MH_B[k]) % _MH_P for v in vs)
+            for k in range(_N_SEEDS)
+        ]
+        return {
+            (b, f"{min(sig[2*b], sig[2*b+1])}:{max(sig[2*b], sig[2*b+1])}")
+            for b in range(_N_SEEDS // 2)
+        }
+
+    corpus_bands: dict[tuple, set] = {}
+    for d, t in docs.items():
+        if d % 10 != 0:
+            for key in bands(t):
+                corpus_bands.setdefault(key, set()).add(d)
+    want = {}
+    for d, t in batch.items():
+        exact = int(hashlib.md5(t.encode()).hexdigest() in corpus_keys)
+        cands = set().union(*(corpus_bands.get(k, set()) for k in bands(t)))
+        decision = (
+            "drop_exact" if exact else ("review_near" if cands else "ingest")
+        )
+        want[d] = (exact, len(cands), decision)
+
+    df = QUERIES["q_incremental_dedup"].spark(spark, _SF001)
+    got = {
+        r.doc_id: (r.is_exact_dup, r.n_candidates, r.decision)
+        for r in df.collect()
+    }
+    assert got == want
+    assert any(v[1] > 0 for v in want.values()), "no near candidates probed"
+
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
