@@ -70,7 +70,19 @@ def main() -> None:
         "measured_at_unix": int(time.time()),
     }
     print(json.dumps(summary, indent=2))
-    out = os.path.join(REPO, "BENCH", f"campaign_{n}_{n4}.json")
+    out = os.path.join(REPO, "BENCH", f"campaign_{n}_{n4}_{n_docs}docs.json")
+    # append rounds if a campaign at this (pair, docs) already ran — the
+    # median sharpens across calm windows instead of clobbering them
+    if os.path.exists(out):
+        with open(out) as f:
+            prev = json.load(f)
+        detail = prev["rounds"] + [
+            {**d, "round": d["round"] + len(prev["rounds"])} for d in detail
+        ]
+        effs = [d["efficiency"] for d in detail]
+        summary["rounds"] = detail
+        summary["median_efficiency"] = round(_median(effs), 3)
+        summary["best_efficiency"] = round(max(effs), 3)
     with open(out, "w") as f:
         json.dump(summary, f, indent=2)
 
