@@ -79,7 +79,8 @@ def sql_query(sql: str) -> Callable[[SparkSession, str], DataFrame]:
 # scripts/check_oracle.py remains the local all-queries gate every session.
 _CHECK_FIRST = [
     # --- the driver gate checks a 50-row PREFIX.  Round-5 rotation:
-    # (1) the four round-5 maintenance ops (never driver-checked),
+    # (1) the seven round-5 ops (never driver-checked): four maintenance
+    #     ops, q_dsir, q_incremental_dedup, q_temperature_mix,
     # (2) queries whose implementation changed since the r04 gate commit
     #     (q_data_quality's HUGEINT oracle cast; q_cdc_chunks' mod-p hash;
     #     q_winnowing's widened position packing) — enforced mechanically
@@ -99,6 +100,7 @@ _CHECK_FIRST = [
     "q_vocab_growth",
     "q_dsir",
     "q_incremental_dedup",
+    "q_temperature_mix",
     "q_data_quality",
     "q_cdc_chunks",
     "q_winnowing",
@@ -135,7 +137,6 @@ _CHECK_FIRST = [
     "q_dedup_exact",
     "q_lsh_pairs",
     "q_minhash_sig",
-    "q_ngram_jaccard",
     "q_ffill",
     "q_cer",
     "q_topk_orders",
@@ -153,6 +154,8 @@ _CHECK_LAST = [
     # machinery, so q_cer in the prefix covers the shared path.
     "q_worst_cer",
     "q_cer_stats",
+    # shingling machinery covered in-prefix by the minhash family
+    "q_ngram_jaccard",
     "q_dot_to_null",
     "q_clean_year",
     "q_union_pages",

@@ -283,3 +283,76 @@ QUERIES["q_vocab_growth"] = QuerySpec(
         "global rank (no single-partition window)"
     ),
 )
+
+
+# ---------------------------------------------------------------------------
+# q_temperature_mix — temperature-scaled multilingual sampling allocation
+# (round 5).  The standard multilingual-pretraining knob: sample language
+# i with probability proportional to n_i^alpha (alpha = 1/2 here), which
+# upsamples low-resource languages relative to their raw share.  A fixed
+# character budget is then apportioned EXACTLY by largest remainder
+# (every unit of budget assigned, no float shares).
+#
+# Exactness: n^(1/2) is computed as a CORRECTED integer sqrt — one IEEE
+# sqrt then a +/-1 integer adjustment, so both engines agree bit-for-bit
+# even if libm rounds differently (exact for n < 2^52).  The remainder
+# rank is a self-join over the bounded language dimension (never a
+# single-partition window); ties break on lang.  Shape at 100 TB: one
+# groupBy(lang) over the corpus, then arithmetic on a |langs|-row frame.
+# ---------------------------------------------------------------------------
+
+_TEMP_BUDGET = 100_000
+
+_TEMPERATURE_MIX = f"""
+    WITH sz AS (
+      SELECT lang, CAST(sum(n_chars) AS BIGINT) AS n_chars
+      FROM documents GROUP BY lang
+    ),
+    s0 AS (
+      SELECT lang, n_chars,
+             CAST(floor(sqrt(CAST(n_chars AS DOUBLE))) AS BIGINT) AS r
+      FROM sz
+    ),
+    isq AS (
+      SELECT lang, n_chars,
+             r + (CASE WHEN (r + 1) * (r + 1) <= n_chars THEN 1 ELSE 0 END)
+               - (CASE WHEN r * r > n_chars THEN 1 ELSE 0 END) AS w
+      FROM s0
+    ),
+    tot AS (SELECT CAST(sum(w) AS BIGINT) AS sw FROM isq),
+    base AS (
+      SELECT lang, n_chars, w,
+             CAST(({_TEMP_BUDGET} * w) {{idiv}} tot.sw AS BIGINT) AS alloc0,
+             CAST(({_TEMP_BUDGET} * w) % tot.sw AS BIGINT) AS rem
+      FROM isq CROSS JOIN tot
+    ),
+    leftover AS (
+      SELECT CAST({_TEMP_BUDGET} - sum(alloc0) AS BIGINT) AS k FROM base
+    ),
+    ranked AS (
+      SELECT a.lang, a.n_chars, a.w, a.alloc0, a.rem,
+             CAST(count(b.lang) AS BIGINT) + 1 AS rnk
+      FROM base a
+      LEFT JOIN base b
+        ON b.rem > a.rem OR (b.rem = a.rem AND b.lang < a.lang)
+      GROUP BY a.lang, a.n_chars, a.w, a.alloc0, a.rem
+    )
+    SELECT lang, n_chars,
+           w AS weight_isqrt,
+           CAST(alloc0 + CASE WHEN rnk <= leftover.k THEN 1 ELSE 0 END
+                AS BIGINT) AS alloc_chars,
+           CAST((w * 1000000) {{idiv}} (SELECT sw FROM tot) AS BIGINT)
+             AS share_ppm
+    FROM ranked CROSS JOIN leftover
+"""
+
+QUERIES["q_temperature_mix"] = QuerySpec(
+    spark=sql_query(_TEMPERATURE_MIX.format(idiv="DIV")),
+    oracle=_TEMPERATURE_MIX.format(idiv="//"),
+    description=(
+        "temperature-scaled (alpha=1/2) multilingual sampling allocation: "
+        "corrected integer sqrt weights + exact largest-remainder "
+        f"apportionment of a {_TEMP_BUDGET}-char budget; remainder rank "
+        "via bounded self-join, no single-partition window"
+    ),
+)

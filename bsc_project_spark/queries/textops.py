@@ -4046,22 +4046,26 @@ _DSIR_TOKENS_DUCK = r"""
       FROM documents WHERE length(trim(text)) > 0
 """
 
-_DSIR_BODY = f"""
+_DSIR_DB = f"""
     WITH tok AS (
       SELECT doc_id, lang, token FROM ({{tokens}}) t WHERE token <> ''
     ),
     hv AS (
       SELECT doc_id, lang, CAST({_HEX8_FROM_H} AS BIGINT) % {_DSIR_B} AS bucket
       FROM (SELECT doc_id, lang, md5(token) AS h FROM tok)
-    ),
-    db AS (
-      SELECT doc_id, bucket, CAST(count(*) AS BIGINT) AS n
-      FROM hv GROUP BY doc_id, bucket
-    ),
+    )
+    SELECT doc_id, lang, bucket, CAST(count(*) AS BIGINT) AS n
+    FROM hv GROUP BY doc_id, lang, bucket
+"""
+
+# everything downstream of the (doc, lang, bucket) counts frame: the
+# bucket aggregates are O(B) rows, the importance table broadcasts back
+_DSIR_FINAL = f"""
+    WITH db AS ({{db}}),
     raw_b AS (SELECT bucket, CAST(sum(n) AS BIGINT) AS cr FROM db GROUP BY bucket),
     tgt_b AS (
-      SELECT bucket, CAST(count(*) AS BIGINT) AS ct
-      FROM hv WHERE lang = 'en' GROUP BY bucket
+      SELECT bucket, CAST(sum(n) AS BIGINT) AS ct
+      FROM db WHERE lang = 'en' GROUP BY bucket
     ),
     tot AS (
       SELECT CAST(sum(cr) AS BIGINT) AS tr,
@@ -4084,9 +4088,30 @@ _DSIR_BODY = f"""
     GROUP BY db.doc_id
 """
 
+
+def _dsir_spark(spark, sf_dir: str):
+    """The counts frame ``db`` feeds three consumers (raw bucket totals,
+    target bucket totals, the per-doc score join); inlined as a CTE Spark
+    replans the scan + token explode + md5 subtree per reference (10
+    parquet scans in the naive plan).  Materializing the SKINNY db frame
+    (<= n_docs x B rows) makes every reference an InMemoryRelation read —
+    ONE pass over the corpus text, which is the shape that matters when
+    the scan is 100 TB."""
+    register_views(spark, sf_dir)
+    db = spark.sql(
+        _DSIR_DB.format(tokens=_DSIR_TOKENS_SPARK)
+    ).localCheckpoint()
+    db.createOrReplaceTempView("dsir_db")
+    return spark.sql(
+        _DSIR_FINAL.format(db="SELECT * FROM dsir_db", idiv="DIV")
+    )
+
+
 QUERIES["q_dsir"] = QuerySpec(
-    spark=sql_query(_DSIR_BODY.format(tokens=_DSIR_TOKENS_SPARK, idiv="DIV")),
-    oracle=_DSIR_BODY.format(tokens=_DSIR_TOKENS_DUCK, idiv="//"),
+    spark=_dsir_spark,
+    oracle=_DSIR_FINAL.format(
+        db=_DSIR_DB.format(tokens=_DSIR_TOKENS_DUCK), idiv="//"
+    ),
     description=(
         "DSIR-style importance weights: per-doc mean hashed-unigram "
         f"target/raw ratio (B={_DSIR_B} buckets, add-1 smoothed, integer "

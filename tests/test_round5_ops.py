@@ -398,3 +398,51 @@ def test_incremental_dedup_recompute_and_batch_broadcast(spark):
 
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_temperature_mix_exact_apportionment(spark):
+    """Python recompute: corrected integer sqrt weights, largest-remainder
+    apportionment; the allocation must sum to EXACTLY the budget."""
+    import duckdb as _d
+    import math
+
+    from bsc_project_spark.queries.maintenance import _TEMP_BUDGET, QUERIES
+
+    sizes = dict(
+        _d.connect()
+        .execute(
+            f"SELECT lang, CAST(sum(n_chars) AS BIGINT) FROM "
+            f"'{_SF001}/documents.parquet' GROUP BY lang"
+        )
+        .fetchall()
+    )
+    w = {lang: math.isqrt(n) for lang, n in sizes.items()}
+    sw = sum(w.values())
+    base = {lang: (_TEMP_BUDGET * v) // sw for lang, v in w.items()}
+    rem = {lang: (_TEMP_BUDGET * v) % sw for lang, v in w.items()}
+    k = _TEMP_BUDGET - sum(base.values())
+    order = sorted(w, key=lambda lang: (-rem[lang], lang))
+    want = {
+        lang: (
+            sizes[lang],
+            w[lang],
+            base[lang] + (1 if order.index(lang) < k else 0),
+            (w[lang] * 1_000_000) // sw,
+        )
+        for lang in w
+    }
+    got = {
+        r.lang: (r.n_chars, r.weight_isqrt, r.alloc_chars, r.share_ppm)
+        for r in QUERIES["q_temperature_mix"].spark(spark, _SF001).collect()
+    }
+    assert got == want
+    assert sum(v[2] for v in got.values()) == _TEMP_BUDGET
+    # the temperature property itself: every language's allocated share
+    # exceeds... no — sqrt upsamples SMALL languages: their ppm share of
+    # the budget must exceed their raw-chars share, and the largest
+    # language's must shrink
+    tot_chars = sum(sizes.values())
+    small = min(sizes, key=sizes.get)
+    big = max(sizes, key=sizes.get)
+    assert got[small][3] > sizes[small] * 1_000_000 // tot_chars
+    assert got[big][3] < sizes[big] * 1_000_000 // tot_chars
