@@ -28,7 +28,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
@@ -819,7 +819,12 @@ def lloyd_assign(
         literals would outgrow codegen, so keep the broadcast crossJoin
         + map-side-combinable max(struct) argmax."""
         ordered = sorted(cents.items())
-        if d * len(ordered) <= 2048:
+        # 1024, not 2048: at k*d = 2048 the inlined expression's analysis
+        # + codegen cost ~3.5 s PER ITERATION on 2020 x 64 vectors
+        # (measured — the whole data pass is milliseconds), i.e. the
+        # literal tree stops paying for itself well before codegen's
+        # 64 KB method limit is hit
+        if d * len(ordered) <= 1024:
             dots = []
             for _cid, (cv, cn) in ordered:
                 dot = " + ".join(f"(q[{i}] * {_lit_d(cv[i])})" for i in range(d))
@@ -836,12 +841,27 @@ def lloyd_assign(
                 )
             )
         cos = F.round(F.expr(dot_expr) / (F.col("vn") * F.col("cn")), 5)
-        w = Window.partitionBy("vec_id").orderBy(F.desc("cos"), "cid")
+        # argmax as a partial-aggregable max(struct(cos, -cid)): the
+        # struct's field order IS the (cos DESC, cid ASC) tie-break, and
+        # map-side combine collapses the N*k crossJoin rows to N before
+        # the shuffle — the row_number window this replaces shuffled and
+        # SORTED all N*k rows per iteration
+        best = F.struct(
+            cos.alias("c"),
+            (-F.col("cid")).alias("nc"),
+            F.col("q").alias("q"),
+        )
         return (
             vq.crossJoin(cents_df())
-            .withColumn("cos", cos)
-            .withColumn("rn", F.row_number().over(w))
-            .filter("rn = 1")
+            .select("vec_id", best.alias("s"))
+            .groupBy("vec_id")
+            .agg(F.max("s").alias("s"))
+            .select(
+                "vec_id",
+                F.col("s.q").alias("q"),
+                (-F.col("s.nc")).cast("int").alias("cid"),
+                F.col("s.c").alias("cos"),
+            )
         )
 
     for _ in range(iters):
