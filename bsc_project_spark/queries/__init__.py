@@ -104,6 +104,7 @@ _CHECK_FIRST = [
     "q_data_quality",
     "q_cdc_chunks",
     "q_winnowing",
+    "q_prefix_join",
     "q_ivf_kmeans",
     "q_semantic_dedup",
     "q_pq_codes",
@@ -142,7 +143,6 @@ _CHECK_FIRST = [
     "q_topk_orders",
     "q_quality_score",
     "q_lang_id",
-    "q_doc_fingerprint",
     "q_pixel_accuracy",
     # ---- 50-row prefix boundary ----
 ]
@@ -156,6 +156,7 @@ _CHECK_LAST = [
     "q_cer_stats",
     # shingling machinery covered in-prefix by the minhash family
     "q_ngram_jaccard",
+    "q_doc_fingerprint",
     "q_dot_to_null",
     "q_clean_year",
     "q_union_pages",
