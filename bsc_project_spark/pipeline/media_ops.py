@@ -195,7 +195,18 @@ def phash_near_dup_pairs(phashes: DataFrame, max_hamming: int = 3) -> DataFrame:
     (pigeonhole: <=3 flipped bits cannot touch all 4 bands).  A larger
     radius still works but is best-effort — a distance-4+ pair whose
     flips hit every band never collides — so raising it should come with
-    more/narrower bands (e.g. 8 x 8-bit for radius 7)."""
+    more/narrower bands (e.g. 8 x 8-bit for radius 7).
+
+    Dedup by construction, not by shuffle: a pair matching in m bands
+    used to be emitted m times and collapsed with DISTINCT — at corpus
+    scale identical images match in ALL 4 bands, so the candidate
+    exchange carried 4x the pair volume (r5 bench: 4x ~20M rows at the
+    10x sf) just to throw 3/4 away.  The join now emits each pair from
+    its FIRST matching band only (the residual predicate checks every
+    earlier band differs — both full hashes are on the join row), which
+    makes pairs unique by construction and removes the DISTINCT's
+    shuffle + hash-aggregate entirely.  Requires one row per media_ref
+    in ``phashes`` (the contract callers already rely on)."""
     from pyspark.sql import functions as F
 
     bands = phashes.selectExpr(
@@ -208,20 +219,36 @@ def phash_near_dup_pairs(phashes: DataFrame, max_hamming: int = 3) -> DataFrame:
         "3, phash & 65535) AS (band, bval)",
     )
     a, b = bands.alias("a"), bands.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bval") == F.col("b.bval"))
-            & (F.col("a.media_ref") < F.col("b.media_ref")),
+
+    def _bandval(side: str, i: int) -> str:
+        shift = 48 - 16 * i
+        if shift:
+            return f"shiftright({side}.phash, {shift}) & 65535"
+        return f"{side}.phash & 65535"
+
+    no_earlier_match = F.expr(
+        "CASE a.band WHEN 0 THEN true "
+        + " ".join(
+            f"WHEN {k} THEN "
+            + " AND ".join(
+                f"({_bandval('a', j)}) != ({_bandval('b', j)})"
+                for j in range(k)
+            )
+            for k in range(1, 4)
         )
-        .select(
-            F.col("a.media_ref").alias("ref_a"),
-            F.col("b.media_ref").alias("ref_b"),
-            F.col("a.phash").alias("ha"),
-            F.col("b.phash").alias("hb"),
-        )
-        .distinct()
+        + " END"
+    )
+    cand = a.join(
+        b,
+        (F.col("a.band") == F.col("b.band"))
+        & (F.col("a.bval") == F.col("b.bval"))
+        & (F.col("a.media_ref") < F.col("b.media_ref"))
+        & no_earlier_match,
+    ).select(
+        F.col("a.media_ref").alias("ref_a"),
+        F.col("b.media_ref").alias("ref_b"),
+        F.col("a.phash").alias("ha"),
+        F.col("b.phash").alias("hb"),
     )
     return cand.select(
         "ref_a",

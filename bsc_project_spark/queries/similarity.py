@@ -25,6 +25,8 @@ produce identical buckets.
 
 from __future__ import annotations
 
+import decimal
+
 import numpy as np
 import pandas as pd
 
@@ -713,8 +715,203 @@ def lloyd_duck_ctes(
     return ",\n".join(parts)
 
 
+_LLOYD_DRIVER_STATE_MAX = 4_000_000
+"""Ceiling on DRIVER-HELD centroid state, in k*d array cells (~32 MB of
+doubles at the default).  Below it, ``lloyd_assign`` keeps the centroids
+on the driver (collect partial sums, rebuild, broadcast via closure) —
+the right shape for every fixed-K user.  At or above it (the derived-K
+SemDeDup shape at 10^9+ vectors: K = N/64 -> k*d grows linearly with the
+corpus) the centroid state stays a DataFrame end to end
+(``_lloyd_assign_frames``): seeds come from a two-phase global rank,
+updates are the same groupBy(cid, pos) aggregate written back to a
+centroid frame, and NOTHING corpus-proportional is ever collected or
+broadcast.  Same precedent as the bins planner's driver_plan_max
+(config.py).  Override per call via ``driver_state_max``."""
+
+_LLOYD_Q5 = decimal.Decimal("0.00001")
+
+
+def _lloyd_round5(x: float) -> float:
+    """round(x, 5) HALF_UP exactly as Spark computes it for doubles
+    (BigDecimal.valueOf = BigDecimal over Double.toString, i.e. the
+    SHORTEST ROUND-TRIP decimal repr — which Python's repr() also is —
+    then setScale(5, HALF_UP).doubleValue()).  x == 0 short-circuits so
+    -0.0 canonicalizes to +0.0 the way BigDecimal (which has no signed
+    zero) does."""
+    if x == 0.0:
+        return 0.0
+    return float(
+        decimal.Decimal(repr(x)).quantize(_LLOYD_Q5, rounding=decimal.ROUND_HALF_UP)
+    )
+
+
+def _lloyd_np_fn(cents_sorted: list, d: int, mode: str):
+    """mapInPandas factory for the numpy assignment path of
+    ``lloyd_assign``: all N x k cosines in ONE BLAS matmul per partition.
+
+    Exactness: quantized components are exact integers in double, so the
+    matmul's products and partial sums are exact integers (< 2^53)
+    regardless of accumulation order — bit-equal to the SQL expanded sum
+    — and cos = dots / (vn * cn) is the same two IEEE ops as the SQL
+    ``dot / (vn * cn)``.  The argmax must follow the ROUNDED-cosine
+    (cos DESC, cid ASC) rule: rounding is monotone, so the winner is
+    among the columns within 1e-5 of the unrounded row max (HALF_UP
+    intervals are 1e-5 wide; 2e-5 margin covers the shortest-repr
+    perturbation with orders of magnitude to spare), and only those few
+    candidates pay the exact decimal rounding.
+
+    mode="sums":  emit per-partition (cid, pos, sx, n) partial sums of q
+                  (exact integer adds) — the map-side combine of the
+                  centroid update.
+    mode="final": emit (vec_id, cid, cos) with cos exactly rounded.
+    """
+
+    C = np.array([cv for _, (cv, _) in cents_sorted], dtype=np.float64)
+    cns = np.array([cn for _, (_, cn) in cents_sorted], dtype=np.float64)
+    k = len(cents_sorted)
+
+    def run(batches):
+        frames = [pdf for pdf in batches if len(pdf)]
+        if not frames:
+            return
+        # session conf caps Arrow batches at 8 rows (sized for MB-scale
+        # image rows); re-batch the whole partition so the matmul is one
+        # BLAS call, not thousands of 8-row calls
+        pdf = pd.concat(frames, ignore_index=True) if len(frames) > 1 else frames[0]
+        Q = np.stack([np.asarray(q, dtype=np.float64) for q in pdf["q"]])
+        vn = pdf["vn"].to_numpy(dtype=np.float64)
+        un = (Q @ C.T) / (vn[:, None] * cns[None, :])
+        m = un.max(axis=1)
+        best = un.argmax(axis=1)
+        rows = np.arange(len(best))
+        cos = un[rows, best]
+        multi = (un >= (m - 2e-5)[:, None]).sum(axis=1) > 1
+        for i in np.flatnonzero(multi):
+            cands = np.flatnonzero(un[i] >= m[i] - 2e-5)
+            rc = [_lloyd_round5(float(un[i, j])) for j in cands]
+            mr = max(rc)
+            j = int(min(c for c, r in zip(cands, rc) if r == mr))
+            best[i] = j
+            cos[i] = un[i, j]
+        if mode == "sums":
+            cnt = np.bincount(best, minlength=k)
+            S = np.zeros((k, d), dtype=np.float64)
+            np.add.at(S, best, Q)
+            act = np.flatnonzero(cnt)
+            yield pd.DataFrame(
+                {
+                    "cid": np.repeat(act, d).astype(np.int32),
+                    "pos": np.tile(np.arange(d, dtype=np.int32), len(act)),
+                    "sx": S[act].ravel(),
+                    "n": np.repeat(cnt[act], d).astype(np.int64),
+                }
+            )
+        else:
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy(),
+                    "cid": best.astype(np.int32),
+                    "cos": np.array([_lloyd_round5(float(c)) for c in cos]),
+                }
+            )
+
+    return run
+
+
+def lloyd_dot_expr(a: str, b: str, d: int) -> str:
+    """The N x d dot product as an EXPANDED left-associated sum with the
+    fold's 0.0 seed — bit-identical to the sequential
+    aggregate(zip_with(...)) lambda (every IEEE add in the same order,
+    including the leading 0.0 + x that canonicalizes a -0.0 first term)
+    but whole-stage-codegen arithmetic instead of an interpreted
+    per-element lambda (~10x per row, measured round 5)."""
+    if not (0 < d <= 128):
+        return _SPARK_DOT.format(a=a, b=b)
+    terms = " + ".join(f"({a}[{i}] * {b}[{i}])" for i in range(d))
+    return f"(CAST(0 AS DOUBLE) + {terms})"
+
+
+def _lloyd_assign_frames(
+    spark: SparkSession, vq: DataFrame, iters: int, k: int, d: int
+) -> DataFrame:
+    """Distributed Lloyd for k*d ABOVE the driver-state ceiling: the
+    centroid state is a DataFrame for the whole run.  Seeds = the k
+    smallest vec_ids by two-phase global rank (prefix.global_row_number
+    — driver folds one subtotal per partition, never corpus rows); each
+    iteration is the same crossJoin + map-side-combinable max(struct)
+    argmax and groupBy(cid, pos) update as the driver path, with the
+    rebuilt centroid frame localCheckpointed to truncate lineage.  Same
+    arithmetic op for op as the driver fold (floor(sx*1000.0/n) per
+    component, greatest(sqrt(dot), eps) norms), so results are
+    bit-identical — pinned by tests/test_lloyd_paths.py."""
+    from .prefix import global_row_number
+
+    dot_qc = lloyd_dot_expr("q", "cv", d)
+    seeds = global_row_number(vq.select("vec_id"), ["vec_id"], "rn").where(
+        F.col("rn") <= k
+    )
+    cents = (
+        seeds.join(vq, "vec_id")
+        .selectExpr("CAST(rn - 1 AS INT) AS cid", "q AS cv", "vn AS cn")
+        .localCheckpoint()
+    )
+
+    def assignment(cdf: DataFrame) -> DataFrame:
+        cos = F.round(F.expr(dot_qc) / (F.col("vn") * F.col("cn")), 5)
+        best = F.struct(
+            cos.alias("c"), (-F.col("cid")).alias("nc"), F.col("q").alias("q")
+        )
+        return (
+            vq.crossJoin(cdf)
+            .select("vec_id", best.alias("s"))
+            .groupBy("vec_id")
+            .agg(F.max("s").alias("s"))
+            .select(
+                "vec_id",
+                F.col("s.q").alias("q"),
+                (-F.col("s.nc")).cast("int").alias("cid"),
+                F.col("s.c").alias("cos"),
+            )
+        )
+
+    for _ in range(iters):
+        upd = (
+            assignment(cents)
+            .select("cid", F.posexplode("q").alias("pos", "x"))
+            .groupBy("cid", "pos")
+            .agg(F.sum("x").alias("sx"), F.count("*").alias("n"))
+            .select(
+                "cid",
+                "pos",
+                F.expr("CAST(floor(sx * 1000.0 / n) AS DOUBLE)").alias("xq"),
+            )
+            .groupBy("cid")
+            .agg(
+                F.expr(
+                    "transform(array_sort(collect_list(struct(pos, xq))),"
+                    " s -> s.xq)"
+                ).alias("cv")
+            )
+            .selectExpr(
+                "cid",
+                "cv",
+                f"greatest(sqrt({_SPARK_DOT.format(a='cv', b='cv')}),"
+                f" {_LLOYD_EPS}) AS cn",
+            )
+        )
+        carried = cents.join(upd.select("cid"), "cid", "left_anti")
+        cents = upd.unionByName(carried).localCheckpoint()
+    return assignment(cents).select(
+        "vec_id", F.col("cid").alias("centroid_id"), F.col("cos").alias("cosine")
+    )
+
+
 def lloyd_assign(
-    spark: SparkSession, corpus: DataFrame, iters: int, k: int
+    spark: SparkSession,
+    corpus: DataFrame,
+    iters: int,
+    k: int,
+    driver_state_max: int | None = None,
 ) -> DataFrame:
     """Exact quantized Lloyd on the engine side: (vec_id, v array<double>)
     -> (vec_id, centroid_id int, cosine double) under trained centroids.
@@ -725,26 +922,47 @@ def lloyd_assign(
     IS the equivalence proof.  Executed ITERATIVELY, not as one SQL text:
     Spark inlines repeated CTE references, so the declarative chain
     re-evaluates every earlier iteration inside every later one (~5x
-    wall at 3 iterations, measured).  Here each iteration is one
-    broadcast-assignment job plus one groupBy(cid, pos) partial-sum job
-    over the PERSISTED quantized corpus, and only the k x d integer
-    centroid state folds on the driver — the same partials/fold shape as
-    ``kmeans_refine``, with cross-engine-exact integer arithmetic.
+    wall at 3 iterations, measured).  Each iteration is one assignment
+    job plus one groupBy(cid, pos) partial-sum job over the PERSISTED
+    quantized corpus (repartitioned to the session's parallelism — the
+    embeddings parquet is a single sub-split-size file, so without it
+    every pass ran on 1-2 cores).  Three assignment strategies by k*d:
 
-    Seeds: the k smallest vec_ids via a two-phase bounded top-K (64-way
-    bucketed sorted-slice, then a driver fold of 64 arrays of <=k ids) —
-    no global-order window anywhere."""
+      - k*d <= 1024: centroids inlined as literals, one map-only
+        codegen projection (the q_ivf_kmeans / q_pq_codes shape);
+      - k*d <= driver_state_max: centroids driver-held, assignment is
+        ONE numpy matmul per partition inside mapInPandas emitting
+        per-partition partial sums (``_lloyd_np_fn`` — exact integer
+        arithmetic, rounded-argmax tie rule preserved; replaces the
+        round-5 N*k crossJoin that dominated q_semantic_dedup's wall);
+      - above: the fully distributed ``_lloyd_assign_frames`` — centroid
+        state never touches the driver (the 100-TB contract for
+        corpus-derived K).
+
+    Seeds (driver paths): the k smallest vec_ids via a two-phase bounded
+    top-K (64-way bucketed sorted-slice, then a driver fold of 64 arrays
+    of <=k ids) — no global-order window anywhere."""
     import math
 
+    limit = (
+        driver_state_max if driver_state_max is not None else _LLOYD_DRIVER_STATE_MAX
+    )
     dot_qq = _SPARK_DOT.format(a="q", b="q")
+    n_parts = max(spark.sparkContext.defaultParallelism, 1)
     vq = corpus.selectExpr(
         "vec_id",
         "transform(v, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS DOUBLE)) AS q",
     ).selectExpr(
         "vec_id", "q", f"greatest(sqrt({dot_qq}), {_LLOYD_EPS}) AS vn"
-    ).persist()
+    ).repartition(n_parts).persist()
 
     out_schema = "vec_id long, centroid_id int, cosine double"
+    head = vq.select("q").head(1)
+    if not head:
+        return spark.createDataFrame([], out_schema)
+    d = len(head[0]["q"])
+    if k * d > limit:
+        return _lloyd_assign_frames(spark, vq, iters, k, d)
     # ONE job for the seeds: each bucket ships its k smallest vec_ids
     # WITH their (q, vn) payloads (k structs x 64 buckets, driver-tiny),
     # so no second fetch-by-id job is needed.  array_sort on the struct
@@ -768,27 +986,6 @@ def lloyd_assign(
         cid: (list(r["q"]), float(r["vn"])) for cid, r in enumerate(seeds)
     }
 
-    def cents_df():
-        return F.broadcast(
-            spark.createDataFrame(
-                [(cid, cv, cn) for cid, (cv, cn) in sorted(cents.items())],
-                "cid int, cv array<double>, cn double",
-            )
-        )
-
-    # the hot N x k x d dot product as an EXPANDED sum (d is known
-    # driver-side from the seed vectors): whole-stage-codegen arithmetic
-    # instead of an interpreted aggregate(zip_with(...)) lambda — ~5x on
-    # the per-iteration wall.  Order-insensitive by construction: every
-    # product and partial sum is an exact integer in double (the
-    # quantization bounds them far below 2^53), so the expanded
-    # left-to-right sum equals the sequential fold bit-for-bit.
-    d = len(next(iter(cents.values()))[0])
-    if 0 < d <= 128:
-        dot_expr = " + ".join(f"(q[{i}] * cv[{i}])" for i in range(d))
-    else:  # very wide embeddings: expression-tree size beats lambda cost
-        dot_expr = _SPARK_DOT.format(a="q", b="cv")
-
     def _lit_d(x: float) -> str:
         # exact double literal: quantized components are exact integers
         # in double, so a plain numeric literal suffices (smaller AST =
@@ -799,79 +996,65 @@ def lloyd_assign(
             return f"{int(x)}.0D"
         return f"CAST('{x!r}' AS DOUBLE)"
 
+    # 1024, not 2048: at k*d = 2048 the inlined expression's analysis
+    # + codegen cost ~3.5 s PER ITERATION on 2020 x 64 vectors
+    # (measured — the whole data pass is milliseconds), i.e. the
+    # literal tree stops paying for itself well before codegen's
+    # 64 KB method limit is hit
+    inlined = d * k <= 1024
+
     def assignment():
-        """(vec_id, q, cid, cos) under the CURRENT driver-held centroids.
-
-        Fast path (k*d small, the q_ivf_kmeans / q_pq_codes shape): the
-        centroids are already k x d integers ON THE DRIVER, so inline
-        them as literals and compute all k cosines in ONE map-only
-        projection — argmax = array_position(arr, array_max(arr)), whose
-        first-occurrence rule IS the (cos DESC, cid ASC) tie-break.  No
-        crossJoin row blow-up, no broadcast build, and above all no
-        window shuffle+sort of N*k rows per iteration: the round-4 bench
-        showed ~13 s of q_ivf_kmeans's 18.6 s wall was per-iteration
-        fixed cost, which this removes (each Lloyd step becomes scan ->
-        project -> tiny k*d partial-sum).  Values are bit-identical to
-        the join path: same expanded integer dots, same round(x, 5),
-        same literal doubles (shortest-roundtrip parse).
-
-        Join path (large k, the derived-K q_semantic_dedup shape): k*d
-        literals would outgrow codegen, so keep the broadcast crossJoin
-        + map-side-combinable max(struct) argmax."""
+        """(vec_id, q, cid, cos) under the CURRENT driver-held centroids
+        — inlined-literal path (k*d small, the q_ivf_kmeans / q_pq_codes
+        shape): the centroids are already k x d integers ON THE DRIVER,
+        so inline them as literals and compute all k cosines in ONE
+        map-only projection — argmax = array_position(arr,
+        array_max(arr)), whose first-occurrence rule IS the (cos DESC,
+        cid ASC) tie-break.  No crossJoin row blow-up, no broadcast
+        build, no window shuffle+sort of N*k rows per iteration: each
+        Lloyd step is scan -> project -> tiny k*d partial-sum.  Values
+        are bit-identical to the numpy path: same exact integer dots,
+        same round(x, 5), same literal doubles (shortest-roundtrip
+        parse)."""
         ordered = sorted(cents.items())
-        # 1024, not 2048: at k*d = 2048 the inlined expression's analysis
-        # + codegen cost ~3.5 s PER ITERATION on 2020 x 64 vectors
-        # (measured — the whole data pass is milliseconds), i.e. the
-        # literal tree stops paying for itself well before codegen's
-        # 64 KB method limit is hit
-        if d * len(ordered) <= 1024:
-            dots = []
-            for _cid, (cv, cn) in ordered:
-                dot = " + ".join(f"(q[{i}] * {_lit_d(cv[i])})" for i in range(d))
-                dots.append(f"round(({dot}) / (vn * {_lit_d(cn)}), 5)")
-            arr = "array(" + ", ".join(dots) + ")"
-            return (
-                vq.selectExpr("vec_id", "q", f"{arr} AS cos_arr")
-                .selectExpr(
-                    "vec_id",
-                    "q",
-                    "CAST(array_position(cos_arr, array_max(cos_arr)) - 1 AS INT)"
-                    " AS cid",
-                    "array_max(cos_arr) AS cos",
-                )
-            )
-        cos = F.round(F.expr(dot_expr) / (F.col("vn") * F.col("cn")), 5)
-        # argmax as a partial-aggregable max(struct(cos, -cid)): the
-        # struct's field order IS the (cos DESC, cid ASC) tie-break, and
-        # map-side combine collapses the N*k crossJoin rows to N before
-        # the shuffle — the row_number window this replaces shuffled and
-        # SORTED all N*k rows per iteration
-        best = F.struct(
-            cos.alias("c"),
-            (-F.col("cid")).alias("nc"),
-            F.col("q").alias("q"),
-        )
+        dots = []
+        for _cid, (cv, cn) in ordered:
+            dot = " + ".join(f"(q[{i}] * {_lit_d(cv[i])})" for i in range(d))
+            dots.append(f"round(({dot}) / (vn * {_lit_d(cn)}), 5)")
+        arr = "array(" + ", ".join(dots) + ")"
         return (
-            vq.crossJoin(cents_df())
-            .select("vec_id", best.alias("s"))
-            .groupBy("vec_id")
-            .agg(F.max("s").alias("s"))
-            .select(
+            vq.selectExpr("vec_id", "q", f"{arr} AS cos_arr")
+            .selectExpr(
                 "vec_id",
-                F.col("s.q").alias("q"),
-                (-F.col("s.nc")).cast("int").alias("cid"),
-                F.col("s.c").alias("cos"),
+                "q",
+                "CAST(array_position(cos_arr, array_max(cos_arr)) - 1 AS INT)"
+                " AS cid",
+                "array_max(cos_arr) AS cos",
             )
         )
 
     for _ in range(iters):
-        sums = (
-            assignment()
-            .select("cid", F.posexplode("q").alias("pos", "x"))
-            .groupBy("cid", "pos")
-            .agg(F.sum("x").alias("sx"), F.count("*").alias("n"))
-            .collect()
-        )
+        if inlined:
+            sums = (
+                assignment()
+                .select("cid", F.posexplode("q").alias("pos", "x"))
+                .groupBy("cid", "pos")
+                .agg(F.sum("x").alias("sx"), F.count("*").alias("n"))
+                .collect()
+            )
+        else:
+            # numpy path: assignment AND the (cid, pos) partial sums in
+            # one mapInPandas pass (one BLAS matmul per partition);
+            # the groupBy folds exact-integer per-partition partials
+            sums = (
+                vq.mapInPandas(
+                    _lloyd_np_fn(sorted(cents.items()), d, "sums"),
+                    "cid int, pos int, sx double, n long",
+                )
+                .groupBy("cid", "pos")
+                .agg(F.sum("sx").alias("sx"), F.sum("n").alias("n"))
+                .collect()
+            )
         by_cid: dict[int, list] = {}
         for r in sums:
             by_cid.setdefault(int(r["cid"]), []).append(r)
@@ -884,7 +1067,14 @@ def lloyd_assign(
             cn = max(math.sqrt(sum(x * x for x in cv)), 1e-9)
             cents[cid] = (cv, cn)
         # clusters absent from by_cid keep their previous centroid
-    return assignment().select(
+    if inlined:
+        return assignment().select(
+            "vec_id", F.col("cid").alias("centroid_id"), F.col("cos").alias("cosine")
+        )
+    return vq.mapInPandas(
+        _lloyd_np_fn(sorted(cents.items()), d, "final"),
+        "vec_id long, cid int, cos double",
+    ).select(
         "vec_id", F.col("cid").alias("centroid_id"), F.col("cos").alias("cosine")
     )
 
@@ -983,15 +1173,20 @@ def _semantic_dedup_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = corpus.count()
     k = max(8, math.ceil(n / _SEMDEDUP_TARGET_POP))
     assign = lloyd_assign(spark, corpus, _SEMDEDUP_ITERS, k)
+    # d probe for the EXPANDED dot chains below (lloyd_dot_expr: codegen
+    # arithmetic bit-identical to the sequential aggregate(zip_with)
+    # fold — the interpreted lambda cost ~10x per candidate pair)
+    head = corpus.select("v").head(1)
+    d = len(head[0]["v"]) if head else 0
     sd_v = corpus.selectExpr(
-        "vec_id", "v AS vv", f"sqrt({_SPARK_DOT.format(a='v', b='v')}) AS vn"
+        "vec_id", "v AS vv", f"sqrt({lloyd_dot_expr('v', 'v', d)}) AS vn"
     )
     sd_a = assign.select("vec_id", "centroid_id").join(sd_v, "vec_id")
     b = sd_a.selectExpr(
         "vec_id AS vec_id2", "centroid_id AS centroid_id2",
         "vv AS vv2", "vn AS vn2",
     )
-    pair_cos = F.expr(_SPARK_DOT.format(a="vv", b="vv2")) / (
+    pair_cos = F.expr(lloyd_dot_expr("vv", "vv2", d)) / (
         F.col("vn") * F.col("vn2")
     )
     dropped = (

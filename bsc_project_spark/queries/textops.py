@@ -2408,17 +2408,81 @@ _ENTROPY_BODY = """
     FROM terms GROUP BY doc_id
 """
 
-_q(
-    "q_char_entropy",
-    _ENTROPY_BODY.format(
-        gen="LATERAL VIEW explode(sequence(1, length(s))) g AS i"
-    ),
-    _ENTROPY_BODY.format(
+def _char_counts_fn(it):
+    """Vectorized per-doc codepoint counts — the engine side of
+    q_char_entropy's ``cnt`` CTE.  The per-position SQL explode (kept as
+    the oracle) materializes one row per CHARACTER with the parent
+    columns duplicated per row — at the 10x sf that is ~15M generator
+    rows through an exchange just to count ~30 distinct chars per doc.
+    Here the codepoints come out once per doc via utf-32 decode and
+    np.unique counts them — integer-only work, so no cross-engine float
+    hazard; ``lower(trim(...))`` stays in Spark (Java and Python lowercase
+    rules differ on edge codepoints), and substring-by-position == one
+    codepoint == one utf-32 unit in both engines."""
+    import numpy as np
+    import pandas as pd
+
+    for pdf in it:
+        if not len(pdf):
+            continue
+        out_doc, out_ch, out_c = [], [], []
+        for doc_id, s in zip(pdf["doc_id"], pdf["s"]):
+            if s is None or not s:
+                continue
+            codes = np.frombuffer(s.encode("utf-32-le"), dtype=np.uint32)
+            u, c = np.unique(codes, return_counts=True)
+            out_doc.extend([doc_id] * len(u))
+            out_ch.extend(chr(x) for x in u)
+            out_c.extend(c.tolist())
+        yield pd.DataFrame({"doc_id": out_doc, "ch": out_ch, "c": out_c})
+
+
+# windowed total instead of the cnt-tot self-join: sum(c) OVER
+# (PARTITION BY doc_id) is the same exact BIGINT sum, keyed on the same
+# shuffle key the final groupBy reuses — and it references the Python
+# counts frame ONCE (a second CTE reference would re-run the pass)
+_ENTROPY_VERIFY_SPARK = """
+    WITH terms AS (
+      SELECT doc_id,
+             CAST(floor(
+               1e6 * (c * 1e0 / n) * ln(n * 1e0 / c)
+             ) AS BIGINT) AS e_ppm
+      FROM (SELECT doc_id, c, sum(c) OVER (PARTITION BY doc_id) AS n
+            FROM ce_cnt) t
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_unique_chars,
+           CAST(sum(e_ppm) AS BIGINT) AS entropy_ppm
+    FROM terms GROUP BY doc_id
+"""
+
+
+def _char_entropy_spark(spark, sf_dir: str):
+    register_views(spark, sf_dir)
+    p = max(spark.sparkContext.defaultParallelism, 1)
+    cnt = (
+        spark.sql(
+            "SELECT doc_id, lower(trim(text)) AS s FROM documents "
+            "WHERE n_chars > 0"
+        )
+        # the documents parquet is one sub-split-size file -> a single
+        # scan partition; spread the Python counting across the session's
+        # parallelism (scale-adaptive, not a local[32] constant)
+        .repartition(p)
+        .mapInPandas(_char_counts_fn, "doc_id long, ch string, c long")
+    )
+    cnt.createOrReplaceTempView("ce_cnt")
+    return spark.sql(_ENTROPY_VERIFY_SPARK)
+
+
+QUERIES["q_char_entropy"] = QuerySpec(
+    spark=_char_entropy_spark,
+    oracle=_ENTROPY_BODY.format(
         gen=", LATERAL (SELECT unnest(generate_series(1, length(s))) AS i) g"
     ),
-    "per-doc Shannon char entropy in integer ppm-nats (per-char terms "
-    "floored before the exact sum): skinny (doc_id, ch) explode, "
-    "map-side-combinable counts, doc_id-keyed join, no windows",
+    description="per-doc Shannon char entropy in integer ppm-nats (per-char "
+    "terms floored before the exact sum): vectorized codepoint counts, one "
+    "doc_id-keyed shuffle shared by the windowed total and the final fold",
 )
 
 # ---------------------------------------------------------------------------
@@ -3578,9 +3642,64 @@ _SPARSE_KNN_BODY = """
 # terms are word BIGRAMS: the corpus vocabulary is tiny (every unigram
 # is a stopword by df), while bigrams have the long-tailed df profile
 # real sparse retrieval exploits
+#
+# Engine-side body: same algebra as the oracle body except (a) sym's
+# two directions come from ONE explode — the UNION ALL form re-evaluates
+# the sims subtree twice where the subtrees are not exchange-identical —
+# and (b) the scan is repartition-hinted (the documents parquet is one
+# sub-split-size file, so the explode otherwise runs on a single core).
+# NOT materialized into a persisted frame: Spark's ReusedExchange
+# already computes each identical aggregate/join subtree once here (an
+# experiment that persisted w measured 14.2 s vs 8.5 s inline at sf1.0).
+_SPARSE_KNN_SPARK_BODY = """
+    tf AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+           FROM toks GROUP BY 1, 2),
+    dfreq AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    w AS (SELECT doc_id, token,
+                 tf * CAST(floor(100.0 * n_docs / df) AS BIGINT) AS w
+          FROM tf JOIN dfreq USING (token) CROSS JOIN n),
+    nrm AS (SELECT doc_id, sum(w * w) AS nn FROM w GROUP BY 1),
+    rare AS (SELECT token FROM dfreq WHERE df BETWEEN 2 AND 10),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+      FROM w a JOIN rare USING (token) JOIN w b USING (token)
+      WHERE a.doc_id < b.doc_id
+    ),
+    dots AS (
+      SELECT c.d1, c.d2, sum(x.w * y.w) AS dot
+      FROM cand c
+      JOIN w x ON x.doc_id = c.d1
+      JOIN w y ON y.doc_id = c.d2 AND y.token = x.token
+      GROUP BY c.d1, c.d2
+    ),
+    sims AS (
+      SELECT d1, d2,
+             round(CAST(dot AS DOUBLE) /
+                   (sqrt(CAST(n1.nn AS DOUBLE)) * sqrt(CAST(n2.nn AS DOUBLE))),
+                   6) AS sim
+      FROM dots JOIN nrm n1 ON n1.doc_id = dots.d1
+                JOIN nrm n2 ON n2.doc_id = dots.d2
+    ),
+    sym AS (
+      SELECT pr.doc_id, pr.neighbor, pr.sim FROM (
+        SELECT explode(array(
+          struct(d1 AS doc_id, d2 AS neighbor, sim),
+          struct(d2 AS doc_id, d1 AS neighbor, sim)
+        )) AS pr FROM sims
+      )
+    )
+    SELECT doc_id, neighbor, sim FROM (
+      SELECT sym.*, row_number() OVER (
+        PARTITION BY doc_id ORDER BY sim DESC, neighbor) AS rn
+      FROM sym
+    ) t WHERE rn <= {k}
+"""
+
 _SPARSE_KNN_SPARK = f"""
     WITH base AS (
-      SELECT doc_id, split(lower(trim(text)), '\\\\s+') AS arr FROM documents
+      SELECT /*+ REPARTITION({{p}}) */ doc_id,
+             split(lower(trim(text)), '\\\\s+') AS arr FROM documents
     ),
     toks AS (
       SELECT doc_id, token FROM (
@@ -3591,8 +3710,14 @@ _SPARSE_KNN_SPARK = f"""
         FROM base
       ) WHERE token <> ' '
     ),
-    {_SPARSE_KNN_BODY.format(k=_SPARSE_KNN_K)}
+    {_SPARSE_KNN_SPARK_BODY.format(k=_SPARSE_KNN_K)}
 """
+
+
+def _sparse_knn_spark(spark, sf_dir: str):
+    register_views(spark, sf_dir)
+    p = max(spark.sparkContext.defaultParallelism, 1)
+    return spark.sql(_SPARSE_KNN_SPARK.format(p=p))
 
 _SPARSE_KNN_DUCK = rf"""
     WITH base AS (
@@ -3607,13 +3732,12 @@ _SPARSE_KNN_DUCK = rf"""
     {_SPARSE_KNN_BODY.format(k=_SPARSE_KNN_K)}
 """
 
-_q(
-    "q_sparse_knn",
-    _SPARSE_KNN_SPARK,
-    _SPARSE_KNN_DUCK,
-    f"top-{_SPARSE_KNN_K} cosine neighbors over integer TF-IDF sparse "
-    "vectors; rare-term inverted-index candidates (df<=10), exact int64 "
-    "dots/norms over all shared terms",
+QUERIES["q_sparse_knn"] = QuerySpec(
+    spark=_sparse_knn_spark,
+    oracle=_SPARSE_KNN_DUCK,
+    description=f"top-{_SPARSE_KNN_K} cosine neighbors over integer TF-IDF "
+    "sparse vectors; rare-term inverted-index candidates (df<=10), exact "
+    "int64 dots/norms over all shared terms of a materialized weight frame",
 )
 
 
@@ -3773,9 +3897,10 @@ _CONTAIN_BODY = f"""
     FROM both_dirs WHERE containment >= {_CONTAIN_TAU}
 """
 
-_CONTAIN_SPARK = f"""
+_CONTAIN_SH_SPARK = f"""
     WITH base AS (
-      SELECT doc_id, split(lower(trim(text)), '\\\\s+') AS arr FROM documents
+      SELECT /*+ REPARTITION({{p}}) */ doc_id,
+             split(lower(trim(text)), '\\\\s+') AS arr FROM documents
     ),
     gtext AS (
       SELECT doc_id, g FROM (
@@ -3785,9 +3910,63 @@ _CONTAIN_SPARK = f"""
           ELSE array() END) AS g
         FROM base
       )
-    ),
-    {_CONTAIN_BODY}
+    )
+    SELECT DISTINCT doc_id, g FROM gtext
 """
+
+# Engine-side verify over the MATERIALIZED shingle-set view (the body
+# references sh six times and Spark inlines repeated CTEs, so the
+# SQL-text form re-ran the explode + DISTINCT per reference), with two
+# structural fixes over the oracle's formulation (r6 bench, sf1.0):
+#   - the intersection is size(array_intersect) over per-doc shingle
+#     ARRAYS attached by broadcast hash joins — the oracle's
+#     cand JOIN sh JOIN sh materialized |cand| x shingles-per-doc rows
+#     (3.9M pairs x ~50 = ~200M join rows, 49 s of the 57 s wall; the
+#     array form is |cand| rows, set intersection in codegen).  The
+#     doc->array table is one skinny row per DOCUMENT (not per pair), so
+#     broadcast is the dims-table pattern; at fleet scale it becomes a
+#     shuffle join on doc_id, same plan shape minus the hint.
+#   - both directions come from ONE explode over inter instead of a
+#     UNION ALL that re-evaluated the whole inter subtree twice.
+_CONTAIN_VERIFY_SPARK = f"""
+    WITH sets AS (
+      SELECT doc_id, collect_list(g) AS gs, CAST(count(*) AS BIGINT) AS n_sh
+      FROM ct_sh GROUP BY doc_id
+    ),
+    rare AS (SELECT g FROM (
+      SELECT g, count(*) AS df FROM ct_sh GROUP BY g
+    ) WHERE df BETWEEN 2 AND 10),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+      FROM ct_sh a JOIN rare USING (g) JOIN ct_sh b USING (g)
+      WHERE a.doc_id < b.doc_id
+    ),
+    inter AS (
+      SELECT /*+ BROADCAST(s1), BROADCAST(s2) */ c.d1, c.d2,
+             CAST(size(array_intersect(s1.gs, s2.gs)) AS BIGINT) AS i,
+             s1.n_sh AS n1, s2.n_sh AS n2
+      FROM cand c
+      JOIN sets s1 ON s1.doc_id = c.d1
+      JOIN sets s2 ON s2.doc_id = c.d2
+    )
+    SELECT pr.src_doc, pr.dst_doc, pr.containment FROM (
+      SELECT explode(array(
+        struct(d1 AS src_doc, d2 AS dst_doc,
+               round(CAST(i AS DOUBLE) / n1, 6) AS containment),
+        struct(d2 AS src_doc, d1 AS dst_doc,
+               round(CAST(i AS DOUBLE) / n2, 6) AS containment)
+      )) AS pr FROM inter
+    ) WHERE pr.containment >= {_CONTAIN_TAU}
+"""
+
+
+def _containment_spark(spark, sf_dir: str):
+    register_views(spark, sf_dir)
+    p = max(spark.sparkContext.defaultParallelism, 1)
+    sh = spark.sql(_CONTAIN_SH_SPARK.format(p=p)).persist()
+    sh.count()  # materialize BEFORE the consumers race the cache
+    sh.createOrReplaceTempView("ct_sh")
+    return spark.sql(_CONTAIN_VERIFY_SPARK)
 
 _CONTAIN_DUCK = rf"""
     WITH base AS (
@@ -3803,13 +3982,13 @@ _CONTAIN_DUCK = rf"""
     {_CONTAIN_BODY}
 """
 
-_q(
-    "q_containment",
-    _CONTAIN_SPARK,
-    _CONTAIN_DUCK,
-    f"Broder containment (word {_CONTAIN_K}-gram shingles, tau="
+QUERIES["q_containment"] = QuerySpec(
+    spark=_containment_spark,
+    oracle=_CONTAIN_DUCK,
+    description=f"Broder containment (word {_CONTAIN_K}-gram shingles, tau="
     f"{_CONTAIN_TAU}): asymmetric quote/subset detection; rare-shingle "
-    "candidates, exact integer intersections",
+    "candidates, exact integer intersections over a materialized "
+    "shingle-set frame",
 )
 
 

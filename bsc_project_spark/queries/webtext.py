@@ -284,6 +284,34 @@ def _simhash_pairs_sql(shingles: str, ham: str) -> str:
     return "WITH sim AS (" + sim_inner + "), " + _SIMHASH_PAIRS_BODY.format(ham=ham)
 
 
+# engine-side pair generation: each pair emitted from its FIRST matching
+# band only (band 1 requires the band-0 values to differ — both full
+# hashes ride the join row), so pairs are unique BY CONSTRUCTION and the
+# oracle's DISTINCT (a 2x candidate shuffle + hash-aggregate: identical
+# docs match in both bands) is not needed; the Hamming verify then runs
+# in the join stage instead of after the dedup exchange.
+_SIMHASH_PAIRS_SPARK_BODY = """
+    bands AS (
+      SELECT doc_id, simhash, 0 AS band,
+             CAST(floor(simhash / 256) AS BIGINT) AS bval FROM sim
+      UNION ALL
+      SELECT doc_id, simhash, 1 AS band, simhash % 256 AS bval FROM sim
+    ),
+    cand AS (
+      SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+             a.simhash AS sa, b.simhash AS sb
+      FROM bands a
+      JOIN bands b ON a.band = b.band AND a.bval = b.bval
+                  AND a.doc_id < b.doc_id
+                  AND (a.band = 0 OR
+                       CAST(floor(a.simhash / 256) AS BIGINT)
+                         != CAST(floor(b.simhash / 256) AS BIGINT))
+    )
+    SELECT a_id, b_id, CAST(bit_count(sa ^ sb) AS INT) AS hamming
+    FROM cand WHERE bit_count(sa ^ sb) <= 2
+"""
+
+
 def _simhash_pairs_spark(spark, sf_dir: str):
     """Materialize the per-doc SimHash frame ONCE (localCheckpoint), then
     band + self-join against the skinny (doc_id, simhash) leaf.
@@ -303,7 +331,7 @@ def _simhash_pairs_spark(spark, sf_dir: str):
     sim.createOrReplaceTempView("simhash_sim")
     return spark.sql(
         "WITH sim AS (SELECT * FROM simhash_sim), "
-        + _SIMHASH_PAIRS_BODY.format(ham="bit_count(sa ^ sb)")
+        + _SIMHASH_PAIRS_SPARK_BODY
     )
 
 
