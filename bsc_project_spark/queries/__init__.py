@@ -65,9 +65,23 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
 
 
 def sql_query(sql: str) -> Callable[[SparkSession, str], DataFrame]:
+    """Build a (spark, sf_dir) -> DataFrame callable for a SQL text.
+
+    The token ``__P__`` is replaced at CALL time with the session's
+    default parallelism (derived from the local master / cluster, i.e.
+    $SPARK_GRAFT_CPUS here — scale-adaptive, never a hard-coded core
+    count).  Heavy queries use it in ``/*+ REPARTITION(__P__) */`` hints
+    placed between a scan and wide narrow work (explodes, per-row
+    hashing): the sf parquet files are single-row-group, so without the
+    hint the whole pre-shuffle pipeline of a query runs in ONE scan
+    task regardless of cores."""
+
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
         register_views(spark, sf_dir)
-        return spark.sql(sql)
+        s = sql
+        if "__P__" in s:
+            s = s.replace("__P__", str(max(spark.sparkContext.defaultParallelism, 1)))
+        return spark.sql(s)
 
     return run
 

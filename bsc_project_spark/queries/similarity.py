@@ -44,7 +44,11 @@ _N_QUERIES = 8
 
 def _cosine_topk_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir)
-    # broadcast the tiny query side; candidates stream through one stage
+    d = _emb_dim(spark)
+    # broadcast the tiny query side; candidates stream through one stage.
+    # Expanded codegen dot chains (bit-identical to the sequential
+    # aggregate lambdas, incl. the 0.0 seed) replace N*|q|*3 interpreted
+    # per-element lambda steps.
     return spark.sql(
         f"""
         WITH q AS (SELECT vec_id AS q_id,
@@ -55,9 +59,9 @@ def _cosine_topk_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
               FROM embeddings),
         p AS (
           SELECT /*+ BROADCAST(q) */ q_id, c_id,
-                 aggregate(zip_with(qv, cv, (x, y) -> x * y), CAST(0 AS DOUBLE), (a, b) -> a + b) AS dot,
-                 sqrt(aggregate(transform(qv, x -> x * x), CAST(0 AS DOUBLE), (a, b) -> a + b)) AS nq,
-                 sqrt(aggregate(transform(cv, x -> x * x), CAST(0 AS DOUBLE), (a, b) -> a + b)) AS nc
+                 {lloyd_dot_expr('qv', 'cv', d)} AS dot,
+                 sqrt({lloyd_dot_expr('qv', 'qv', d)}) AS nq,
+                 sqrt({lloyd_dot_expr('cv', 'cv', d)}) AS nc
           FROM c CROSS JOIN q
           WHERE q_id <> c_id
         ),
@@ -225,6 +229,14 @@ _SPARK_DOT = (
     "aggregate(zip_with({a}, {b}, (x, y) -> x * y), CAST(0 AS DOUBLE), (p, q) -> p + q)"
 )
 
+
+def _emb_dim(spark: SparkSession) -> int:
+    """Embedding dimensionality, probed with one tiny head job — feeds
+    the EXPANDED dot-product chains (``lloyd_dot_expr``) that replace
+    interpreted aggregate(zip_with) lambdas across the ANN family."""
+    row = spark.table("embeddings").selectExpr("size(embedding) AS d").head(1)
+    return int(row[0]["d"]) if row else 0
+
 _NEAR_DUP_CORPUS = """
         SELECT vec_id, CAST(embedding AS ARRAY<DOUBLE>) AS v FROM embeddings
         UNION ALL
@@ -235,7 +247,11 @@ _NEAR_DUP_CORPUS = """
 
 def _near_dup_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir)
-    corpus = spark.sql(_NEAR_DUP_CORPUS)
+    # repartition before the feature UDF: the embeddings parquet is one
+    # row group -> one scan task otherwise (8.4 -> 2.9 s at sf1.0)
+    corpus = spark.sql(_NEAR_DUP_CORPUS).repartition(
+        max(spark.sparkContext.defaultParallelism, 1)
+    )
     feats = corpus.select(
         "vec_id",
         "v",
@@ -265,16 +281,18 @@ def _near_dup_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         on="b_id",
     )
+    # ONE evaluation of the pair dot: round(x, 5) of the raw quotient IS
+    # round(dot / (anrm * bnrm), 5), so the filter and the output column
+    # share the same _raw instead of evaluating the aggregate twice
     dot = _SPARK_DOT.format(a="av", b="bv")
     return (
         pairs.select(
             "a_id",
             "b_id",
-            F.expr(f"round({dot} / (anrm * bnrm), 5)").alias("cosine"),
             F.expr(f"{dot} / (anrm * bnrm)").alias("_raw"),
         )
         .filter(F.col("_raw") > 0.999)
-        .drop("_raw")
+        .select("a_id", "b_id", F.round("_raw", 5).alias("cosine"))
     )
 
 
@@ -1236,25 +1254,41 @@ _GRAM_SCHEMA = "i int, j int, n long, si long, sj long, sij long"
 
 
 def _gram_partials_fn(it):
+    # ONE partial frame per PARTITION, not per Arrow batch: the session
+    # caps batches at 8 rows (sized for MB-scale image rows), so the
+    # per-batch form emitted d*(d+1)/2 partial rows per 8 vectors —
+    # ~5M shuffle rows at sf1.0 where ~2080/partition suffice.  int64
+    # accumulation across batches is exact, so the fold is identical.
+    n_tot = 0
+    s_tot = None
+    g_tot = None
     for pdf in it:
         if pdf.empty:
             continue
         m = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
         q = np.floor(m * 1e6).astype(np.int64)
-        n, d = q.shape
+        n_tot += q.shape[0]
         s = q.sum(axis=0)
         g = q.T @ q
-        iu, ju = np.triu_indices(d)
-        yield pd.DataFrame(
-            {
-                "i": (iu + 1).astype(np.int32),
-                "j": (ju + 1).astype(np.int32),
-                "n": np.full(len(iu), n, dtype=np.int64),
-                "si": s[iu],
-                "sj": s[ju],
-                "sij": g[iu, ju],
-            }
-        )
+        if s_tot is None:
+            s_tot, g_tot = s, g
+        else:
+            s_tot = s_tot + s
+            g_tot = g_tot + g
+    if n_tot == 0:
+        return
+    d = s_tot.shape[0]
+    iu, ju = np.triu_indices(d)
+    yield pd.DataFrame(
+        {
+            "i": (iu + 1).astype(np.int32),
+            "j": (ju + 1).astype(np.int32),
+            "n": np.full(len(iu), n_tot, dtype=np.int64),
+            "si": s_tot[iu],
+            "sj": s_tot[ju],
+            "sij": g_tot[iu, ju],
+        }
+    )
 
 
 _COV_EXPR = (
@@ -1270,6 +1304,8 @@ def _embed_cov_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     partials = (
         spark.table("embeddings")
         .select("embedding")
+        # single-row-group parquet -> one scan task without this
+        .repartition(max(spark.sparkContext.defaultParallelism, 1))
         .mapInPandas(_gram_partials_fn, _GRAM_SCHEMA)
     )
     return (
@@ -1364,12 +1400,15 @@ def _ann_recall_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = spark.table("embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
-    feat = emb.select("vec_id", "v", _lsh_bits_udf("v").alias("bits")).persist()
+    feat = emb.repartition(max(spark.sparkContext.defaultParallelism, 1)).select(
+        "vec_id", "v", _lsh_bits_udf("v").alias("bits")
+    ).persist()
     feat.count()
     feat.createOrReplaceTempView("ar_feat")
-    dot = _SPARK_DOT.format(a="q.v", b="c.v")
-    nrm_q = _SPARK_DOT.format(a="q.v", b="q.v")
-    nrm_c = _SPARK_DOT.format(a="c.v", b="c.v")
+    d = _emb_dim(spark)
+    dot = lloyd_dot_expr("q.v", "c.v", d)
+    nrm_q = lloyd_dot_expr("q.v", "q.v", d)
+    nrm_c = lloyd_dot_expr("c.v", "c.v", d)
     return spark.sql(
         f"""
         WITH qf AS (SELECT * FROM ar_feat WHERE vec_id < {_N_QUERIES}),

@@ -45,12 +45,15 @@ _q("q_dedup_survivors", _DEDUP_SURVIVORS_SQL, _DEDUP_SURVIVORS_SQL,
 # DuckDB: lateral unnest(generate_series).
 # ---------------------------------------------------------------------------
 
+# the inner REPARTITION spreads the DOC rows before the explode: the
+# documents parquet is one row group -> one scan task, so the shingle
+# explode (and any md5 work stacked on it) otherwise runs on one core
 _SHINGLES_SPARK = """
       SELECT DISTINCT doc_id, s FROM (
         SELECT doc_id,
                explode(transform(sequence(1, greatest(length(text) - 7, 1), 4),
                                  i -> substring(text, i, 8))) AS s
-        FROM {src} t
+        FROM (SELECT /*+ REPARTITION(__P__) */ * FROM {src} t0) t
       )
 """
 
@@ -59,6 +62,14 @@ _SHINGLES_DUCK = """
       FROM {src} t,
       LATERAL (SELECT unnest(generate_series(1, greatest(length(t.text) - 7, 1), 4)) AS i) g
 """
+
+
+def _p_sub(spark, sql: str) -> str:
+    """Resolve the __P__ parallelism token for DIRECT spark.sql callers
+    (registered SQL texts go through sql_query, which does the same)."""
+    return sql.replace(
+        "__P__", str(max(spark.sparkContext.defaultParallelism, 1))
+    )
 
 
 def _shingle_query(body: str, src: str = "documents") -> tuple[str, str]:
@@ -229,7 +240,7 @@ def _planted_minhash_views(spark, sf_dir: str) -> None:
     # the shingle view stays UNPERSISTED: materializing ~10^5 8-char rows
     # costs more than the explode recompute it saves (measured at sf0.1);
     # only the skinny per-doc signature frame is worth caching
-    d = spark.sql(_SHINGLES_SPARK.format(src=_PLANTED))
+    d = spark.sql(_p_sub(spark, _SHINGLES_SPARK.format(src=_PLANTED)))
     d.createOrReplaceTempView("mh_shingles")
     wide = spark.sql(
         f"""
@@ -837,7 +848,7 @@ _TFIDF_SPARK = f"""
     WITH toks AS (
       SELECT doc_id, token FROM (
         SELECT doc_id, explode(split(lower(trim(text)), '\\\\s+')) AS token
-        FROM documents
+        FROM (SELECT /*+ REPARTITION(__P__) */ * FROM documents) d0
       ) WHERE token <> ''
     ),
     {_TFIDF_BODY.format(k=_TFIDF_K)}
@@ -1918,7 +1929,7 @@ _COOC_VOCAB_K = 32
 _COOC_BODY = """
     WITH toks AS (
       SELECT DISTINCT doc_id, token FROM (
-        SELECT doc_id, {tok} AS token FROM documents {gen}
+        SELECT doc_id, {tok} AS token FROM {src} {gen}
       ) u WHERE token <> ''
     ),
     dfreq AS (SELECT token, count(*) AS df FROM toks GROUP BY token),
@@ -1950,11 +1961,13 @@ _q(
     "q_cooccurrence",
     _COOC_BODY.format(
         tok="explode(split(lower(trim(text)), '\\\\s+'))",
+        src="(SELECT /*+ REPARTITION(__P__) */ * FROM documents) d0",
         gen="",
         k=_COOC_VOCAB_K,
     ),
     _COOC_BODY.format(
         tok="unnest(string_split_regex(lower(trim(text)), '\\s+'))",
+        src="documents",
         gen="",
         k=_COOC_VOCAB_K,
     ),
@@ -2847,8 +2860,20 @@ _PREFIX_JOIN_BODY = """
     WHERE 10 * x.i >= 9 * (sa.n + sb.n - x.i)
 """
 
+# engine-side verify: exact intersections via size(array_intersect) over
+# per-doc shingle ARRAYS attached by broadcast hash joins — the oracle's
+# cand JOIN tok JOIN tok form materializes |cand| x shingles-per-doc
+# join rows (~23M at sf1.0, the q_containment lesson); the array form is
+# |cand| rows with the set intersection in codegen.  The doc->array
+# table is one skinny row per DOCUMENT (the dims-table pattern); at
+# fleet scale it becomes a shuffle join on doc_id, same plan shape.
+# Pairs with zero overlap cannot reach the output either way (the
+# Jaccard >= 0.9 gate needs 10*i >= 9*union > 0).
 _PREFIX_JOIN_VERIFY = """
-    WITH sz AS (SELECT doc_id, count(*) AS n FROM pj_tok GROUP BY doc_id),
+    WITH sets AS (
+      SELECT doc_id, collect_list(s) AS ss, CAST(count(*) AS BIGINT) AS n
+      FROM pj_tok GROUP BY doc_id
+    ),
     cand AS (
       SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
       FROM pj_pref a JOIN pj_pref b ON b.s = a.s AND b.doc_id > a.doc_id
@@ -2857,21 +2882,20 @@ _PREFIX_JOIN_VERIFY = """
            >= (9 * (a.n + b.n) + 18) {idiv} 19
     ),
     inter AS (
-      SELECT c.a, c.b, count(*) AS i
+      SELECT /*+ BROADCAST(sa), BROADCAST(sb) */ c.a, c.b,
+             CAST(size(array_intersect(sa.ss, sb.ss)) AS BIGINT) AS i,
+             sa.n AS na, sb.n AS nb
       FROM cand c
-      JOIN pj_tok ta ON ta.doc_id = c.a
-      JOIN pj_tok tb ON tb.doc_id = c.b AND tb.s = ta.s
-      GROUP BY c.a, c.b
+      JOIN sets sa ON sa.doc_id = c.a
+      JOIN sets sb ON sb.doc_id = c.b
     )
-    SELECT x.a AS doc_a, x.b AS doc_b,
-           CAST(x.i AS BIGINT) AS n_common,
-           CAST(sa.n + sb.n - x.i AS BIGINT) AS n_union,
-           CAST((x.i * 1000000) {idiv} (sa.n + sb.n - x.i) AS BIGINT)
+    SELECT a AS doc_a, b AS doc_b,
+           CAST(i AS BIGINT) AS n_common,
+           CAST(na + nb - i AS BIGINT) AS n_union,
+           CAST((i * 1000000) {idiv} (na + nb - i) AS BIGINT)
              AS jaccard_ppm
-    FROM inter x
-    JOIN sz sa ON sa.doc_id = x.a
-    JOIN sz sb ON sb.doc_id = x.b
-    WHERE 10 * x.i >= 9 * (sa.n + sb.n - x.i)
+    FROM inter
+    WHERE 10 * i >= 9 * (na + nb - i)
 """
 
 
@@ -2884,7 +2908,7 @@ def _prefix_join_spark(spark, sf_dir: str):
     populated it — every subtree raced to recompute the explode+distinct
     (measured: 15.8 s -> ~5 s at sf0.1).  Same discipline as mh_wide."""
     register_views(spark, sf_dir)
-    tok = spark.sql(_SHINGLES_SPARK.format(src="documents")).persist()
+    tok = spark.sql(_p_sub(spark, _SHINGLES_SPARK.format(src="documents"))).persist()
     tok.count()
     tok.createOrReplaceTempView("pj_tok")
     pref = spark.sql(
@@ -3284,11 +3308,31 @@ _NOVELTY_BODY = """
     GROUP BY d.doc_id
 """
 
-_NOVELTY_SPARK = _NOVELTY_BODY.format(
-    split="split(lower(trim(text)), '\\\\s+')",
-    explode="LATERAL VIEW posexplode(a) t AS i, t",
-    idiv="div",
-)
+# engine side: the oracle's 3-way positional self-join (toks a/b/c on
+# doc_id, i+1, i+2) shuffled the 2.5M-row token frame twice just to glue
+# adjacent words; the same grams come straight off the split array with
+# a bounded transform — zero joins, zero shuffles before the DISTINCT —
+# and the repartition spreads the single-row-group scan first
+_NOVELTY_SPARK = """
+    WITH grams AS (
+      SELECT doc_id, explode(CASE WHEN size(a) >= 3
+        THEN transform(sequence(0, size(a) - 3),
+                       i -> concat(a[i], ' ', a[i + 1], ' ', a[i + 2]))
+        ELSE array() END) AS g
+      FROM (SELECT /*+ REPARTITION(__P__) */ doc_id,
+                   split(lower(trim(text)), '\\\\s+') AS a FROM documents) s
+    ),
+    dg AS (SELECT DISTINCT doc_id, g FROM grams),
+    first_seen AS (SELECT g, min(doc_id) AS first_doc FROM dg GROUP BY g)
+    SELECT d.doc_id,
+           CAST(count(*) AS BIGINT) AS n_grams,
+           CAST(sum(CASE WHEN f.first_doc = d.doc_id THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_novel,
+           CAST((sum(CASE WHEN f.first_doc = d.doc_id THEN 1 ELSE 0 END)
+                 * 1000000) div count(*) AS BIGINT) AS novelty_ppm
+    FROM dg d JOIN first_seen f ON f.g = d.g
+    GROUP BY d.doc_id
+"""
 _NOVELTY_DUCK = _NOVELTY_BODY.format(
     split=r"string_split_regex(lower(trim(text)), '\s+')",
     explode=", LATERAL (SELECT unnest(generate_series(1, len(a))) AS i) gi, LATERAL (SELECT a[gi.i] AS t) gt",
@@ -3806,7 +3850,8 @@ _WINNOW_UNPACK_DUCK = f"CAST(key // {_WINNOW_POS_W} AS BIGINT)"
 
 _WINNOW_SPARK = f"""
     WITH base AS (
-      SELECT doc_id, split(lower(trim(text)), '\\\\s+') AS arr FROM documents
+      SELECT /*+ REPARTITION(__P__) */ doc_id,
+             split(lower(trim(text)), '\\\\s+') AS arr FROM documents
     ),
     gtext AS (
       SELECT doc_id, pos, g FROM (
@@ -4172,9 +4217,13 @@ def _cdc_chunks_spark(spark, sf_dir: str):
     from pyspark.sql import functions as F
 
     register_views(spark, sf_dir)
+    p = max(spark.sparkContext.defaultParallelism, 1)
     chunks = (
         spark.table("documents")
         .select("doc_id", "text")
+        # single-row-group parquet -> one scan partition; spread the
+        # Python chunking across the session parallelism
+        .repartition(p)
         .mapInPandas(_cdc_chunks_fn, "doc_id long, chunk_hash string, chunk_len long")
     )
     return (
@@ -4233,7 +4282,8 @@ _DSIR_B = 1024  # hashed-feature buckets (DSIR uses 10^4; 1024 keeps the
 
 _DSIR_TOKENS_SPARK = """
       SELECT doc_id, lang, explode(split(lower(trim(text)), '\\\\s+')) AS token
-      FROM documents WHERE length(trim(text)) > 0
+      FROM (SELECT /*+ REPARTITION(__P__) */ * FROM documents
+            WHERE length(trim(text)) > 0) d
 """
 _DSIR_TOKENS_DUCK = r"""
       SELECT doc_id, lang,
@@ -4294,7 +4344,7 @@ def _dsir_spark(spark, sf_dir: str):
     the scan is 100 TB."""
     register_views(spark, sf_dir)
     db = spark.sql(
-        _DSIR_DB.format(tokens=_DSIR_TOKENS_SPARK)
+        _p_sub(spark, _DSIR_DB.format(tokens=_DSIR_TOKENS_SPARK))
     ).localCheckpoint()
     db.createOrReplaceTempView("dsir_db")
     return spark.sql(
@@ -4378,7 +4428,7 @@ def _incremental_dedup_spark(spark, sf_dir: str):
     spark.sql(f"SELECT * FROM ({_INC_CORPUS})").createOrReplaceTempView("corpus")
     for side in ("batch", "corpus"):
         wide = spark.sql(
-            _INC_WIDE.format(shingles=_SHINGLES_SPARK.format(src=side))
+            _p_sub(spark, _INC_WIDE.format(shingles=_SHINGLES_SPARK.format(src=side)))
         )
         bands = wide.selectExpr(
             "doc_id", f"stack({_N_BANDS}, {_BANDS_STACK_SPARK}) AS (band, bsig)"

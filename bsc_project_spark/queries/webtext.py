@@ -258,7 +258,7 @@ _q(
 # integer widths comfortable in both engines.
 # ---------------------------------------------------------------------------
 
-from .textops import _SHINGLES_DUCK, _SHINGLES_SPARK, _SIMHASH_BODY  # noqa: E402
+from .textops import _SHINGLES_DUCK, _SHINGLES_SPARK, _SIMHASH_BODY, _p_sub  # noqa: E402
 
 _SIMHASH_PAIRS_BODY = """
     bands AS (
@@ -326,7 +326,7 @@ def _simhash_pairs_spark(spark, sf_dir: str):
 
     register_views(spark, sf_dir)
     sim = spark.sql(
-        _SIMHASH_BODY.format(shingles=_SHINGLES_SPARK.format(src=_PLANTED))
+        _p_sub(spark, _SIMHASH_BODY.format(shingles=_SHINGLES_SPARK.format(src=_PLANTED)))
     ).localCheckpoint()
     sim.createOrReplaceTempView("simhash_sim")
     return spark.sql(
