@@ -250,11 +250,14 @@ def assign_size_bins(
     head: list | None = None
     if assume_bounded:
         head = skinny.collect()
-    else:
+    elif driver_max > 0:
         cached = skinny.persist()
         if cached.count() <= driver_max:
             head = cached.collect()
         cached.unpersist()
+    # driver_max <= 0 means the caller already proved the frame is over
+    # the ceiling (run_page_stage's unbounded route): go straight to the
+    # two-phase rank — no persist, no count job
     if head is not None:
         return _bins_local_df(
             spark, serpentine_bins([(r["media_ref"], r["sz"]) for r in head], n_bins)
@@ -407,6 +410,11 @@ def run_page_stage(
         if bounded and tiling:
             spark = media.sparkSession
             pairs = [(r["media_ref"], r["sz"]) for r in sizes.collect()]
+            if not cfg.assume_bounded_refs:
+                # the count-gate persisted sizes; the driver plan below
+                # works from the collected pairs, so release the cache
+                # instead of pinning it for the session (r5 advice)
+                sizes.unpersist()
             giant = [(ref, sz) for ref, sz in pairs if sz >= thr]
             if giant:
                 from .tiling import run_tiled_page_stage
@@ -467,6 +475,10 @@ def run_page_stage(
     else:
         sizes = None
     unique_pages = repartition_by_size(unique_pages, n_parts, sizes)
+    if sizes is not None and not cfg.assume_bounded_refs:
+        # repartition_by_size collected the bins at build time; release
+        # the count-gate's cache instead of pinning it (r5 advice)
+        sizes.unpersist()
     return unique_pages.mapInPandas(_make_extract_udf(cfg), schema=EXTRACT_STAGE_SCHEMA)
 
 

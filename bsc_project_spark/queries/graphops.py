@@ -51,19 +51,47 @@ def _link_graph(spark: SparkSession, sf_dir: str):
     register_views(spark, sf_dir)
     from .prefix import global_row_number
 
-    ids = (
-        global_row_number(spark.table("documents").select("doc_id"), ["doc_id"], "rn")
-        .select("doc_id", (F.col("rn") - 1).cast("long").alias("idx"))
-        .persist()
+    # Dense-id fast path: when doc_ids are EXACTLY {0..n-1} (count ==
+    # distinct count, min 0, max n-1 — one cheap aggregate job), the
+    # two-phase rank is the identity (row_number()-1 over ORDER BY
+    # doc_id == doc_id), so idx = doc_id with zero rank machinery.  The
+    # general global_row_number path remains for sparse/offset id
+    # spaces; the r6 bench showed each of the six graph queries paying
+    # ~1-2 s rebuilding this frame (range exchange + window + subtotal
+    # fold + broadcast join) for fixture ids that are always dense.
+    stats = (
+        spark.table("documents")
+        .agg(
+            F.count("doc_id").alias("n"),
+            F.countDistinct("doc_id").alias("nd"),
+            F.min("doc_id").alias("lo"),
+            F.max("doc_id").alias("hi"),
+        )
+        .collect()[0]
     )
-    n = ids.count()
+    n = int(stats["n"])
     if n == 0:
+        ids = spark.createDataFrame([], "doc_id long, idx long")
         return ids, 0, None
+    if int(stats["nd"]) == n and int(stats["lo"]) == 0 and int(stats["hi"]) == n - 1:
+        ids = (
+            spark.table("documents")
+            .select("doc_id", F.col("doc_id").cast("long").alias("idx"))
+            .persist()
+        )
+    else:
+        ids = (
+            global_row_number(
+                spark.table("documents").select("doc_id"), ["doc_id"], "rn"
+            )
+            .select("doc_id", (F.col("rn") - 1).cast("long").alias("idx"))
+            .persist()
+        )
     hashed = _hex8_of("md5(concat(CAST(src AS STRING), ':', CAST(k AS STRING)))")
     edges = (
         ids.select(F.col("idx").alias("src"))
-        .crossJoin(
-            F.broadcast(spark.range(1, _FANOUT + 1).select(F.col("id").alias("k")))
+        .select(
+            "src", F.explode(F.expr(f"sequence(1, {_FANOUT})")).alias("k")
         )
         .select("src", F.expr(f"({hashed}) % {n}").alias("dst"))
         .distinct()

@@ -69,8 +69,20 @@ _SKEW_PROFILE = """
     GROUP BY m.event_type, m.n_rows, m.n_keys, m.max_key_rows
 """
 
+# engine side: the ppm cross-product is staged through DECIMAL(38,0) so
+# the intermediate max_key_rows * n_keys * 1e6 cannot exceed int64 at
+# fleet scale — Spark (non-ANSI) would WRAP silently where DuckDB
+# errors (r5 advice).  Same integral value wherever int64 suffices, so
+# the oracle hash is unchanged at any tested scale.
+_SKEW_PROFILE_SPARK = _SKEW_PROFILE.format(idiv="div").replace(
+    "CAST((m.max_key_rows * m.n_keys * 1000000) div m.n_rows AS BIGINT)",
+    "CAST((CAST(m.max_key_rows AS DECIMAL(38, 0)) * m.n_keys * 1000000)"
+    " div m.n_rows AS BIGINT)",
+)
+assert _SKEW_PROFILE_SPARK != _SKEW_PROFILE.format(idiv="div")
+
 QUERIES["q_skew_profile"] = QuerySpec(
-    spark=sql_query(_SKEW_PROFILE.format(idiv="div")),
+    spark=sql_query(_SKEW_PROFILE_SPARK),
     oracle=_SKEW_PROFILE.format(idiv="//"),
     description=(
         "join-key skew diagnostics per event type: key cardinality, "
@@ -165,8 +177,27 @@ _KS_DISTANCE = """
     GROUP BY a.lang, b.lang, na.n, nb.n
 """
 
+# Grid note (r5 verdict): the grid is the EXACT distinct value set, not
+# quantile buckets — distinct document lengths are bounded by the max
+# document size (a few thousand values however large the corpus), so
+# the lang x grid frame stays small at any scale and no bucketing knob
+# is needed; a value domain that were genuinely unbounded (e.g. float
+# scores) would need a quantile grid here.
+#
+# Engine side: cum * n cross-products staged through DECIMAL(38, 0) so
+# the intermediates cannot exceed int64 at fleet scale (same silent-wrap
+# hazard and same value-preserving fix as q_skew_profile above).
+_KS_DISTANCE_SPARK = _KS_DISTANCE.format(idiv="div").replace(
+    """CAST((max(abs(a.cum * nb.n - b.cum * na.n)) * 1000000)
+                div (na.n * nb.n) AS BIGINT)""",
+    """CAST((max(abs(CAST(a.cum AS DECIMAL(38, 0)) * nb.n
+                        - CAST(b.cum AS DECIMAL(38, 0)) * na.n)) * 1000000)
+                div (CAST(na.n AS DECIMAL(38, 0)) * nb.n) AS BIGINT)""",
+)
+assert _KS_DISTANCE_SPARK != _KS_DISTANCE.format(idiv="div")
+
 QUERIES["q_ks_distance"] = QuerySpec(
-    spark=sql_query(_KS_DISTANCE.format(idiv="div")),
+    spark=sql_query(_KS_DISTANCE_SPARK),
     oracle=_KS_DISTANCE.format(idiv="//"),
     description=(
         "exact two-sample Kolmogorov-Smirnov distance (integer "

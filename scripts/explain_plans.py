@@ -128,7 +128,13 @@ def main() -> None:
 
     out = ["# Physical plans (plan hygiene audit)", "",
            "Generated by `python scripts/explain_plans.py` (plan-only; "
-           "re-run after planner-visible changes).", ""]
+           "re-run after planner-visible changes).", "",
+           "Known-benign `SinglePartition`: the only such exchanges in the "
+           "registry are 1-row SCALAR aggregates (e.g. the global `count(*)` "
+           "bounding q_cooccurrence's vocabulary and q_chi2/q_data_quality's "
+           "grand totals) — a single row crossing one task is the floor, not "
+           "a funnel; tests/test_plans.py pins that no DATA-bearing plan "
+           "contains one.", ""]
     for title, note, plan in sections:
         out += [f"## {title}", "", note, "", "```", plan, "```", ""]
     out.append(STATIC_SCALE_NOTES)

@@ -69,10 +69,15 @@ def main() -> None:
         "measured_at_commit": commit,
         "measured_at_unix": int(time.time()),
     }
-    print(json.dumps(summary, indent=2))
     out = os.path.join(REPO, "BENCH", f"campaign_{n}_{n4}_{n_docs}docs.json")
-    # append rounds if a campaign at this (pair, docs) already ran — the
-    # median sharpens across calm windows instead of clobbering them
+    # merge BEFORE printing (r5 advice: the stdout JSON used to carry
+    # this run's rounds only, disagreeing with the merged file written
+    # after it); append rounds if a campaign at this (pair, docs)
+    # already ran — the median sharpens across calm windows instead of
+    # clobbering them.  Per-round commit stamps record which build each
+    # contributed round was measured at.
+    for d in detail:
+        d.setdefault("commit", commit)
     if os.path.exists(out):
         with open(out) as f:
             prev = json.load(f)
@@ -83,6 +88,10 @@ def main() -> None:
         summary["rounds"] = detail
         summary["median_efficiency"] = round(_median(effs), 3)
         summary["best_efficiency"] = round(max(effs), 3)
+        summary["contributing_commits"] = sorted(
+            {d.get("commit", "unknown") for d in detail}
+        )
+    print(json.dumps(summary, indent=2))
     with open(out, "w") as f:
         json.dump(summary, f, indent=2)
 
