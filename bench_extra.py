@@ -48,7 +48,8 @@ def main() -> None:
     ).count()
 
     specs = all_queries()
-    names = args or list(specs)
+    # sorted to match bench.py's methodology (alphabetical execution order)
+    names = args or sorted(specs)
     times: dict[str, list[float]] = {}
     for name in names:
         spec = specs[name]

@@ -3848,23 +3848,57 @@ _WINNOW_GUARD_DUCK = (
 _WINNOW_UNPACK_SPARK = f"CAST(key DIV {_WINNOW_POS_W} AS BIGINT)"
 _WINNOW_UNPACK_DUCK = f"CAST(key // {_WINNOW_POS_W} AS BIGINT)"
 
+# Engine side entirely in the ARRAY domain: per doc, build the gram-hash
+# array, slide the 4-window min over it with slice/array_min, unpack and
+# array_distinct — the per-doc fingerprint set falls out of ONE narrow
+# projection, so the oracle's per-gram explode + windowed min (a full
+# sort+shuffle of every gram row) and the DISTINCT exchange disappear;
+# the only shuffle left is the final groupBy(fp).  Same packed-key
+# arithmetic (h * 2^26 + (2^26-1-pos), integer-division unpack) and the
+# same loud pos-overflow guard, so values are oracle-identical.
 _WINNOW_SPARK = f"""
     WITH base AS (
       SELECT /*+ REPARTITION(__P__) */ doc_id,
              split(lower(trim(text)), '\\\\s+') AS arr FROM documents
     ),
-    gtext AS (
-      SELECT doc_id, pos, g FROM (
-        SELECT doc_id, posexplode(CASE WHEN size(arr) >= {_WINNOW_K}
-          THEN transform(sequence(0, size(arr) - {_WINNOW_K}),
-                         i -> concat_ws(' ', slice(arr, i + 1, {_WINNOW_K})))
-          ELSE array() END) AS (pos, g)
-        FROM base
-      )
+    hs AS (
+      -- gram md5s hoisted into their own array so the packed-key lambda
+      -- below reads hs[i] eight times instead of re-hashing the gram
+      -- per hex digit (lambda bodies get no codegen subexpression
+      -- elimination)
+      SELECT doc_id,
+             CASE WHEN size(arr) >= {_WINNOW_K}
+               THEN transform(
+                 sequence(0, size(arr) - {_WINNOW_K}),
+                 i -> md5(concat_ws(' ', slice(arr, i + 1, {_WINNOW_K}))))
+               ELSE array() END AS hs
+      FROM base
     ),
-    {_WINNOW_BODY.format(h=_hex8_of("md5(g)"),
-                         posguard=_WINNOW_GUARD_SPARK,
-                         unpack=_WINNOW_UNPACK_SPARK)}
+    keys AS (
+      SELECT doc_id,
+             CASE WHEN size(hs) >= 1 THEN transform(
+               sequence(1, size(hs)),
+               i -> CAST({_hex8_of("hs[i - 1]")} AS BIGINT) * {_WINNOW_POS_W}
+                 + ({_WINNOW_POS_W} - i
+                    + CAST(coalesce(assert_true(
+                        i <= {_WINNOW_POS_W},
+                        'q_winnowing: document exceeds {_WINNOW_POS_W} grams'
+                      ), 0) AS INT)))
+             ELSE array() END AS ks
+      FROM hs
+    ),
+    fps AS (
+      SELECT doc_id, explode(array_distinct(
+               CASE WHEN size(ks) >= {_WINNOW_W}
+                 THEN transform(sequence(0, size(ks) - {_WINNOW_W}),
+                                i -> array_min(slice(ks, i + 1, {_WINNOW_W}))
+                                     DIV {_WINNOW_POS_W})
+                 ELSE array() END)) AS fp
+      FROM keys
+    )
+    SELECT fp,
+           CAST(count(*) AS BIGINT) AS n_docs
+    FROM fps GROUP BY fp HAVING count(*) >= 2
 """
 
 _WINNOW_DUCK = rf"""
@@ -3978,13 +4012,21 @@ _CONTAIN_VERIFY_SPARK = f"""
       SELECT doc_id, collect_list(g) AS gs, CAST(count(*) AS BIGINT) AS n_sh
       FROM ct_sh GROUP BY doc_id
     ),
-    rare AS (SELECT g FROM (
-      SELECT g, count(*) AS df FROM ct_sh GROUP BY g
-    ) WHERE df BETWEEN 2 AND 10),
     cand AS (
-      SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
-      FROM ct_sh a JOIN rare USING (g) JOIN ct_sh b USING (g)
-      WHERE a.doc_id < b.doc_id
+      -- candidate pairs straight off the RARE posting lists: a rare
+      -- shingle's postings are <= 10 doc_ids by definition, so the pair
+      -- set explodes from a bounded array (<= 45 pairs per shingle)
+      -- instead of the oracle's sh JOIN rare JOIN sh, which shuffled
+      -- the full shingle frame twice more
+      SELECT DISTINCT pr.d1, pr.d2 FROM (
+        SELECT explode(flatten(transform(ds,
+                 x -> filter(transform(ds, y -> struct(x AS d1, y AS d2)),
+                             s -> s.d1 < s.d2)))) AS pr
+        FROM (
+          SELECT collect_list(doc_id) AS ds
+          FROM ct_sh GROUP BY g HAVING count(*) BETWEEN 2 AND 10
+        )
+      )
     ),
     inter AS (
       SELECT /*+ BROADCAST(s1), BROADCAST(s2) */ c.d1, c.d2,
