@@ -44,11 +44,7 @@ _N_QUERIES = 8
 
 def _cosine_topk_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir)
-    d = _emb_dim(spark)
-    # broadcast the tiny query side; candidates stream through one stage.
-    # Expanded codegen dot chains (bit-identical to the sequential
-    # aggregate lambdas, incl. the 0.0 seed) replace N*|q|*3 interpreted
-    # per-element lambda steps.
+    # broadcast the tiny query side; candidates stream through one stage
     return spark.sql(
         f"""
         WITH q AS (SELECT vec_id AS q_id,
@@ -59,9 +55,9 @@ def _cosine_topk_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
               FROM embeddings),
         p AS (
           SELECT /*+ BROADCAST(q) */ q_id, c_id,
-                 {lloyd_dot_expr('qv', 'cv', d)} AS dot,
-                 sqrt({lloyd_dot_expr('qv', 'qv', d)}) AS nq,
-                 sqrt({lloyd_dot_expr('cv', 'cv', d)}) AS nc
+                 aggregate(zip_with(qv, cv, (x, y) -> x * y), CAST(0 AS DOUBLE), (a, b) -> a + b) AS dot,
+                 sqrt(aggregate(transform(qv, x -> x * x), CAST(0 AS DOUBLE), (a, b) -> a + b)) AS nq,
+                 sqrt(aggregate(transform(cv, x -> x * x), CAST(0 AS DOUBLE), (a, b) -> a + b)) AS nc
           FROM c CROSS JOIN q
           WHERE q_id <> c_id
         ),
