@@ -47,14 +47,17 @@ _q("q_dedup_survivors", _DEDUP_SURVIVORS_SQL, _DEDUP_SURVIVORS_SQL,
 
 # the inner REPARTITION spreads the DOC rows before the explode: the
 # documents parquet is one row group -> one scan task, so the shingle
-# explode (and any md5 work stacked on it) otherwise runs on one core
+# explode (and any md5 work stacked on it) otherwise runs on one core.
+# DISTINCT (doc_id, s) is PER-DOC distinctness, so it is computed with
+# array_distinct BEFORE the explode — a narrow array op instead of a
+# full corpus-wide exchange of every shingle row (the oracle keeps the
+# declarative SELECT DISTINCT; the exploded multisets are identical)
 _SHINGLES_SPARK = """
-      SELECT DISTINCT doc_id, s FROM (
-        SELECT doc_id,
-               explode(transform(sequence(1, greatest(length(text) - 7, 1), 4),
-                                 i -> substring(text, i, 8))) AS s
-        FROM (SELECT /*+ REPARTITION(__P__) */ * FROM {src} t0) t
-      )
+      SELECT doc_id,
+             explode(array_distinct(
+               transform(sequence(1, greatest(length(text) - 7, 1), 4),
+                         i -> substring(text, i, 8)))) AS s
+      FROM (SELECT /*+ REPARTITION(__P__) */ * FROM {src} t0) t
 """
 
 _SHINGLES_DUCK = """
@@ -1927,11 +1930,7 @@ QUERIES["q_quality_curriculum"] = QuerySpec(
 _COOC_VOCAB_K = 32
 
 _COOC_BODY = """
-    WITH toks AS (
-      SELECT DISTINCT doc_id, token FROM (
-        SELECT doc_id, {tok} AS token FROM {src} {gen}
-      ) u WHERE token <> ''
-    ),
+    WITH toks AS ({toks}),
     dfreq AS (SELECT token, count(*) AS df FROM toks GROUP BY token),
     vocab AS (
       SELECT token, df FROM dfreq ORDER BY df DESC, token LIMIT {k}
@@ -1960,15 +1959,22 @@ _COOC_BODY = """
 _q(
     "q_cooccurrence",
     _COOC_BODY.format(
-        tok="explode(split(lower(trim(text)), '\\\\s+'))",
-        src="(SELECT /*+ REPARTITION(__P__) */ * FROM documents) d0",
-        gen="",
+        # per-doc DISTINCT via array_distinct before the explode (the
+        # _SHINGLES_SPARK move): no corpus-wide token exchange
+        toks=(
+            "SELECT doc_id, explode(array_distinct(filter("
+            "split(lower(trim(text)), '\\\\s+'), t -> t <> '')) ) AS token "
+            "FROM (SELECT /*+ REPARTITION(__P__) */ * FROM documents) d0"
+        ),
         k=_COOC_VOCAB_K,
     ),
     _COOC_BODY.format(
-        tok="unnest(string_split_regex(lower(trim(text)), '\\s+'))",
-        src="documents",
-        gen="",
+        toks=(
+            "SELECT DISTINCT doc_id, token FROM ("
+            "SELECT doc_id, "
+            r"unnest(string_split_regex(lower(trim(text)), '\s+')) AS token "
+            "FROM documents) u WHERE token <> ''"
+        ),
         k=_COOC_VOCAB_K,
     ),
     f"token co-occurrence lift over the top-{_COOC_VOCAB_K} DF vocabulary: "
@@ -3314,15 +3320,16 @@ _NOVELTY_BODY = """
 # a bounded transform — zero joins, zero shuffles before the DISTINCT —
 # and the repartition spreads the single-row-group scan first
 _NOVELTY_SPARK = """
-    WITH grams AS (
-      SELECT doc_id, explode(CASE WHEN size(a) >= 3
+    WITH dg AS (
+      -- per-doc DISTINCT via array_distinct before the explode: the
+      -- corpus-wide dedup exchange of every gram row disappears
+      SELECT doc_id, explode(array_distinct(CASE WHEN size(a) >= 3
         THEN transform(sequence(0, size(a) - 3),
                        i -> concat(a[i], ' ', a[i + 1], ' ', a[i + 2]))
-        ELSE array() END) AS g
+        ELSE array() END)) AS g
       FROM (SELECT /*+ REPARTITION(__P__) */ doc_id,
                    split(lower(trim(text)), '\\\\s+') AS a FROM documents) s
     ),
-    dg AS (SELECT DISTINCT doc_id, g FROM grams),
     first_seen AS (SELECT g, min(doc_id) AS first_doc FROM dg GROUP BY g)
     SELECT d.doc_id,
            CAST(count(*) AS BIGINT) AS n_grams,
@@ -3976,21 +3983,19 @@ _CONTAIN_BODY = f"""
     FROM both_dirs WHERE containment >= {_CONTAIN_TAU}
 """
 
+# per-doc set semantics via array_distinct BEFORE the explode (see the
+# _SHINGLES_SPARK note) — the corpus-wide DISTINCT exchange disappears
 _CONTAIN_SH_SPARK = f"""
     WITH base AS (
       SELECT /*+ REPARTITION({{p}}) */ doc_id,
              split(lower(trim(text)), '\\\\s+') AS arr FROM documents
-    ),
-    gtext AS (
-      SELECT doc_id, g FROM (
-        SELECT doc_id, explode(CASE WHEN size(arr) >= {_CONTAIN_K}
-          THEN transform(sequence(0, size(arr) - {_CONTAIN_K}),
-                         i -> concat_ws(' ', slice(arr, i + 1, {_CONTAIN_K})))
-          ELSE array() END) AS g
-        FROM base
-      )
     )
-    SELECT DISTINCT doc_id, g FROM gtext
+    SELECT doc_id, explode(array_distinct(
+             CASE WHEN size(arr) >= {_CONTAIN_K}
+               THEN transform(sequence(0, size(arr) - {_CONTAIN_K}),
+                              i -> concat_ws(' ', slice(arr, i + 1, {_CONTAIN_K})))
+               ELSE array() END)) AS g
+    FROM base
 """
 
 # Engine-side verify over the MATERIALIZED shingle-set view (the body
