@@ -1969,11 +1969,15 @@ _q(
         k=_COOC_VOCAB_K,
     ),
     _COOC_BODY.format(
+        # renders the ORACLE text byte-identically to its round-5 form
+        # (the driver fingerprints oracle SQL texts; note the trailing
+        # space after "documents" the old {src} {gen} formatting left)
         toks=(
-            "SELECT DISTINCT doc_id, token FROM ("
-            "SELECT doc_id, "
-            r"unnest(string_split_regex(lower(trim(text)), '\s+')) AS token "
-            "FROM documents) u WHERE token <> ''"
+            "\n      SELECT DISTINCT doc_id, token FROM (\n"
+            "        SELECT doc_id, "
+            r"unnest(string_split_regex(lower(trim(text)), '\s+'))"
+            " AS token FROM documents \n"
+            "      ) u WHERE token <> ''\n    "
         ),
         k=_COOC_VOCAB_K,
     ),
